@@ -1,38 +1,471 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes each implemented operator from SURVEY.md §2 over the
+driver's parquet tables; `oracle_sql()` gives the DuckDB-equivalent ANSI
+SQL. Column names and integer-only output conventions are aligned so the
+driver's order-insensitive value-hash comparison is engine-portable
+(explicit floor() for divisions, no raw floats in oracle-checked outputs
+except where noted).
+
+The KG pipeline itself (extract→link→canonicalize→materialize over
+transcripts) is exercised by the rows-only `kg_*` queries (transcripts
+are synthesized deterministically — they are not among the driver's
+DuckDB views) and exhaustively by `python -m pytest tests/` against the
+pandas oracle.
 """
 
 from __future__ import annotations
 
+import os
+import re
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _derived_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer triple set derived from lineitem: s=suppkey, p=linenumber,
+    o=partkey — the driver-table analogue of our encoded KG triples."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_suppkey").alias("s"),
+        F.col("l_linenumber").cast("long").alias("p"),
+        F.col("l_partkey").alias("o"),
+    ).dropDuplicates(["s", "p", "o"])
+
+
+_TRIPLES_SQL = (
+    "SELECT DISTINCT l_suppkey AS s, CAST(l_linenumber AS BIGINT) AS p, "
+    "l_partkey AS o FROM lineitem"
+)
+
+
+def _pattern_consts(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    """Deterministic probe constants: s0=min s; p0=min p at s0; o0=min o at
+    (s0,p0) — same definition as the oracle's scalar subqueries."""
+    t = _derived_triples(spark, sf_dir)
+    s0 = t.agg(F.min("s")).first()[0]
+    p0 = t.filter(F.col("s") == s0).agg(F.min("p")).first()[0]
+    o0 = t.filter((F.col("s") == s0) & (F.col("p") == p0)).agg(F.min("o")).first()[0]
+    return int(s0), int(p0), int(o0)
+
+
+_CONST_SQL = """
+consts AS (
+  SELECT
+    (SELECT min(s) FROM t) AS s0,
+    (SELECT min(p) FROM t WHERE s = (SELECT min(s) FROM t)) AS p0,
+    (SELECT min(o) FROM t WHERE s = (SELECT min(s) FROM t)
+       AND p = (SELECT min(p) FROM t WHERE s = (SELECT min(s) FROM t))) AS o0
+)
+"""
+
+
+def _with_triples(body: str) -> str:
+    return f"WITH t AS ({_TRIPLES_SQL}), {_CONST_SQL} {body}"
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+# ---------------------------------------------------------------- queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derived triples → pattern router F5 (?P?) over the
+    materialized permutation semantics at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    from rdf_indexes_spark.plans.router import select
+
+    t = _derived_triples(spark, sf_dir)
+    _, p0, _ = _pattern_consts(spark, sf_dir)
+    tables = {name: t for name in ("spo", "pos", "osp", "ops", "pso")}
+    return select(tables, p=p0)
+
+
+def _q_b1(spark, sf_dir):
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("term"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q_b2(spark, sf_dir):
+    from rdf_indexes_spark.functions.ranking import dense_ids
+
+    freq = _q_b1(spark, sf_dir)
+    return dense_ids(freq, [F.desc("cnt"), F.asc("term")], id_col="id").select("term", "id")
+
+
+def _q_b4(spark, sf_dir):
+    vocab = _q_b2(spark, sf_dir).withColumnRenamed("term", "event_type")
+    ev = _read(spark, sf_dir, "events")
+    return ev.join(F.broadcast(vocab), "event_type").select(
+        "event_id", F.col("event_type").alias("term"), F.col("id").alias("type_id")
+    )
+
+
+def _q_b5(spark, sf_dir):
+    return _read(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+def _q_c1(spark, sf_dir):
+    return _derived_triples(spark, sf_dir)
+
+
+def _q_c2(spark, sf_dir):
+    # column permutation: project to POS order (pure projection, no shuffle)
+    return _derived_triples(spark, sf_dir).select("p", "o", "s")
+
+
+def _q_d1(spark, sf_dir):
+    from rdf_indexes_spark.operators.permutations import compute_stats
+
+    return compute_stats(_derived_triples(spark, sf_dir))
+
+
+def _q_d3(spark, sf_dir):
+    from rdf_indexes_spark.operators.permutations import skew_census
+
+    return skew_census(_derived_triples(spark, sf_dir), "s")
+
+
+def _q_e1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    su = _read(spark, sf_dir, "supplier")
+    na = _read(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+def _pattern_query(mask: tuple[bool, bool, bool]):
+    def q(spark, sf_dir):
+        from rdf_indexes_spark.plans.router import select
+
+        t = _derived_triples(spark, sf_dir)
+        s0, p0, o0 = _pattern_consts(spark, sf_dir)
+        tables = {name: t for name in ("spo", "pos", "osp", "ops", "pso")}
+        return select(
+            tables,
+            s=s0 if mask[0] else None,
+            p=p0 if mask[1] else None,
+            o=o0 if mask[2] else None,
+        )
+
+    return q
+
+
+def _pattern_sql(mask: tuple[bool, bool, bool]) -> str:
+    conds = ["1=1"]
+    if mask[0]:
+        conds.append("s = (SELECT s0 FROM consts)")
+    if mask[1]:
+        conds.append("p = (SELECT p0 FROM consts)")
+    if mask[2]:
+        conds.append("o = (SELECT o0 FROM consts)")
+    return _with_triples(f"SELECT s, p, o FROM t WHERE {' AND '.join(conds)}")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from rdf_indexes_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from rdf_indexes_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.6)
+    return pairs.select(
+        "a",
+        "b",
+        F.floor(F.col("inter") * 1000000.0 / F.col("union_size")).cast("long").alias("jacc_ppm"),
+    )
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from rdf_indexes_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), num_hashes=32, bands=8)
+
+
+def _q_simhash(spark, sf_dir):
+    from rdf_indexes_spark.operators.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents"))
+
+
+def _q_token_count(spark, sf_dir):
+    from rdf_indexes_spark.operators.textops import token_count
+
+    return token_count(_read(spark, sf_dir, "documents"))
+
+
+def _q_language_id(spark, sf_dir):
+    from rdf_indexes_spark.operators.textops import language_id
+
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark, sf_dir):
+    from rdf_indexes_spark.operators.textops import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from rdf_indexes_spark.operators.textops import doc_fingerprint
+
+    return doc_fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def _q_ann(spark, sf_dir):
+    from rdf_indexes_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    queries_df = emb.filter(F.col("vec_id").isin(qids))
+    return brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from rdf_indexes_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    queries_df = emb.filter(F.col("vec_id").isin(qids))
+    return lsh_topk(emb, queries_df, k=5, planes=6, tables=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_kg_mentions(spark, sf_dir):
+    """Rows-only: mention extraction over deterministically synthesized
+    transcripts at the sf's scale (transcripts aren't a DuckDB view)."""
+    from rdf_indexes_spark.operators.extract import extract_mentions
+    from rdf_indexes_spark.synth import generate, n_turns_for_sf
+
+    n = min(n_turns_for_sf(_sf_of(sf_dir)), 10_000)
+    corpus = generate(n, seed=42)
+    return extract_mentions(spark.createDataFrame(corpus.transcripts))
+
+
+def _q_kg_triples(spark, sf_dir):
+    """Rows-only: the full KG pipeline (extract→link→canonicalize→encode→
+    dedup) over synthesized transcripts — bounded size for the gate."""
+    from rdf_indexes_spark.pipeline import run_pipeline
+    from rdf_indexes_spark.synth import generate, n_turns_for_sf
+
+    n = min(n_turns_for_sf(_sf_of(sf_dir)), 2_000)
+    corpus = generate(n, seed=42)
+    wd = tempfile.mkdtemp(prefix="kg_gate_")
+    art = run_pipeline(spark, spark.createDataFrame(corpus.transcripts), wd, input_id=f"gate{n}")
+    return art.triples
+
+
+def _q_multimodal(spark, sf_dir):
+    from rdf_indexes_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, n=60), decode_stub=True).select(
+        "media_id", "kind", "n_bytes", "sha256"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "b1_term_freq": _q_b1,
+        "b2_dense_ids": _q_b2,
+        "b4_dict_encode": _q_b4,
+        "b5_dedup": _q_b5,
+        "c1_sort_permutation": _q_c1,
+        "c2_column_permutation": _q_c2,
+        "d1_stats": _q_d1,
+        "d3_skew_census": _q_d3,
+        "e1_broadcast_join": _q_e1,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        "text_token_count": _q_token_count,
+        "text_language_id": _q_language_id,
+        "text_quality": _q_quality,
+        "text_fingerprint": _q_fingerprint,
+        "ann_cosine_topk": _q_ann,
+        "ann_lsh_topk": _q_ann_lsh,
+        "kg_extract_mentions": _q_kg_mentions,
+        "kg_triples": _q_kg_triples,
+        "multimodal_features": _q_multimodal,
+    }
+    masks = {
+        "f1_member": (True, True, True),
+        "f2_pattern_sp": (True, True, False),
+        "f3_pattern_s": (True, False, False),
+        "f4_pattern_po": (False, True, True),
+        "f5_pattern_p": (False, True, False),
+        "f6_pattern_o": (False, False, True),
+        "f7_pattern_so": (True, False, True),
+        "f8_scan_all": (False, False, False),
+    }
+    for name, mask in masks.items():
+        q[name] = _pattern_query(mask)
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracle
+
+
+_TOKS = "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+_TOKS_ALL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _lang_sql() -> str:
+    from rdf_indexes_spark.operators.textops import LANG_STOPWORDS
+
+    hits = {
+        lang: f"len(list_intersect({_TOKS}, {words!r}))"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    de, en, es, fr = hits["de"], hits["en"], hits["es"], hits["fr"]
+    return f"""
+SELECT doc_id,
+  CASE WHEN greatest({de},{en},{es},{fr}) = 0 THEN 'und'
+       WHEN {de} >= {en} AND {de} >= {es} AND {de} >= {fr} THEN 'de'
+       WHEN {en} >= {es} AND {en} >= {fr} THEN 'en'
+       WHEN {es} >= {fr} THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CAST({de} AS BIGINT) AS de_hits, CAST({en} AS BIGINT) AS en_hits,
+  CAST({es} AS BIGINT) AS es_hits, CAST({fr} AS BIGINT) AS fr_hits
+FROM documents
+"""
+
+
+def _quality_sql() -> str:
+    from rdf_indexes_spark.operators.textops import LANG_STOPWORDS
+
+    stop = LANG_STOPWORDS["en"]
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END AS n_tokens,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter({_TOKS_ALL}, x -> regexp_matches(x, '^[a-z]+$'))) END AS n_alpha_tokens,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter({_TOKS_ALL}, x -> list_contains({stop!r}, x))) END AS n_stop
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars, n_tokens, n_alpha_tokens,
+    CASE WHEN n_tokens > 0 THEN CAST(floor(n_chars * 100.0 / n_tokens) AS BIGINT) ELSE 0 END AS mean_token_len_x100,
+    CASE WHEN n_tokens > 0 THEN CAST(floor(n_stop * 1000.0 / n_tokens) AS BIGINT) ELSE 0 END AS stop_ratio_x1000
+  FROM base
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_alpha_tokens AS BIGINT) AS n_alpha_tokens, mean_token_len_x100, stop_ratio_x1000,
+  CAST(greatest(0, least(100,
+     50 + least(25, CAST(floor(stop_ratio_x1000 / 10.0) AS BIGINT))
+        + least(25, CAST(floor(n_tokens / 20.0) AS BIGINT))
+        - CASE WHEN n_tokens < 5 THEN 40 ELSE 0 END)) AS BIGINT) AS quality
+FROM feat
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {
+        "b1_term_freq": "SELECT event_type AS term, count(*) AS cnt FROM events GROUP BY event_type",
+        "b2_dense_ids": (
+            "SELECT term, CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) - 1 AS BIGINT) AS id "
+            "FROM (SELECT event_type AS term, count(*) AS cnt FROM events GROUP BY event_type)"
+        ),
+        "b4_dict_encode": (
+            "WITH v AS (SELECT term, CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) - 1 AS BIGINT) AS id "
+            "FROM (SELECT event_type AS term, count(*) AS cnt FROM events GROUP BY event_type)) "
+            "SELECT e.event_id, e.event_type AS term, v.id AS type_id FROM events e JOIN v ON e.event_type = v.term"
+        ),
+        "b5_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "c1_sort_permutation": _TRIPLES_SQL,
+        "c2_column_permutation": f"SELECT p, o, s FROM ({_TRIPLES_SQL})",
+        "d1_stats": (
+            f"WITH t AS ({_TRIPLES_SQL}) SELECT count(*) AS num_triples, "
+            "count(DISTINCT s) AS distinct_subjects, count(DISTINCT p) AS distinct_predicates, "
+            "count(DISTINCT o) AS distinct_objects, "
+            "(SELECT count(*) FROM (SELECT DISTINCT s, p FROM t)) AS distinct_sp_pairs, "
+            "(SELECT count(*) FROM (SELECT DISTINCT p, o FROM t)) AS distinct_po_pairs, "
+            "(SELECT count(*) FROM (SELECT DISTINCT o, s FROM t)) AS distinct_os_pairs FROM t"
+        ),
+        "d3_skew_census": (
+            f"WITH t AS ({_TRIPLES_SQL}), g AS (SELECT s, count(*) AS group_size FROM t GROUP BY s) "
+            "SELECT group_size, count(*) AS frequency FROM g GROUP BY group_size"
+        ),
+        "e1_broadcast_join": (
+            "SELECT n_name, count(*) AS n_items, sum(CAST(l_quantity AS BIGINT)) AS sum_qty "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "dedup_exact": (
+            "WITH g AS (SELECT text, min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY text) "
+            "SELECT d.doc_id, g.keep_id, g.group_size FROM documents d JOIN g ON d.text = g.text"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "CAST(floor(len(list_intersect(a.tk, b.tk)) * 1000000.0 / len(list_distinct(list_concat(a.tk, b.tk)))) AS BIGINT) AS jacc_ppm "
+            "FROM toks a JOIN toks b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.tk, b.tk)) * 1.0 / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.6"
+        ),
+        "text_token_count": (
+            f"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "text_language_id": _lang_sql(),
+        "text_quality": _quality_sql(),
+        "text_fingerprint": (
+            "SELECT doc_id, CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0 ELSE "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), "
+            "x -> CAST(unicode(x) AS BIGINT))), (a, b) -> (a * 31 + b) % 2147483647) END AS BIGINT) AS fingerprint "
+            "FROM documents"
+        ),
+        "ann_cosine_topk": (
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            "q AS (SELECT * FROM v WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)), "
+            "s AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, "
+            "  list_dot_product(q.e, v.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e))) AS cos "
+            "  FROM q CROSS JOIN v WHERE q.vec_id <> v.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM s) "
+            "SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 5"
+        ),
+    }
+    for name, mask in [
+        ("f1_member", (True, True, True)),
+        ("f2_pattern_sp", (True, True, False)),
+        ("f3_pattern_s", (True, False, False)),
+        ("f4_pattern_po", (False, True, True)),
+        ("f5_pattern_p", (False, True, False)),
+        ("f6_pattern_o", (False, False, True)),
+        ("f7_pattern_so", (True, False, True)),
+        ("f8_scan_all", (False, False, False)),
+    ]:
+        sql[name] = _pattern_sql(mask)
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / kg_* /
+    # multimodal_features: deliberately no SQL oracle (hash-family and
+    # pipeline ops aren't portably SQL-expressible) → rows-only check;
+    # exact oracles live in tests/ (pandas/numpy golden comparisons).
+    return sql

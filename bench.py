@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): triples/sec end-to-end
+(extract→link→canonicalize→materialize) over a deterministic synthetic
+transcript corpus at the SF of $SPARK_GRAFT_SF_DIR, measured at two
+parallelism levels on the same input — local[N] and local[N/4] — with
+scaling efficiency = (thr_N / thr_N4) / 4 (the in-sandbox stand-in for
+the N vs 4N executor-cluster rule; no real cluster here).
+
+Each level runs in its own subprocess (own JVM: no warm-JIT bias). Also
+times the headline driver-table queries from __spark_entry__ at the SF
+dir.
+
+Prints ONE JSON line:
+  {"metric": "pipeline_e2e", "value": <sec at full cores>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "triples_per_sec": ..., "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# scaling pair: N and N/4 cores (4x ratio, mirrors the N vs 4N rule)
+LOW_CPUS = max(2, CPUS // 4)
+
+BENCH_QUERIES = [
+    "b1_term_freq",
+    "b2_dense_ids",
+    "b4_dict_encode",
+    "c1_sort_permutation",
+    "d1_stats",
+    "d3_skew_census",
+    "e1_broadcast_join",
+    "f1_member",
+    "f2_pattern_sp",
+    "f5_pattern_p",
+    "f8_scan_all",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_count",
+    "text_language_id",
+    "text_quality",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _corpus_path(n_turns: int, seed: int = 42) -> str:
+    """Synthesize (once, cached) the transcript corpus parquet."""
+    path = f"/tmp/bench_transcripts_n{n_turns}_s{seed}"
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    import pandas as pd  # noqa: F401
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from rdf_indexes_spark.synth import generate
+
+    corpus = generate(n_turns, seed=seed)
+    os.makedirs(path, exist_ok=True)
+    corpus.transcripts.to_parquet(os.path.join(path, "transcripts.parquet"), index=False)
+    open(marker, "w").write("ok")
+    return path
+
+
+def _worker(cores: int, corpus_path: str, out_json: str) -> None:
+    """Subprocess body: time the fast pipeline at local[cores]."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import shutil
+    import tempfile
+
+    from rdf_indexes_spark.pipeline import run_pipeline_fast
+    from rdf_indexes_spark.session import get_spark
+    from rdf_indexes_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    spark = get_spark(cores=cores, shuffle_partitions=max(cores, 8), app_name=f"bench{cores}")
+    tr = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        os.path.join(corpus_path, "transcripts.parquet")
+    )
+    tr.count()  # warm: file listing + first scan outside the timed window
+    out_dir = tempfile.mkdtemp(prefix=f"bench_perms_{cores}_")
+    t0 = time.monotonic()
+    counters = run_pipeline_fast(spark, tr, out_dir, num_partitions=max(cores, 8))
+    elapsed = time.monotonic() - t0
+    with open(out_json, "w") as f:
+        json.dump({"cores": cores, "elapsed_sec": elapsed, **counters}, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+
+
+def _run_level(cores: int, corpus_path: str) -> dict:
+    out = f"/tmp/bench_worker_{cores}.json"
+    if os.path.exists(out):
+        os.remove(out)
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", str(cores), corpus_path, out],
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True,
+    )
+    with open(out) as f:
+        return json.load(f)
+
+
+def _time_queries(sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from rdf_indexes_spark.session import get_spark
+
+    spark = get_spark(cores=CPUS, shuffle_partitions=max(CPUS, 8), app_name="bench_queries")
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        _worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        return
+    sf = _sf_of(SF_DIR)
+    n_turns = max(1000, int(round(sf * 1_000_000)))
+    corpus_path = _corpus_path(n_turns)
+
+    hi = _run_level(CPUS, corpus_path)
+    lo = _run_level(LOW_CPUS, corpus_path)
+    thr_hi = hi["mentions"] / hi["elapsed_sec"]
+    thr_lo = lo["mentions"] / lo["elapsed_sec"]
+    eff = (thr_hi / thr_lo) / (CPUS / LOW_CPUS)
+
+    queries = _time_queries(SF_DIR)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_e2e",
+                "value": round(hi["elapsed_sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "n_turns": n_turns,
+                "triples_emitted": hi["triples"],
+                "triples_per_sec": round(thr_hi, 1),
+                "scaling": {
+                    "cores_hi": CPUS,
+                    "cores_lo": LOW_CPUS,
+                    "sec_hi": round(hi["elapsed_sec"], 3),
+                    "sec_lo": round(lo["elapsed_sec"], 3),
+                    "throughput_hi": round(thr_hi, 1),
+                    "throughput_lo": round(thr_lo, 1),
+                    "efficiency": round(eff, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

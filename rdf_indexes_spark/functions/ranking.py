@@ -1,0 +1,73 @@
+"""Scalable deterministic dense-id assignment (SURVEY.md B2).
+
+The reference assigns vocab ids by line number of a globally sorted file
+(/root/reference/scripts/map_dataset.py:16-26). A naive Spark translation
+is ``row_number().over(Window.orderBy(...))`` — a single-partition window
+that serializes the whole table through one task and cannot work at
+10^12-row scale.
+
+Instead: two-phase rank.
+  1. range-repartition by the order keys (Spark's sample-based
+     RangePartitioner = distributed external sort), persist so partition
+     assignment is stable across the two jobs;
+  2. count rows per partition (tiny driver-side collect, one long per
+     partition), exclusive prefix-sum → per-partition id offset;
+  3. per-partition row_number (Window.partitionBy(spark_partition_id) —
+     parallel, no global shuffle) + broadcast-joined offset.
+
+Total cost: one range shuffle + one tiny collect; no single-task stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_ids(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``id_col``: dense 0..n-1 ranks in the total order of order_cols.
+
+    Rows must be unique in the order keys for the ids to be a permutation
+    (vocab terms are). Keys equal under the order land in the same range
+    partition, so ranking is still total and deterministic.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        ranged.withColumn("_rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(id_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+    return out
+
+
+def salted_min_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-level min aggregation: groupBy(key, salt) then groupBy(key).
+
+    Skew-safe groupBy for hub keys (the reference documents the same heavy
+    tail with its range-length census, /root/reference/include/stats.hpp:63-114).
+    Min is algebraic, so partial aggregation already helps; the explicit
+    salt keeps any single reducer from owning a hub key's full row set.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets)))
+    lvl1 = salted.groupBy(*key_cols, "_salt").agg(F.min(value_col).alias(value_col))
+    return lvl1.groupBy(*key_cols).agg(F.min(value_col).alias(value_col))

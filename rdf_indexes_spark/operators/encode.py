@@ -1,0 +1,78 @@
+"""Dictionary encoding: vocab build + broadcast encode (SURVEY.md B1-B4/E1).
+
+Reference semantics reproduced exactly:
+- three INDEPENDENT id spaces for subjects / predicates / objects
+  (/root/reference/scripts/extract_vocabs.py:29-31);
+- ids dense 0..n-1 in DESCENDING frequency order, ties broken by first
+  occurrence in corpus scan order (stable sort + insertion-order dicts,
+  /root/reference/scripts/extract_vocabs.py:64-67,
+  /root/reference/scripts/map_dataset.py:16-26);
+- frequency counted over the raw (duplicate-retaining) stream;
+- encode = dict probe per component ≙ three broadcast hash joins; terms
+  missing from a vocab are dropped-with-log (quarantine DataFrame), the
+  reference prints & skips (/root/reference/scripts/map_dataset.py:61-83).
+
+Corpus scan order for us is the stable (conv_id, turn_idx, mention_idx)
+tuple — the input-ordering invariant makes it reproducible, unlike
+monotonically_increasing_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ranking import dense_ids
+
+_POS = ["conv_id", "turn_idx", "mention_idx"]
+
+
+def build_vocab(canonical_mentions: DataFrame, role_col: str) -> DataFrame:
+    """(term, id, cnt) for one component role. One shuffle (groupBy term),
+    then the two-phase dense rank (no single-partition window)."""
+    freq = (
+        canonical_mentions.select(F.col(role_col).alias("term"), F.struct(*_POS).alias("_pos"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"), F.min("_pos").alias("first_pos"))
+    )
+    ranked = dense_ids(
+        freq,
+        [F.desc("cnt"), F.asc("first_pos")],
+        id_col="id",
+    )
+    return ranked.select("term", "id", "cnt")
+
+
+def build_vocabs(canonical_mentions: DataFrame) -> dict[str, DataFrame]:
+    return {
+        "s": build_vocab(canonical_mentions, "cs"),
+        "p": build_vocab(canonical_mentions, "pred"),
+        "o": build_vocab(canonical_mentions, "co"),
+    }
+
+
+def encode_mentions(
+    canonical_mentions: DataFrame, vocabs: dict[str, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """→ (encoded_unsorted, quarantine).
+
+    encoded_unsorted keeps duplicates and the corpus-position columns
+    (≙ .mapped.unsorted, /root/reference/scripts/map_dataset.py:43,67).
+    quarantine holds mentions whose term missed a vocab (impossible when
+    vocabs were built from the same stream; real when encoding a delta
+    batch against frozen vocabs — reference drops & logs them).
+    """
+    vs = F.broadcast(vocabs["s"].select(F.col("term").alias("cs"), F.col("id").alias("s")))
+    vp = F.broadcast(vocabs["p"].select(F.col("term").alias("pred"), F.col("id").alias("p")))
+    vo = F.broadcast(vocabs["o"].select(F.col("term").alias("co"), F.col("id").alias("o")))
+    joined = (
+        canonical_mentions.join(vs, "cs", "left").join(vp, "pred", "left").join(vo, "co", "left")
+    )
+    ok = joined.filter(F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull())
+    quarantine = joined.filter(
+        F.col("s").isNull() | F.col("p").isNull() | F.col("o").isNull()
+    ).select(*_POS, "cs", "pred", "co")
+    encoded = ok.select(
+        *_POS, F.col("s").cast("long"), F.col("p").cast("long"), F.col("o").cast("long")
+    )
+    return encoded, quarantine

@@ -1,0 +1,79 @@
+"""Entity-link candidate generation + vectorized scoring (north-rule step 2).
+
+No reference counterpart — rdf_indexes' identity notion is exact string
+equality in its vocab dicts (/root/reference/scripts/map_dataset.py:16-26);
+the north rule adds true coreference. Two candidate channels:
+
+1. normkey blocking: surfaces sharing a normalization key (lowercase,
+   alnum-only) — a broadcast-free groupBy, edge to the group's min surface
+   (star pattern keeps edge count linear in surfaces, not quadratic).
+2. explicit sameAs statements from the extractor.
+
+Each candidate is scored with an Arrow-vectorized pandas UDF (character
+trigram Jaccard + channel prior); edges with score >= threshold survive.
+Both channels are constructed to score above the default threshold, so the
+kept-edge set is deterministic and the oracle mirrors it exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lexicon import SAME_AS
+
+SCORE_THRESHOLD = 0.5
+
+
+@F.pandas_udf(T.DoubleType())
+def link_score(a: pd.Series, b: pd.Series, prior: pd.Series) -> pd.Series:
+    """prior + (1-prior) * trigram-Jaccard(a,b); pure, deterministic."""
+
+    def tri(s: str) -> set:
+        s = f"  {s.lower()} "
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    out = []
+    for x, y, p in zip(a, b, prior):
+        ta, tb = tri(x), tri(y)
+        j = len(ta & tb) / len(ta | tb) if (ta | tb) else 0.0
+        out.append(p + (1.0 - p) * j)
+    return pd.Series(out)
+
+
+def normalize_surface_col(col):
+    """Spark twin of lexicon.normalize_surface (JVM-side, codegen'd)."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def all_surfaces(mentions: DataFrame) -> DataFrame:
+    """Distinct surfaces across subj+obj of ALL mentions (incl sameAs)."""
+    return (
+        mentions.select(F.col("subj").alias("surface"))
+        .unionAll(mentions.select(F.col("obj").alias("surface")))
+        .distinct()
+    )
+
+
+def candidate_edges(mentions: DataFrame) -> DataFrame:
+    """(a, b, score) candidate link edges, scored, thresholded."""
+    same = (
+        mentions.filter(F.col("pred") == SAME_AS)
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+        .withColumn("prior", F.lit(0.6))
+    )
+    surf = all_surfaces(mentions).withColumn("normkey", normalize_surface_col(F.col("surface")))
+    # star edges to each block's min surface: one shuffle on normkey
+    reps = surf.groupBy("normkey").agg(F.min("surface").alias("b"))
+    norm_edges = (
+        surf.join(reps, "normkey")
+        .filter(F.col("surface") != F.col("b"))
+        .select(F.col("surface").alias("a"), "b")
+        .withColumn("prior", F.lit(0.9))
+    )
+    cand = same.unionByName(norm_edges)
+    scored = cand.withColumn("score", link_score("a", "b", "prior"))
+    return scored.filter(F.col("score") >= F.lit(SCORE_THRESHOLD)).select("a", "b", "score")

@@ -1,0 +1,175 @@
+"""Permutation materialization + stats (SURVEY.md C1-C3, D1-D3, A3/A6).
+
+The reference materializes five sorted text files via ``sort -n -u``
+(/root/reference/scripts/sort.py:6-10, dedup at sort time) and a 7-count
+stats file (/root/reference/scripts/build_stats.py:9-16). Here each
+permutation is a range-partitioned, within-partition-sorted Parquet table
+— Spark's sample-based RangePartitioner is the distributed external sort;
+Parquet min/max page stats then play the role of the reference's trie
+pointer arrays / Elias-Fano zone maps for pattern-query skipping.
+
+Dedup happens ONCE before the five sorts (one shuffle, reused), exactly
+the `sort -u` placement. SPO is additionally laid out by hashed subject
+(north rule): a ``s_bucket`` partition column; hub subjects (learned from
+the same range-length census the reference ships,
+/root/reference/include/stats.hpp:63-114) are salted across writer tasks
+so one hub cannot serialize a writer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PERM_ORDERS: dict[str, tuple[str, str, str]] = {
+    "spo": ("s", "p", "o"),
+    "pos": ("p", "o", "s"),
+    "osp": ("o", "s", "p"),
+    "ops": ("o", "p", "s"),
+    "pso": ("p", "s", "o"),
+}
+
+STATS_COLS = [
+    "num_triples",
+    "distinct_subjects",
+    "distinct_predicates",
+    "distinct_objects",
+    "distinct_sp_pairs",
+    "distinct_po_pairs",
+    "distinct_os_pairs",
+]
+
+
+def dedup_triples(encoded: DataFrame) -> DataFrame:
+    """`sort -u` semantics: distinct (s,p,o); one shuffle shared by all perms."""
+    return encoded.select("s", "p", "o").dropDuplicates(["s", "p", "o"])
+
+
+def skew_census(triples: DataFrame, key: str = "s") -> DataFrame:
+    """(group_size, frequency) distribution — the reference's
+    collect_ranges_distribution (/root/reference/include/stats.hpp:63-114).
+    Drives the hub threshold for salting."""
+    return (
+        triples.groupBy(key)
+        .agg(F.count("*").alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count("*").alias("frequency"))
+        .orderBy("group_size")
+    )
+
+
+def hub_subjects(triples: DataFrame, min_degree: int | None = None) -> DataFrame:
+    """Subjects whose triple count exceeds a degree threshold (default:
+    mean + 3x stddev of the degree distribution — cheap, robust to zipf)."""
+    deg = triples.groupBy("s").agg(F.count("*").alias("deg"))
+    if min_degree is None:
+        row = deg.agg(F.mean("deg").alias("m"), F.stddev_pop("deg").alias("sd")).first()
+        min_degree = int((row["m"] or 0) + 3 * (row["sd"] or 0)) + 1
+    return deg.filter(F.col("deg") >= min_degree).select("s", "deg")
+
+
+def write_permutations(
+    triples: DataFrame,
+    out_dir: str,
+    num_partitions: int | None = None,
+    spo_buckets: int = 16,
+    hub_salt: int = 8,
+) -> dict[str, str]:
+    """Write the five sorted permutation tables; returns name → path.
+
+    Every table keeps canonical (s, p, o) column names — a permutation is
+    a ROW order (plus, for text export, a column order;
+    /root/reference/include/util_types.hpp:80-110 reorders back to
+    canonical on read, we simply never leave canonical naming).
+    """
+    spark = triples.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    paths: dict[str, str] = {}
+    base = triples.persist()
+    hubs = F.broadcast(hub_subjects(base).select("s").withColumn("_is_hub", F.lit(True)))
+    for name, keys in PERM_ORDERS.items():
+        path = os.path.join(out_dir, name)
+        df = base.repartitionByRange(n, *[F.col(k) for k in keys]).sortWithinPartitions(*keys)
+        if name == "spo":
+            # hashed-subject layout + hub salting (north rule): hubs spread
+            # across `hub_salt` writer tasks, cold subjects stay co-located.
+            salted = (
+                base.join(hubs, "s", "left")
+                .withColumn("s_bucket", F.pmod(F.xxhash64("s"), F.lit(spo_buckets)))
+                .withColumn(
+                    "_salt",
+                    F.when(
+                        F.col("_is_hub").isNotNull(),
+                        F.pmod(F.xxhash64("s", "p", "o"), F.lit(hub_salt)),
+                    ).otherwise(F.lit(0)),
+                )
+                .repartition(n, "s_bucket", "_salt")
+                .sortWithinPartitions("s", "p", "o")
+                .drop("_is_hub", "_salt")
+            )
+            salted.write.mode("overwrite").partitionBy("s_bucket").parquet(path)
+        else:
+            df.write.mode("overwrite").parquet(path)
+        paths[name] = path
+    base.unpersist()
+    return paths
+
+
+TRIPLE_SCHEMA = "s long, p long, o long"
+
+
+def read_permutations(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    # explicit schema: an empty corpus writes zero part files, which would
+    # otherwise fail schema inference (partition columns like s_bucket are
+    # appended by partition discovery and dropped by the select).
+    return {
+        name: spark.read.schema(TRIPLE_SCHEMA).parquet(os.path.join(out_dir, name)).select("s", "p", "o")
+        for name in PERM_ORDERS
+    }
+
+
+def compute_stats(triples: DataFrame) -> DataFrame:
+    """The 7-count stats row (pre-sizes structures in the reference,
+    /root/reference/include/parameters.hpp:13-29). Exact counts — the
+    reference's tests depend on them, so no approx_count_distinct."""
+    return triples.agg(
+        F.count("*").alias("num_triples"),
+        F.countDistinct("s").alias("distinct_subjects"),
+        F.countDistinct("p").alias("distinct_predicates"),
+        F.countDistinct("o").alias("distinct_objects"),
+        F.countDistinct("s", "p").alias("distinct_sp_pairs"),
+        F.countDistinct("p", "o").alias("distinct_po_pairs"),
+        F.countDistinct("o", "s").alias("distinct_os_pairs"),
+    )
+
+
+def export_text(triples: DataFrame, out_dir: str, num_partitions: int | None = None) -> dict[str, str]:
+    """Reference-compatible text export: per permutation, whitespace-
+    separated lines in that permutation's COLUMN order (A3 sink,
+    /root/reference/scripts/map_dataset.py:43,67-68), globally sorted via
+    range partitioning (part files concatenate in order)."""
+    spark = triples.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    paths = {}
+    for name, keys in PERM_ORDERS.items():
+        path = os.path.join(out_dir, f"text_{name}")
+        (
+            triples.repartitionByRange(n, *[F.col(k) for k in keys])
+            .sortWithinPartitions(*keys)
+            .select(F.concat_ws(" ", *[F.col(k).cast("string") for k in keys]).alias("value"))
+            .write.mode("overwrite")
+            .text(path)
+        )
+        paths[name] = path
+    return paths
+
+
+def export_stats_text(stats: DataFrame, path: str) -> None:
+    """7-line integer file, the reference's .stats format
+    (/root/reference/scripts/build_stats.py:54-56)."""
+    row = stats.first()
+    with open(path, "w") as f:
+        for c in STATS_COLS:
+            f.write(f"{row[c]}\n")

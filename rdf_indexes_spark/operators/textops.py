@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All of these are pure JVM-side column expressions (whole-stage codegen) —
+no Python in the hot path. Semantics are deliberately simple + exactly
+reproducible in ANSI SQL so the driver's DuckDB oracle can verify them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "de", "que", "y", "en", "los", "se", "del", "las", "por"],
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens): whitespace tokens; empty text → 0."""
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(_tokens(text_col))
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), n.cast("long").alias("n_tokens"))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, <lang>_hits...): stopword-overlap heuristic.
+
+    Distinct-token overlap with each language's stopword list; argmax wins,
+    ties broken by language code order (deterministic; matches the SQL
+    oracle's GREATEST/CASE formulation).
+    """
+    toks = F.array_distinct(_tokens(text_col))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = sorted(LANG_STOPWORDS)
+    best = F.lit(langs[0])
+    best_n = hits[langs[0]]
+    for lang in langs[1:]:
+        better = hits[lang] > best_n
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_n = F.when(better, hits[lang]).otherwise(best_n)
+    cols = [F.col(id_col).alias("doc_id"), F.when(best_n > 0, best).otherwise(F.lit("und")).alias("lang_pred")]
+    cols += [hits[lang].cast("long").alias(f"{lang}_hits") for lang in langs]
+    return docs.select(*cols)
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_alpha_tokens, mean_token_len_x100,
+    stop_ratio_x1000, quality): integer-valued features (engine-portable —
+    no float drift vs the SQL oracle) + a 0-100 quality score.
+
+    quality = clamp(0,100, 50 + stopword signal + length signal − short-doc
+    penalty); heuristics in the spirit of C4/Gopher text-quality filters.
+    """
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    empty = F.length(F.trim(F.col(text_col))) == 0
+    n_tokens = F.when(empty, F.lit(0)).otherwise(F.size(toks))
+    alpha = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    n_alpha = F.when(empty, F.lit(0)).otherwise(F.size(alpha))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.when(empty, F.lit(0)).otherwise(F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))))
+    # explicit floor everywhere a division happens: Spark's cast(double as
+    # long) truncates but DuckDB's rounds — floor() agrees in both engines
+    # for the non-negative values here.
+    mean_tok_x100 = F.when(n_tokens > 0, F.floor(n_chars * 100 / n_tokens)).otherwise(F.lit(0))
+    stop_ratio_x1000 = F.when(n_tokens > 0, F.floor(n_stop * 1000 / n_tokens)).otherwise(F.lit(0))
+    quality = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(100),
+            F.lit(50)
+            + F.least(F.lit(25), F.floor(stop_ratio_x1000 / 10))
+            + F.least(F.lit(25), F.floor(n_tokens / 20))
+            - F.when(n_tokens < 5, F.lit(40)).otherwise(F.lit(0)),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_alpha.cast("long").alias("n_alpha_tokens"),
+        mean_tok_x100.alias("mean_token_len_x100"),
+        stop_ratio_x1000.alias("stop_ratio_x1000"),
+        quality.cast("long").alias("quality"),
+    )
+
+
+# polynomial rolling-hash fingerprint: base 31, mod 2^31-1 — every
+# intermediate < 2^31·31 + 2^16 ≪ 2^63, ANSI-safe, and expressible in
+# DuckDB as list_reduce over unicode codepoints.
+_FP_MOD = (1 << 31) - 1
+_FP_BASE = 31
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint): rolling hash over the text's codepoints.
+
+    JVM-side: aggregate over split(text, '') with ascii(); identical
+    arithmetic runs in the DuckDB oracle via list_reduce.
+    """
+    chars = F.split(F.col(text_col), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(_FP_BASE) + F.ascii(ch), F.lit(_FP_MOD)),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))

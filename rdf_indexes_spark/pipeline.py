@@ -1,0 +1,150 @@
+"""End-to-end KG construction pipeline (the reference's process.sh + build,
+/root/reference/scripts/process.sh:7-10, re-expressed as one Spark lineage
+with explicit stage checkpoints).
+
+  transcripts ──extract──▶ mentions
+      mentions ──link──▶ edges ──CC──▶ components ──▶ canonical map
+      mentions ⋈ map ──▶ canonical_mentions
+      canonical_mentions ──vocab×3──▶ (term,id) dicts
+      canonical_mentions ⋈ dicts ──▶ encoded_unsorted (dups kept)
+      encoded_unsorted ──distinct──▶ triples ──▶ 5 sorted permutations + stats
+
+Every stage lands in the StageStore (Parquet + manifest) for resumability;
+the whole run returns an Artifacts handle with lazily-readable tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .checkpoint import StageStore, _fingerprint
+from .lexicon import SAME_AS
+from .operators import encode as enc
+from .operators import permutations as perm
+from .operators.canonicalize import canonical_map, canonicalize_mentions, connected_components
+from .operators.extract import extract_mentions
+from .operators.link import all_surfaces, candidate_edges
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Artifacts:
+    workdir: str
+    mentions: DataFrame
+    canonical_mentions: DataFrame
+    vocab_s: DataFrame
+    vocab_p: DataFrame
+    vocab_o: DataFrame
+    triples_unsorted: DataFrame
+    triples: DataFrame
+    permutations: dict[str, DataFrame]
+    stats: DataFrame
+    counters: dict[str, dict]
+
+
+def run_pipeline_fast(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    num_partitions: int | None = None,
+) -> dict[str, int]:
+    """Single-lineage pipeline for benchmarking: same operators, no
+    per-stage Parquet checkpoints (persist() at reuse points instead).
+    Returns row counters. Production resumable path is run_pipeline."""
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    mentions = extract_mentions(transcripts).persist()
+    facts = mentions.filter(F.col("pred") != SAME_AS)
+    edges = candidate_edges(mentions)
+    comps = connected_components(all_surfaces(mentions), edges.select("a", "b"))
+    cmap = canonical_map(facts, comps)
+    canon = canonicalize_mentions(facts, cmap).persist()
+    vocabs = {
+        "s": enc.build_vocab(canon, "cs"),
+        "p": enc.build_vocab(canon, "pred"),
+        "o": enc.build_vocab(canon, "co"),
+    }
+    encoded, _ = enc.encode_mentions(canon, vocabs)
+    triples = perm.dedup_triples(encoded).persist()
+    perm.write_permutations(triples, out_dir, num_partitions=n)
+    stats = perm.compute_stats(triples).first()
+    counters = {
+        "mentions": mentions.count(),
+        "canonical_mentions": canon.count(),
+        "triples": stats["num_triples"],
+        "distinct_subjects": stats["distinct_subjects"],
+    }
+    mentions.unpersist()
+    canon.unpersist()
+    triples.unpersist()
+    return counters
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    workdir: str,
+    num_partitions: int | None = None,
+    input_id: str = "",
+) -> Artifacts:
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    store = StageStore(spark, workdir, config_fingerprint=_fingerprint("v1", str(n)))
+    in_fp = _fingerprint("input", input_id)
+
+    mentions, fp_m = store.run("mentions", [in_fp], lambda: extract_mentions(transcripts))
+
+    facts = mentions.filter(F.col("pred") != SAME_AS)
+
+    def _build_cmap() -> DataFrame:
+        edges = candidate_edges(mentions)
+        comps = connected_components(all_surfaces(mentions), edges.select("a", "b"))
+        return canonical_map(facts, comps)
+
+    cmap, fp_c = store.run("canonical_map", [fp_m], _build_cmap)
+
+    canon, fp_cm = store.run(
+        "canonical_mentions", [fp_c], lambda: canonicalize_mentions(facts, cmap)
+    )
+
+    vs, fp_vs = store.run("vocab_s", [fp_cm], lambda: enc.build_vocab(canon, "cs"))
+    vp, fp_vp = store.run("vocab_p", [fp_cm], lambda: enc.build_vocab(canon, "pred"))
+    vo, fp_vo = store.run("vocab_o", [fp_cm], lambda: enc.build_vocab(canon, "co"))
+    vocabs = {"s": vs, "p": vp, "o": vo}
+
+    unsorted, fp_u = store.run(
+        "triples_unsorted",
+        [fp_cm, fp_vs, fp_vp, fp_vo],
+        lambda: enc.encode_mentions(canon, vocabs)[0],
+    )
+
+    triples, fp_t = store.run("triples", [fp_u], lambda: perm.dedup_triples(unsorted))
+
+    # permutations + stats keyed off the triples fingerprint
+    perm_dir = os.path.join(workdir, "perms")
+    perm_manifest = os.path.join(perm_dir, "_manifest.json")
+    fp_p = _fingerprint("perms", fp_t)
+    if not (os.path.exists(perm_manifest) and json.load(open(perm_manifest)).get("fingerprint") == fp_p):
+        perm.write_permutations(triples, perm_dir, num_partitions=n)
+        stats_df = perm.compute_stats(triples)
+        stats_df.write.mode("overwrite").parquet(os.path.join(perm_dir, "stats"))
+        with open(perm_manifest, "w") as f:
+            json.dump({"fingerprint": fp_p, "stage": "perms"}, f)
+    tables = perm.read_permutations(spark, perm_dir)
+    stats = spark.read.parquet(os.path.join(perm_dir, "stats"))
+
+    return Artifacts(
+        workdir=workdir,
+        mentions=mentions,
+        canonical_mentions=canon,
+        vocab_s=vs,
+        vocab_p=vp,
+        vocab_o=vo,
+        triples_unsorted=unsorted,
+        triples=triples,
+        permutations=tables,
+        stats=stats,
+        counters=store.counters,
+    )

