@@ -87,12 +87,18 @@ def lsh_topk(
     dim: int | None = None,
     planes: int = 8,
     tables: int = 4,
+    multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: union of per-table bucket matches, exact cosine
     re-rank. Each LSH table is one equi-join on (table, bucket) — shuffle
-    keys are small ints; bucket skew is bounded by 2^planes spread."""
+    keys are small ints; bucket skew is bounded by 2^planes spread.
+
+    multiprobe=1 additionally probes, on the (small, broadcast) query side
+    only, every bucket at Hamming distance 1 from the query's bucket —
+    (planes+1)× more probe rows but the same single scan of the corpus,
+    so recall rises steeply at negligible cost at scale."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(
@@ -106,6 +112,16 @@ def lsh_topk(
         hp = _hyperplanes(dim, planes, t)
         ct = c.withColumn("bucket", lsh_bucket_col(F.col("cv"), hp))
         qt = q.withColumn("bucket", lsh_bucket_col(F.col("qv"), hp))
+        if multiprobe >= 1:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(planes)],
+            )
+            qt = (
+                qt.withColumn("bucket_probe", F.explode(probes))
+                .drop("bucket")
+                .withColumnRenamed("bucket_probe", "bucket")
+            )
         pairs = ct.join(F.broadcast(qt), "bucket").select("query_id", "neighbor_id", "qv", "cv")
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.dropDuplicates(["query_id", "neighbor_id"]).filter(
