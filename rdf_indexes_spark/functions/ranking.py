@@ -24,6 +24,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _literal_df(spark, rows: list[tuple], schema: list[tuple[str, str]]) -> DataFrame:
+    """Tiny driver-side table as PURE JVM literals (explode of struct
+    array over range(1)). spark.createDataFrame(list) builds a
+    ParallelCollectionRDD + PythonRDD whose evaluation spins up Python
+    workers INSIDE the consuming job (measured: ~7s of dead wait per task
+    in broadcast subqueries at local[32]); literals stay in the JVM."""
+    if not rows:  # typed empty relation (empty-corpus path)
+        return spark.range(0).select(
+            *[F.lit(None).cast(t).alias(n) for n, t in schema]
+        )
+    structs = [
+        F.struct(*[F.lit(v).cast(t).alias(n) for v, (n, t) in zip(row, schema)])
+        for row in rows
+    ]
+    return spark.range(1).select(F.explode(F.array(*structs)).alias("_r")).select("_r.*")
+
+
 def dense_ids(
     df: DataFrame,
     order_cols: list[Column | str],
@@ -44,7 +61,7 @@ def dense_ids(
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    off_df = _literal_df(df.sparkSession, offsets, [("_pid", "int"), ("_off", "long")])
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     out = (
         ranged.withColumn("_rn", F.row_number().over(w) - 1)
@@ -53,6 +70,48 @@ def dense_ids(
         .drop("_pid", "_rn", "_off")
     )
     return out
+
+
+def dense_ids_grouped(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column | str],
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """dense_ids, independently per value of ``group_col``, in ONE pass:
+    range-partition by (group, order...), per-(group, partition) counts →
+    driver prefix-sum per group → partition-local row_number + offset.
+
+    Used to rank the three vocab roles (s/p/o) with a single shuffle +
+    a single tiny collect instead of three separate rank pipelines."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(group_col), *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    rows = (
+        ranged.groupBy(group_col, "_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r[group_col], []).append((r["_pid"], r["cnt"]))
+    offsets = []
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            offsets.append((g, pid, acc))
+            acc += cnt
+    off_df = _literal_df(
+        df.sparkSession, offsets, [(group_col, "string"), ("_pid", "int"), ("_off", "long")]
+    )
+    w = Window.partitionBy(group_col, "_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), [group_col, "_pid"])
+        .withColumn(id_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
 
 
 def salted_min_agg(

@@ -22,16 +22,60 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def edge_endpoints(edges: DataFrame) -> DataFrame:
+    """Distinct surfaces incident to at least one link edge. CC only ever
+    needs these: every other surface is trivially its own component (and
+    canonicalize_mentions' left-join+coalesce maps it to itself for free).
+    At scale the link graph is orders of magnitude smaller than the
+    surface vocabulary, so restricting CC to endpoints shrinks the
+    iterated state from |vocab| to |linked surfaces|."""
+    return (
+        edges.select(F.col("a").alias("surface"))
+        .unionAll(edges.select(F.col("b").alias("surface")))
+        .distinct()
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25, fixed_rounds: int | None = None
+) -> DataFrame:
     """nodes(surface) + edges(a,b) → (surface, component) with component =
-    lexicographic-min surface reachable from each node."""
+    lexicographic-min surface reachable from each node.
+
+    fixed_rounds=k builds k propagation rounds as ONE lazy plan — no
+    per-round checkpoint or convergence-count job. Correct whenever k >=
+    component diameter; right for the link graphs this pipeline builds
+    (normkey blocks are stars + sameAs chains: diameter <= ~4). The
+    default (None) is the general fixpoint loop with per-round lineage
+    checkpoints — the 10^12-edge-safe path."""
     salt_k = 16
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .persist()
     )
+    if fixed_rounds is not None:
+        # self-loop trick: with (v, v) edges added, one round is
+        #   labels' = min over neighbors' components (incl. self)
+        # = ONE join + ONE groupBy per round, labels referenced ONCE —
+        # the logical plan grows linearly in rounds (a naive
+        # union(labels, neighbor-mins) references labels twice and
+        # doubles the plan every round: 2^k analysis blowup).
+        sym_id = (
+            sym.unionByName(
+                nodes.select(F.col("surface").alias("src"), F.col("surface").alias("dst"))
+            ).persist()  # reused every round inside the one consuming job
+        )
+        labels = nodes.select(F.col("surface"), F.col("surface").alias("component"))
+        for _ in range(fixed_rounds):
+            labels = (
+                sym_id.join(labels, sym_id.dst == labels.surface)
+                .groupBy("src")
+                .agg(F.min("component").alias("component"))
+                .select(F.col("src").alias("surface"), "component")
+            )
+        return labels
+    sym = sym.persist()
     labels = nodes.select(F.col("surface"), F.col("surface").alias("component")).localCheckpoint()
     for _ in range(max_iter):
         # neighbor labels via one shuffle join; previous label rides along
@@ -97,8 +141,24 @@ def canonicalize_mentions(
     cm = F.broadcast(cmap) if broadcast_map else cmap
     return (
         mentions_facts.join(
-            cm.select(F.col("surface").alias("subj"), F.col("canonical").alias("cs")), "subj"
+            cm.select(F.col("surface").alias("subj"), F.col("canonical").alias("_cs")),
+            "subj",
+            "left",
         )
-        .join(cm.select(F.col("surface").alias("obj"), F.col("canonical").alias("co")), "obj")
-        .select("conv_id", "turn_idx", "mention_idx", "cs", F.col("pred"), "co")
+        .join(
+            cm.select(F.col("surface").alias("obj"), F.col("canonical").alias("_co")),
+            "obj",
+            "left",
+        )
+        # left + coalesce: surfaces outside the canonical map (no link edge
+        # touches them) are their own canonical form — this is what lets CC
+        # run over edge endpoints only instead of the whole vocabulary.
+        .select(
+            "conv_id",
+            "turn_idx",
+            "mention_idx",
+            F.coalesce(F.col("_cs"), F.col("subj")).alias("cs"),
+            F.col("pred"),
+            F.coalesce(F.col("_co"), F.col("obj")).alias("co"),
+        )
     )

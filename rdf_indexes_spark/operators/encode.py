@@ -27,14 +27,21 @@ from ..functions.ranking import dense_ids
 _POS = ["conv_id", "turn_idx", "mention_idx"]
 
 
-def build_vocab(canonical_mentions: DataFrame, role_col: str) -> DataFrame:
+def build_vocab(canonical_mentions: DataFrame, role_col: str, hash_ids: bool = False) -> DataFrame:
     """(term, id, cnt) for one component role. One shuffle (groupBy term),
-    then the two-phase dense rank (no single-partition window)."""
+    then the two-phase dense rank (no single-partition window).
+
+    hash_ids=True is the reference's `--hash` mode
+    (/root/reference/scripts/extract_vocabs.py:49-52: id = mmh3.hash64 of
+    the term instead of a dense rank) — here xxhash64, entirely map-side:
+    no rank shuffle at all, at the cost of non-dense 64-bit ids."""
     freq = (
         canonical_mentions.select(F.col(role_col).alias("term"), F.struct(*_POS).alias("_pos"))
         .groupBy("term")
         .agg(F.count("*").alias("cnt"), F.min("_pos").alias("first_pos"))
     )
+    if hash_ids:
+        return freq.select("term", F.xxhash64("term").alias("id"), "cnt")
     ranked = dense_ids(
         freq,
         [F.desc("cnt"), F.asc("first_pos")],
@@ -48,6 +55,38 @@ def build_vocabs(canonical_mentions: DataFrame) -> dict[str, DataFrame]:
         "s": build_vocab(canonical_mentions, "cs"),
         "p": build_vocab(canonical_mentions, "pred"),
         "o": build_vocab(canonical_mentions, "co"),
+    }
+
+
+def build_vocabs_fused(canonical_mentions: DataFrame) -> dict[str, DataFrame]:
+    """All three role vocabularies in ONE job chain: melt (role, term,
+    pos) via an exploded struct array (map-side), one groupBy shuffle for
+    the three frequency tables together, one grouped two-phase rank.
+    Identical ids to build_vocabs (ranks are computed per role), ~3x
+    fewer jobs — the id spaces stay fully independent
+    (/root/reference/scripts/extract_vocabs.py:29-31)."""
+    from ..functions.ranking import dense_ids_grouped
+
+    melted = canonical_mentions.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(role).alias("role"), F.col(c).alias("term"))
+                    for role, c in [("s", "cs"), ("p", "pred"), ("o", "co")]
+                ]
+            )
+        ).alias("rt"),
+        F.struct(*_POS).alias("_pos"),
+    ).select("rt.role", "rt.term", "_pos")
+    freq = melted.groupBy("role", "term").agg(
+        F.count("*").alias("cnt"), F.min("_pos").alias("first_pos")
+    )
+    ranked = dense_ids_grouped(
+        freq, "role", [F.desc("cnt"), F.asc("first_pos")], id_col="id"
+    ).persist()
+    return {
+        role: ranked.filter(F.col("role") == role).select("term", "id", "cnt")
+        for role in ("s", "p", "o")
     }
 
 

@@ -57,8 +57,18 @@ def all_surfaces(mentions: DataFrame) -> DataFrame:
     )
 
 
-def candidate_edges(mentions: DataFrame) -> DataFrame:
-    """(a, b, score) candidate link edges, scored, thresholded."""
+def candidate_edges(mentions: DataFrame, materialize: bool = True) -> DataFrame:
+    """(a, b, score) candidate link edges, scored, thresholded.
+
+    materialize=True (default) eagerly localCheckpoints the two
+    mention-scan reductions (sameAs pairs; distinct surfaces). Both
+    outputs are vocabulary-sized, and cutting there (a) stops the
+    downstream self-join from re-running the full mention scans on both
+    sides, and (b) gives Catalyst real sizes so the reps join broadcasts.
+    Left as one fused lazy plan, the duplicated unmaterialized subtrees
+    contend for execution memory and the stage degrades super-linearly
+    with task concurrency (measured 75s fused vs 9s cut at local[32] on a
+    2M-turn corpus)."""
     same = (
         mentions.filter(F.col("pred") == SAME_AS)
         .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
@@ -66,10 +76,14 @@ def candidate_edges(mentions: DataFrame) -> DataFrame:
         .withColumn("prior", F.lit(0.6))
     )
     surf = all_surfaces(mentions).withColumn("normkey", normalize_surface_col(F.col("surface")))
+    if materialize:
+        same = same.localCheckpoint()
+        surf = surf.localCheckpoint()
     # star edges to each block's min surface: one shuffle on normkey
     reps = surf.groupBy("normkey").agg(F.min("surface").alias("b"))
     norm_edges = (
-        surf.join(reps, "normkey")
+        surf.join(reps, "normkey")  # both sides vocab-sized post-cut; at
+        # 10^9-surface scale this stays a co-partitioned shuffle join
         .filter(F.col("surface") != F.col("b"))
         .select(F.col("surface").alias("a"), "b")
         .withColumn("prior", F.lit(0.9))

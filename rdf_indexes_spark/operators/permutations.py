@@ -86,12 +86,12 @@ def write_permutations(
     """
     spark = triples.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    paths: dict[str, str] = {}
     base = triples.persist()
     hubs = F.broadcast(hub_subjects(base).select("s").withColumn("_is_hub", F.lit(True)))
-    for name, keys in PERM_ORDERS.items():
+
+    def _write(name: str) -> tuple[str, str]:
+        keys = PERM_ORDERS[name]
         path = os.path.join(out_dir, name)
-        df = base.repartitionByRange(n, *[F.col(k) for k in keys]).sortWithinPartitions(*keys)
         if name == "spo":
             # hashed-subject layout + hub salting (north rule): hubs spread
             # across `hub_salt` writer tasks, cold subjects stay co-located.
@@ -111,8 +111,24 @@ def write_permutations(
             )
             salted.write.mode("overwrite").partitionBy("s_bucket").parquet(path)
         else:
-            df.write.mode("overwrite").parquet(path)
-        paths[name] = path
+            # hash on the LEADING KEY PAIR + sort within partitions. The
+            # query surface is equality-only (9 patterns), so hash layout
+            # loses nothing vs range layout — sorted row groups give tight
+            # min/max stats on the leading keys for scan pruning — and it
+            # drops the RangePartitioner's sampling pass: one fewer full
+            # scan per permutation, which at 100 TB is 5 saved scans per
+            # build. Pair (not single) leading key: the first column alone
+            # can be low-cardinality/hub-heavy (40 predicates for pos/pso),
+            # the pair spreads those groups across reducers.
+            (
+                base.repartition(n, F.col(keys[0]), F.col(keys[1]))
+                .sortWithinPartitions(*keys)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+        return name, path
+
+    paths = dict(_write(name) for name in PERM_ORDERS)
     base.unpersist()
     return paths
 
@@ -164,6 +180,33 @@ def export_text(triples: DataFrame, out_dir: str, num_partitions: int | None = N
         )
         paths[name] = path
     return paths
+
+
+def read_text_permutation(spark: SparkSession, path: str, perm: str = "spo") -> DataFrame:
+    """A4 source: read a reference-format permutation text file ("c1 c2 c3"
+    per line, columns in the PERMUTATION's order) and reorder back to
+    canonical (s, p, o) — the Spark twin of triplets_iterator::read_next
+    (/root/reference/include/util_types.hpp:80-110). Round-trips with
+    export_text, so our output feeds the reference's `build` binaries and
+    vice versa."""
+    keys = PERM_ORDERS[perm]
+    raw = spark.read.csv(path, sep=" ", schema=", ".join(f"{k} long" for k in keys))
+    return raw.select("s", "p", "o")
+
+
+def p_index(triples: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """E4: the predicate→subjects inverted index of index_2to, built there
+    by a two-pass counting sort (/root/reference/include/index_2to.hpp:32-96).
+    Relationally it is the distinct (p, s) projection in (p, s) order —
+    one shuffle; the range partitioning replays the counting sort's
+    bucket-then-scatter layout."""
+    n = num_partitions or triples.sparkSession.sparkContext.defaultParallelism
+    return (
+        triples.select("p", "s")
+        .dropDuplicates(["p", "s"])
+        .repartitionByRange(n, "p", "s")
+        .sortWithinPartitions("p", "s")
+    )
 
 
 def export_stats_text(stats: DataFrame, path: str) -> None:

@@ -66,6 +66,66 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b), a < b, cosine >= threshold.
+
+    With ``candidates`` (a, b) — e.g. from LSH bucketing — the exact
+    cosine verify runs only on the pruned pair set (the 100 TB path).
+    Without, an all-pairs self-join (test scale / oracle parity). Output
+    carries no floats, so the driver's value-hash compare is engine-stable
+    (the threshold test itself is safe: pairs land ~never within double
+    rounding error of the cut)."""
+    v = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = v.select(F.col("_id").alias("a"), F.col("v").alias("va"))
+    b = v.select(F.col("_id").alias("b"), F.col("v").alias("vb"))
+    if candidates is not None:
+        pairs = candidates.select("a", "b").join(a, "a").join(b, "b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    return (
+        pairs.withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("a", "b")
+    )
+
+
+def embedding_near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: LSH-bucketed candidate pairs, exact cosine verify.
+
+    Per table, docs sharing a sign-pattern bucket form candidates via a
+    within-bucket self-join on (bucket) — shuffle keys are small ints.
+    High-cosine pairs collide in >=1 of `tables` tables w.h.p."""
+    dim = len(corpus.select(vec_col).first()[0])
+    v = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cand = None
+    for t in range(tables):
+        hp = _hyperplanes(dim, planes, t)
+        bucketed = v.withColumn("bucket", lsh_bucket_col(F.col("v"), hp))
+        lft = bucketed.select("bucket", F.col("_id").alias("a"))
+        rgt = bucketed.select("bucket", F.col("_id").alias("b"))
+        pairs = lft.join(rgt, "bucket").filter(F.col("a") < F.col("b")).select("a", "b")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    return embedding_near_dup(corpus, threshold, id_col, vec_col, candidates=cand)
+
+
 def _hyperplanes(dim: int, planes: int, table: int, seed: int = 11) -> list[list[float]]:
     rng = np.random.default_rng(seed + 1000 * table)
     return rng.standard_normal((planes, dim)).tolist()

@@ -25,9 +25,14 @@ from .checkpoint import StageStore, _fingerprint
 from .lexicon import SAME_AS
 from .operators import encode as enc
 from .operators import permutations as perm
-from .operators.canonicalize import canonical_map, canonicalize_mentions, connected_components
+from .operators.canonicalize import (
+    canonical_map,
+    canonicalize_mentions,
+    connected_components,
+    edge_endpoints,
+)
 from .operators.extract import extract_mentions
-from .operators.link import all_surfaces, candidate_edges
+from .operators.link import candidate_edges
 from pyspark.sql import functions as F
 
 
@@ -55,25 +60,35 @@ def run_pipeline_fast(
     """Single-lineage pipeline for benchmarking: same operators, no
     per-stage Parquet checkpoints (persist() at reuse points instead).
     Returns row counters. Production resumable path is run_pipeline."""
+    # Eager localCheckpoint (not bare persist) at each reuse point: besides
+    # caching, it CUTS the logical plan to a LogicalRDD node. Without the
+    # cut, every downstream action re-runs Catalyst analysis over the whole
+    # accumulated lineage (UDFs + CC rounds + joins) — measured at ~1-1.5s
+    # of driver time per action, ~half the end-to-end wall at bench scale.
+    # Storage is MEMORY_AND_DISK so it spills, and the production path
+    # (run_pipeline) cuts at the same points via Parquet stage writes.
     n = num_partitions or spark.sparkContext.defaultParallelism
-    mentions = extract_mentions(transcripts).persist()
+    mentions = extract_mentions(transcripts).localCheckpoint()
     facts = mentions.filter(F.col("pred") != SAME_AS)
     edges = candidate_edges(mentions)
-    comps = connected_components(all_surfaces(mentions), edges.select("a", "b"))
-    cmap = canonical_map(facts, comps)
-    canon = canonicalize_mentions(facts, cmap).persist()
-    vocabs = {
-        "s": enc.build_vocab(canon, "cs"),
-        "p": enc.build_vocab(canon, "pred"),
-        "o": enc.build_vocab(canon, "co"),
-    }
+    # CC over edge ENDPOINTS only (linked surfaces); everything else maps
+    # to itself via canonicalize_mentions' left-join+coalesce — the
+    # iterated CC state is |link graph|, not |vocabulary|. fixed_rounds
+    # keeps the whole canonicalization one lazy plan (zero driver
+    # round-trips); the link graph is stars+short chains, diameter <= ~4.
+    comps = connected_components(
+        edge_endpoints(edges), edges.select("a", "b"), fixed_rounds=4
+    )
+    cmap = canonical_map(facts, comps).localCheckpoint()  # vocab-sized
+    canon = canonicalize_mentions(facts, cmap).localCheckpoint()
+    # one fused job chain ranks all three role vocabularies
+    vocabs = enc.build_vocabs_fused(canon)
     encoded, _ = enc.encode_mentions(canon, vocabs)
-    triples = perm.dedup_triples(encoded).persist()
+    triples = perm.dedup_triples(encoded).localCheckpoint()
     perm.write_permutations(triples, out_dir, num_partitions=n)
     stats = perm.compute_stats(triples).first()
     counters = {
-        "mentions": mentions.count(),
-        "canonical_mentions": canon.count(),
+        "mentions": mentions.count(),  # checkpointed: cheap tail read
         "triples": stats["num_triples"],
         "distinct_subjects": stats["distinct_subjects"],
     }
@@ -100,7 +115,7 @@ def run_pipeline(
 
     def _build_cmap() -> DataFrame:
         edges = candidate_edges(mentions)
-        comps = connected_components(all_surfaces(mentions), edges.select("a", "b"))
+        comps = connected_components(edge_endpoints(edges), edges.select("a", "b"))
         return canonical_map(facts, comps)
 
     cmap, fp_c = store.run("canonical_map", [fp_m], _build_cmap)

@@ -34,18 +34,41 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(n, 8)
 
+    # shuffle/spill scratch on tmpfs when available: on this host the
+    # ext4 virtio disk adds ~250ms latency to EVERY shuffle task (fetch
+    # of freshly written shuffle files), which serializes tiny stages at
+    # high core counts. On a real cluster this is the "local NVMe for
+    # spark.local.dir" standard practice.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.local.dir", local_dir or "/tmp")
+        # AQE is OFF by default here: this engine handles skew explicitly
+        # (hub salting, two-level aggs, range partitioning with sampled
+        # bounds), and AQE's per-stage re-planning adds 2-10x latency to
+        # the many-small-stage jobs of the KG pipeline (measured: 403s vs
+        # 38s for the 100k-turn pipeline). On a real cluster with opaque
+        # inputs, enable it per-job via extra_conf
+        # {"spark.sql.adaptive.enabled": "true"} — every operator here is
+        # AQE-compatible.
+        .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "false"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts all executor threads, so heap
+        # must be sized for cores × per-task working set — an undersized
+        # heap starves the unified memory region and every concurrent task
+        # spills (measured 5x task-time inflation at local[32] with 8g).
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

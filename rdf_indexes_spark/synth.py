@@ -150,3 +150,111 @@ def generate(n_turns: int, seed: int = 42) -> Corpus:
 def n_turns_for_sf(sf: float) -> int:
     """FIXTURES.md scale mapping: sf0.001→1e3, sf0.01→1e4, sf0.1→1e5 turns."""
     return max(100, int(round(sf * 1_000_000)))
+
+
+# ---------------------------------------------------------------------------
+# Distributed generation: the bench corpus at SF>=0.1 is millions of turns —
+# a driver-side Python loop would take minutes, so chunks are generated in
+# parallel with mapInPandas. Determinism: chunk content is a pure function
+# of (seed, chunk_id) and the GLOBAL entity pool is shared across chunks
+# (per-entity RNG seeded by (seed, entity_id)), so zipf hubs and sameAs
+# aliases span chunk boundaries exactly like the single-process generator's.
+# ---------------------------------------------------------------------------
+
+
+def _entity_pool(n_entities: int, seed: int):
+    """Per-entity deterministic surfaces + optional alias (global pool)."""
+    surfaces: dict[int, list[str]] = {}
+    alias: dict[int, str] = {}
+    for i in range(n_entities):
+        erng = np.random.default_rng((seed, i))
+        surfaces[i] = _entity_surfaces(i, erng)
+        if erng.random() < 0.3:
+            alias[i] = _entity_alias(i, surfaces[i][0])
+    return surfaces, alias
+
+
+def _generate_chunk(
+    chunk_id: int, turns: int, n_entities: int, seed: int
+) -> pd.DataFrame:
+    """One chunk of transcript turns; conv ids namespaced by chunk."""
+    rng = np.random.default_rng((seed, 7919, chunk_id))
+    surfaces, alias = _entity_pool(n_entities, seed)
+    n_preds = len(PRED_CUES)
+    ent_w = 1.0 / np.power(np.arange(1, n_entities + 1), 1.1)
+    ent_p = ent_w / ent_w.sum()
+    pred_w = 1.0 / np.power(np.arange(1, n_preds + 1), 0.8)
+    pred_p = pred_w / pred_w.sum()
+
+    rows: list[tuple] = []
+    conv_i = 0
+    turns_made = 0
+    while turns_made < turns:
+        conv_id = f"c{chunk_id:05d}x{conv_i:07d}"
+        conv_len = int(min(2 + rng.zipf(1.6), 24))
+        # bounded offset (pandas Timedelta is int64 ns, ~292 years): one
+        # day per chunk (mod 10k) + one minute per conversation
+        conv_off = pd.Timedelta(seconds=(chunk_id % 10_000) * 86_400 + conv_i * 60)
+        for t in range(conv_len):
+            role = ["user", "assistant", "tool"][int(rng.integers(0, 3))]
+            tool = _TOOLS[int(rng.integers(0, len(_TOOLS)))] if role == "tool" else None
+            if role == "tool" and rng.random() < 0.7:
+                text = ""
+            else:
+                sents: list[str] = []
+                if rng.random() < 0.4:
+                    sents.append(_FILLERS[int(rng.integers(0, len(_FILLERS)))])
+                n_facts = int(rng.integers(0, 5))
+                for _ in range(n_facts):
+                    se, oe = rng.choice(n_entities, size=2, p=ent_p)
+                    pk = int(rng.choice(n_preds, p=pred_p))
+                    _, cue = PRED_CUES[pk]
+                    s_pool = surfaces[int(se)] + ([alias[int(se)]] if int(se) in alias else [])
+                    o_pool = surfaces[int(oe)] + ([alias[int(oe)]] if int(oe) in alias else [])
+                    sents.append(
+                        f"{s_pool[int(rng.integers(0, len(s_pool)))]} {cue} "
+                        f"{o_pool[int(rng.integers(0, len(o_pool)))]} ."
+                    )
+                if alias and rng.random() < 0.1:
+                    ei = sorted(alias)[int(rng.integers(0, len(alias)))]
+                    sents.append(f"{surfaces[ei][0]} {SAME_AS_CUE} {alias[ei]} .")
+                text = " ".join(sents)
+            ts = _BASE_TS + conv_off + pd.Timedelta(seconds=7 * t)
+            rows.append((conv_id, t, role, text, tool, ts))
+            turns_made += 1
+            if turns_made >= turns:
+                break
+        conv_i += 1
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return pdf
+
+
+def generate_distributed(
+    spark,
+    n_turns: int,
+    seed: int = 42,
+    chunk_turns: int = 25_000,
+    n_entities: int | None = None,
+):
+    """Transcripts DataFrame generated in parallel (no recorded truth —
+    the bench path; tests use generate() whose truth is exact)."""
+    if n_entities is None:
+        n_entities = max(16, int(3 * math.sqrt(n_turns)))
+    n_chunks = max(1, (n_turns + chunk_turns - 1) // chunk_turns)
+    sizes = [chunk_turns] * n_chunks
+    sizes[-1] = n_turns - chunk_turns * (n_chunks - 1)
+
+    def gen(batches):
+        for pdf in batches:
+            for cid in pdf["id"]:
+                yield _generate_chunk(int(cid), sizes[int(cid)], n_entities, seed)
+
+    return (
+        spark.range(n_chunks)
+        .repartition(n_chunks)
+        .mapInPandas(
+            gen,
+            schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+    )

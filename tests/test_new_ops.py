@@ -1,0 +1,162 @@
+"""Tests for the round-1 widening: embedding near-dup, text-permutation
+source round-trip (A4), querylog sampling/stamping/batched execution (A7),
+hash-id vocab mode (B3), p_index (E4)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_indexes_spark.operators import permutations as perm
+from rdf_indexes_spark.operators import similarity as sim
+from rdf_indexes_spark.operators.encode import build_vocab
+from rdf_indexes_spark.operators.extract import extract_mentions
+from rdf_indexes_spark.plans import querylog as ql
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    return li.select(
+        F.col("l_suppkey").alias("s"),
+        F.col("l_linenumber").cast("long").alias("p"),
+        F.col("l_partkey").alias("o"),
+    ).dropDuplicates(["s", "p", "o"])
+
+
+def _numpy_near_dup(pdf: pd.DataFrame, threshold: float) -> set[tuple[int, int]]:
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = V @ V.T
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = int(ids[i]), int(ids[j])
+            if C[i, j] >= threshold:
+                out.add((min(a, b), max(a, b)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Synthetic clustered vectors: 40 clusters x 10 members, members are
+    a shared center + small noise -> within-cluster cosine ~0.97."""
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((40, 32))
+    rows = []
+    for cid in range(40):
+        for j in range(10):
+            v = centers[cid] + 0.12 * rng.standard_normal(32)
+            rows.append((cid * 10 + j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup_exact(spark, clustered_emb):
+    expected = _numpy_near_dup(clustered_emb.toPandas(), 0.9)
+    got = {(r["a"], r["b"]) for r in sim.embedding_near_dup(clustered_emb, 0.9).collect()}
+    assert got == expected
+    assert len(expected) > 0
+
+
+def test_embedding_near_dup_driver_table(spark, emb):
+    """Driver embeddings are near-orthogonal (max pairwise cosine ~0.48):
+    exact op must agree with numpy at a low threshold too."""
+    expected = _numpy_near_dup(emb.toPandas(), 0.35)
+    got = {(r["a"], r["b"]) for r in sim.embedding_near_dup(emb, 0.35).collect()}
+    assert got == expected
+
+
+def test_embedding_near_dup_lsh_recall(spark, clustered_emb):
+    exact = {(r["a"], r["b"]) for r in sim.embedding_near_dup(clustered_emb, 0.9).collect()}
+    approx = {
+        (r["a"], r["b"])
+        for r in sim.embedding_near_dup_lsh(clustered_emb, 0.9, planes=8, tables=6).collect()
+    }
+    assert approx <= exact  # verify step makes it precision-1
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_text_permutation_roundtrip(spark, triples, workdir):
+    t = triples.limit(200)
+    out = os.path.join(workdir, "text_export")
+    perm.export_text(t, out, num_partitions=2)
+    for name in ("spo", "pos", "ops"):
+        back = perm.read_text_permutation(spark, os.path.join(out, f"text_{name}"), name)
+        assert back.exceptAll(t).count() == 0
+        assert t.exceptAll(back).count() == 0
+
+
+def test_p_index(spark, triples):
+    got = perm.p_index(triples).toPandas().sort_values(["p", "s"]).reset_index(drop=True)
+    exp = (
+        triples.select("p", "s").toPandas().drop_duplicates()
+        .sort_values(["p", "s"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["p", "s"]], exp[["p", "s"]])
+    # sorted-within-partition layout: each output partition ascending
+    parts = perm.p_index(triples).rdd.glom().collect()
+    for part in parts:
+        keys = [(r["p"], r["s"]) for r in part]
+        assert keys == sorted(keys)
+
+
+def test_querylog_stamp():
+    t = (10, 20, 30)
+    assert ql.stamp_wildcards(t, "spo", 0) == ql.Pattern(10, 20, 30)
+    assert ql.stamp_wildcards(t, "spo", 1) == ql.Pattern(10, 20, None)
+    assert ql.stamp_wildcards(t, "spo", 2) == ql.Pattern(10, None, None)
+    assert ql.stamp_wildcards(t, "pos", 1) == ql.Pattern(None, 20, 30)
+    assert ql.stamp_wildcards(t, "pos", 2) == ql.Pattern(None, 20, None)
+    assert ql.stamp_wildcards(t, "osp", 2) == ql.Pattern(None, None, 30)
+    assert ql.stamp_wildcards(t, "spo", 3) == ql.Pattern(None, None, None)
+
+
+def test_querylog_sample_deterministic(spark, triples):
+    a = ql.sample_querylog(triples, n=50, seed=7)
+    b = ql.sample_querylog(triples, n=50, seed=7)
+    assert a == b
+    assert len(a) == 50
+    assert len(set(a)) == 50
+
+
+def test_querylog_batched_matches_router(spark, triples):
+    tables = {name: triples for name in perm.PERM_ORDERS}
+    samples = ql.sample_querylog(triples, n=12, seed=3)
+    pats = [
+        ql.stamp_wildcards(t, p, w)
+        for t, (p, w) in zip(samples, [("spo", 0), ("spo", 1), ("spo", 2), ("pos", 1),
+                                       ("pos", 2), ("osp", 2), ("spo", 1), ("pos", 1),
+                                       ("osp", 2), ("spo", 2), ("pos", 2), ("spo", 0)])
+    ]
+    batched = ql.run_querylog_batched(tables, pats).toPandas()
+    from rdf_indexes_spark.plans.router import select
+
+    for qid, q in enumerate(pats):
+        got = batched[batched.qid == qid][["s", "p", "o"]].sort_values(["s", "p", "o"])
+        exp = select(tables, s=q.s, p=q.p, o=q.o).toPandas().sort_values(["s", "p", "o"])
+        assert got.reset_index(drop=True).equals(exp.reset_index(drop=True)), f"qid={qid}"
+
+
+def test_hash_ids_vocab(spark, transcripts):
+    mentions = extract_mentions(transcripts).filter(F.col("pred") != "sameAs")
+    m = mentions.withColumnRenamed("subj", "cs").withColumnRenamed("obj", "co")
+    v = build_vocab(m, "cs", hash_ids=True).toPandas()
+    assert v["id"].nunique() == len(v)  # injective on this vocab
+    got = dict(zip(v["term"], v["id"]))
+    chk = (
+        spark.createDataFrame([(t,) for t in v["term"]], "term string")
+        .select("term", F.xxhash64("term").alias("id"))
+        .toPandas()
+    )
+    assert dict(zip(chk["term"], chk["id"])) == got
