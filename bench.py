@@ -95,7 +95,7 @@ def _worker(cores: int, corpus_path: str, out_json: str) -> None:
         os.path.join(corpus_path, "transcripts.parquet")
     )
     tr.count()  # warm: file listing + first scan outside the timed window
-    out_dir = tempfile.mkdtemp(prefix=f"bench_perms_{cores}_")
+    out_dir = tempfile.mkdtemp(prefix=f"bench_perms_{cores}_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     t0 = time.monotonic()
     counters = run_pipeline_fast(spark, tr, out_dir, num_partitions=max(cores, 8))
     elapsed = time.monotonic() - t0

@@ -83,7 +83,7 @@ def build_vocabs_fused(canonical_mentions: DataFrame) -> dict[str, DataFrame]:
     )
     ranked = dense_ids_grouped(
         freq, "role", [F.desc("cnt"), F.asc("first_pos")], id_col="id"
-    ).persist()
+    ).localCheckpoint(eager=False)
     return {
         role: ranked.filter(F.col("role") == role).select("term", "id", "cnt")
         for role in ("s", "p", "o")

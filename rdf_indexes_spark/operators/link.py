@@ -77,8 +77,11 @@ def candidate_edges(mentions: DataFrame, materialize: bool = True) -> DataFrame:
     )
     surf = all_surfaces(mentions).withColumn("normkey", normalize_surface_col(F.col("surface")))
     if materialize:
-        same = same.localCheckpoint()
-        surf = surf.localCheckpoint()
+        # lazy checkpoints: cut the plan (stopping subtree replication in
+        # the downstream self-join) WITHOUT a separate materialization job
+        # — the first consuming job computes and caches the partitions.
+        same = same.localCheckpoint(eager=False)
+        surf = surf.localCheckpoint(eager=False)
     # star edges to each block's min surface: one shuffle on normkey
     reps = surf.groupBy("normkey").agg(F.min("surface").alias("b"))
     norm_edges = (

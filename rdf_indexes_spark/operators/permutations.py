@@ -146,6 +146,71 @@ def read_permutations(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]
     }
 
 
+def write_permutations_unified(
+    triples: DataFrame,
+    out_dir: str,
+    num_partitions: int | None = None,
+    hub_salt: int = 8,
+) -> str:
+    """All five sorted permutations in ONE shuffle + ONE write.
+
+    Each triple explodes into 5 rows tagged (perm, c1, c2, c3) with
+    (c1,c2,c3) already column-permuted; one repartition on
+    (perm, c1, c2 [, salt]) + sortWithinPartitions(perm, c1, c2, c3) +
+    partitionBy(perm) parquet write. Same total bytes as five separate
+    sorts, but one stage pair and one commit instead of five — on a
+    cluster this fills every executor in a single balanced wave instead
+    of five half-empty ones, and at bench scale it removes four job
+    round-trips from the serial floor. Hub rows (head of the zipf degree
+    distribution, same census as /root/reference/include/stats.hpp:63-114)
+    get a salt so no reducer owns a hub's full range."""
+    spark = triples.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    hubs = F.broadcast(hub_subjects(triples).select("s").withColumn("_is_hub", F.lit(True)))
+    tagged = triples.join(hubs, "s", "left").select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("perm"),
+                        F.col(keys[0]).alias("c1"),
+                        F.col(keys[1]).alias("c2"),
+                        F.col(keys[2]).alias("c3"),
+                        F.when(
+                            F.col("_is_hub").isNotNull(),
+                            F.pmod(F.xxhash64("s", "p", "o"), F.lit(hub_salt)),
+                        )
+                        .otherwise(F.lit(0))
+                        .alias("_salt"),
+                    )
+                    for name, keys in PERM_ORDERS.items()
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    (
+        tagged.repartition(5 * n, "perm", "c1", "c2", "_salt")
+        .sortWithinPartitions("perm", "c1", "c2", "c3")
+        .drop("_salt")
+        .write.mode("overwrite")
+        .partitionBy("perm")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def read_permutations_unified(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    """Read back the unified layout as canonical (s, p, o) tables."""
+    base = spark.read.schema("c1 long, c2 long, c3 long, perm string").parquet(out_dir)
+    out = {}
+    for name, keys in PERM_ORDERS.items():
+        df = base.filter(F.col("perm") == name)
+        out[name] = df.select(
+            *[F.col(f"c{i+1}").alias(k) for i, k in enumerate(keys)]
+        ).select("s", "p", "o")
+    return out
+
+
 def compute_stats(triples: DataFrame) -> DataFrame:
     """The 7-count stats row (pre-sizes structures in the reference,
     /root/reference/include/parameters.hpp:13-29). Exact counts — the

@@ -60,17 +60,31 @@ def run_pipeline_fast(
     """Single-lineage pipeline for benchmarking: same operators, no
     per-stage Parquet checkpoints (persist() at reuse points instead).
     Returns row counters. Production resumable path is run_pipeline."""
-    # Eager localCheckpoint (not bare persist) at each reuse point: besides
-    # caching, it CUTS the logical plan to a LogicalRDD node. Without the
-    # cut, every downstream action re-runs Catalyst analysis over the whole
-    # accumulated lineage (UDFs + CC rounds + joins) — measured at ~1-1.5s
-    # of driver time per action, ~half the end-to-end wall at bench scale.
-    # Storage is MEMORY_AND_DISK so it spills, and the production path
-    # (run_pipeline) cuts at the same points via Parquet stage writes.
+    # LAZY localCheckpoint (eager=False) at each reuse point: cuts the
+    # logical plan to a checkpoint node — so (a) downstream actions stop
+    # re-running Catalyst analysis over the whole accumulated lineage
+    # (UDFs + CC rounds + joins, ~1-1.5s of driver time per action), and
+    # (b) multiply-referenced subtrees stop replicating work — WITHOUT a
+    # separate materialization job per stage: the first consuming job
+    # computes and caches each cut. The whole pipeline collapses to ~10
+    # jobs, which is what makes the serial floor small enough to scale.
+    # Storage is MEMORY_AND_DISK; the production path (run_pipeline) cuts
+    # at the same points via Parquet stage writes.
+    # Eager-vs-lazy rule: a frame whose references can be evaluated
+    # CONCURRENTLY (union branches of one job, parallel broadcast builds)
+    # must be EAGER — a lazy checkpoint caches only after the first
+    # partition computes, so concurrent branches duplicate the work (the
+    # extractor would run twice inside the surfaces union). Frames
+    # consumed strictly sequentially stay LAZY and piggyback on their
+    # first consumer's job. Net: ~10 jobs for the whole pipeline.
     n = num_partitions or spark.sparkContext.defaultParallelism
-    mentions = extract_mentions(transcripts).localCheckpoint()
+    mentions = extract_mentions(transcripts).localCheckpoint()  # 2-branch fan-out
     facts = mentions.filter(F.col("pred") != SAME_AS)
-    edges = candidate_edges(mentions)
+    # edges is referenced 4x downstream (endpoints x2, symmetrized x2):
+    # without a cut the scoring subtree replicates per reference and the
+    # fused DAG degrades ~4x beyond the sum of its parts. It is
+    # link-graph-sized, so the cut is cheap at any corpus scale.
+    edges = candidate_edges(mentions).localCheckpoint()  # 4-way fan-out
     # CC over edge ENDPOINTS only (linked surfaces); everything else maps
     # to itself via canonicalize_mentions' left-join+coalesce — the
     # iterated CC state is |link graph|, not |vocabulary|. fixed_rounds
@@ -78,14 +92,14 @@ def run_pipeline_fast(
     # round-trips); the link graph is stars+short chains, diameter <= ~4.
     comps = connected_components(
         edge_endpoints(edges), edges.select("a", "b"), fixed_rounds=4
-    )
-    cmap = canonical_map(facts, comps).localCheckpoint()  # vocab-sized
-    canon = canonicalize_mentions(facts, cmap).localCheckpoint()
+    ).localCheckpoint(eager=False)  # single consumer (cmap)
+    cmap = canonical_map(facts, comps).localCheckpoint()  # 2 concurrent bc builds
+    canon = canonicalize_mentions(facts, cmap).localCheckpoint(eager=False)
     # one fused job chain ranks all three role vocabularies
     vocabs = enc.build_vocabs_fused(canon)
     encoded, _ = enc.encode_mentions(canon, vocabs)
-    triples = perm.dedup_triples(encoded).localCheckpoint()
-    perm.write_permutations(triples, out_dir, num_partitions=n)
+    triples = perm.dedup_triples(encoded).localCheckpoint(eager=False)
+    perm.write_permutations_unified(triples, out_dir, num_partitions=n)
     stats = perm.compute_stats(triples).first()
     counters = {
         "mentions": mentions.count(),  # checkpointed: cheap tail read
@@ -142,12 +156,12 @@ def run_pipeline(
     perm_manifest = os.path.join(perm_dir, "_manifest.json")
     fp_p = _fingerprint("perms", fp_t)
     if not (os.path.exists(perm_manifest) and json.load(open(perm_manifest)).get("fingerprint") == fp_p):
-        perm.write_permutations(triples, perm_dir, num_partitions=n)
+        perm.write_permutations_unified(triples, os.path.join(perm_dir, "perms5"), num_partitions=n)
         stats_df = perm.compute_stats(triples)
         stats_df.write.mode("overwrite").parquet(os.path.join(perm_dir, "stats"))
         with open(perm_manifest, "w") as f:
             json.dump({"fingerprint": fp_p, "stage": "perms"}, f)
-    tables = perm.read_permutations(spark, perm_dir)
+    tables = perm.read_permutations_unified(spark, os.path.join(perm_dir, "perms5"))
     stats = spark.read.parquet(os.path.join(perm_dir, "stats"))
 
     return Artifacts(

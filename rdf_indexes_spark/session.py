@@ -17,14 +17,21 @@ def get_spark(
     app_name: str = "rdf_indexes_spark",
     driver_memory: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build a SparkSession.
 
     cores: local[N] thread count (default: $SPARK_GRAFT_CPUS or '*').
     shuffle_partitions: defaults to max(cores, 8) — at cluster scale this
     would be sized to ~2-3x total executor cores / target partition bytes.
+    master: full master string override, e.g. "local-cluster[4,4,8192]"
+    for N separate executor JVMs × cores × MB — the in-sandbox stand-in
+    for a real N-executor cluster (separate heaps/GC/python-worker pools,
+    real serialized shuffle), used by the scaling bench.
     """
-    if cores is None:
+    if master is not None:
+        n = cores or (os.cpu_count() or 8)
+    elif cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
         n = int(env) if env else (os.cpu_count() or 8)
@@ -63,6 +70,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # committer v2: tasks move their output into place at task commit
+        # instead of a serial driver-side rename loop at job commit — the
+        # standard choice for many-file writes on slow/remote storage.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         # local mode: the driver JVM hosts all executor threads, so heap
         # must be sized for cores × per-task working set — an undersized
