@@ -284,6 +284,82 @@ def _q_kg_triples(spark, sf_dir):
     return art.triples
 
 
+def _q_e4_p_index(spark, sf_dir):
+    from rdf_indexes_spark.operators.permutations import p_index
+
+    return p_index(_derived_triples(spark, sf_dir)).select("p", "s")
+
+
+def _q_d4_count_pattern(spark, sf_dir):
+    t = _derived_triples(spark, sf_dir)
+    s0, _, _ = _pattern_consts(spark, sf_dir)
+    return t.filter(F.col("s") == s0).agg(F.count("*").alias("n_results"))
+
+
+def _q_c3_except(spark, sf_dir):
+    t = _derived_triples(spark, sf_dir)
+    s0, _, _ = _pattern_consts(spark, sf_dir)
+    return t.exceptAll(t.filter(F.col("s") == s0))
+
+
+def _q_a4_text_roundtrip(spark, sf_dir):
+    from rdf_indexes_spark.operators.permutations import export_text, read_text_permutation
+
+    t = _derived_triples(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="a4_")
+    export_text(t, out, num_partitions=4)
+    return read_text_permutation(spark, os.path.join(out, "text_pos"), "pos")
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from rdf_indexes_spark.operators.similarity import embedding_near_dup
+
+    return embedding_near_dup(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")), threshold=0.35
+    )
+
+
+def _q_a7_querylog(spark, sf_dir):
+    """Rows-only: batched querylog execution (sampling order is engine-
+    specific xxhash64, so no portable SQL oracle; exactness is asserted
+    against the router in tests/test_new_ops.py)."""
+    from rdf_indexes_spark.plans import querylog as ql
+
+    t = _derived_triples(spark, sf_dir)
+    tables = {name: t for name in ("spo", "pos", "osp", "ops", "pso")}
+    samples = ql.sample_querylog(t, n=20, seed=7)
+    pats = [
+        ql.stamp_wildcards(tr, perm, w)
+        for tr, (perm, w) in zip(
+            samples,
+            [("spo", 0), ("spo", 1), ("spo", 2), ("pos", 1), ("pos", 2)] * 4,
+        )
+    ]
+    return ql.run_querylog_batched(tables, pats)
+
+
+def _q_b3_hash_ids(spark, sf_dir):
+    """Rows-only: xxhash64 id mode (reference --hash, mmh3 there — hash
+    family is engine-specific so no SQL oracle)."""
+    from rdf_indexes_spark.operators.encode import build_vocab
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("cs"),
+        F.lit("e").alias("pred"),
+        F.lit("x").alias("co"),
+        F.col("event_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("mention_idx"),
+    )
+    return build_vocab(ev, "cs", hash_ids=True).select("term", "id")
+
+
+def _q_simhash_near(spark, sf_dir):
+    from rdf_indexes_spark.operators.dedup import simhash, simhash_near_pairs
+
+    return simhash_near_pairs(simhash(_read(spark, sf_dir, "documents")), max_hamming=3)
+
+
 def _q_multimodal(spark, sf_dir):
     from rdf_indexes_spark.operators.multimodal import extract_features, synth_media
 
@@ -316,6 +392,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_mentions": _q_kg_mentions,
         "kg_triples": _q_kg_triples,
         "multimodal_features": _q_multimodal,
+        "e4_p_index": _q_e4_p_index,
+        "d4_count_pattern": _q_d4_count_pattern,
+        "c3_triple_diff": _q_c3_except,
+        "a4_text_roundtrip": _q_a4_text_roundtrip,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
+        "a7_querylog_batched": _q_a7_querylog,
+        "b3_hash_ids": _q_b3_hash_ids,
+        "dedup_simhash_near": _q_simhash_near,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -453,6 +537,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 5"
         ),
     }
+    sql["e4_p_index"] = _with_triples("SELECT DISTINCT p, s FROM t")
+    sql["d4_count_pattern"] = _with_triples(
+        "SELECT count(*) AS n_results FROM t WHERE s = (SELECT s0 FROM consts)"
+    )
+    sql["c3_triple_diff"] = _with_triples(
+        "SELECT s, p, o FROM t EXCEPT ALL SELECT s, p, o FROM t WHERE s = (SELECT s0 FROM consts)"
+    )
+    sql["a4_text_roundtrip"] = _TRIPLES_SQL
+    sql["dedup_embedding_cosine"] = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
+        "SELECT a.vec_id AS a, b.vec_id AS b FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        "WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35"
+    )
     for name, mask in [
         ("f1_member", (True, True, True)),
         ("f2_pattern_sp", (True, True, False)),
