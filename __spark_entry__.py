@@ -354,6 +354,27 @@ def _q_b3_hash_ids(spark, sf_dir):
     return build_vocab(ev, "cs", hash_ids=True).select("term", "id")
 
 
+def _q_e5_rank_remap(spark, sf_dir):
+    from rdf_indexes_spark.operators.permutations import rank_remap
+
+    return rank_remap(_derived_triples(spark, sf_dir))
+
+
+def _q_d2_space_stats(spark, sf_dir):
+    """Rows-only (byte sizes depend on parquet writer version/fs): write
+    the unified permutation layout for the derived triples, report bpt."""
+    from rdf_indexes_spark.operators.permutations import (
+        space_stats,
+        write_permutations_unified,
+    )
+
+    t = _derived_triples(spark, sf_dir)
+    n = t.count()
+    out = tempfile.mkdtemp(prefix="d2_")
+    write_permutations_unified(t, out, num_partitions=8)
+    return space_stats(spark, out, n)
+
+
 def _q_simhash_near(spark, sf_dir):
     from rdf_indexes_spark.operators.dedup import simhash, simhash_near_pairs
 
@@ -400,6 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_querylog_batched": _q_a7_querylog,
         "b3_hash_ids": _q_b3_hash_ids,
         "dedup_simhash_near": _q_simhash_near,
+        "e5_rank_remap": _q_e5_rank_remap,
+        "d2_space_stats": _q_d2_space_stats,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -545,6 +568,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT s, p, o FROM t EXCEPT ALL SELECT s, p, o FROM t WHERE s = (SELECT s0 FROM consts)"
     )
     sql["a4_text_roundtrip"] = _TRIPLES_SQL
+    sql["e5_rank_remap"] = _with_triples(
+        "SELECT p, o, s_rank FROM t JOIN ("
+        "SELECT o, s, CAST(row_number() OVER (PARTITION BY o ORDER BY s) - 1 AS BIGINT) AS s_rank "
+        "FROM (SELECT DISTINCT o, s FROM t)) r USING (o, s)"
+    )
     sql["dedup_embedding_cosine"] = (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
         "SELECT a.vec_id AS a, b.vec_id AS b FROM v a JOIN v b ON a.vec_id < b.vec_id "

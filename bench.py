@@ -3,19 +3,33 @@
 
 Headline metric (BASELINE.json): triples/sec end-to-end
 (extract→link→canonicalize→materialize) over a deterministic synthetic
-transcript corpus at the SF of $SPARK_GRAFT_SF_DIR, measured at two
-parallelism levels on the same input — local[N] and local[N/4] — with
-scaling efficiency = (thr_N / thr_N4) / 4 (the in-sandbox stand-in for
-the N vs 4N executor-cluster rule; no real cluster here).
+transcript corpus, measured at two CLUSTER sizes on the same input —
+local-cluster[8,4,8192] (8 executor JVMs × 4 cores = 32 cores) vs
+local-cluster[2,4,8192] (2 executors = 8 cores) — the in-sandbox
+stand-in for the N vs 4N executor-cluster rule (separate executor
+heaps, GC, python-worker pools, and serialized shuffle, unlike
+single-JVM local[N]).
 
-Each level runs in its own subprocess (own JVM: no warm-JIT bias). Also
-times the headline driver-table queries from __spark_entry__ at the SF
-dir.
+scaling efficiency = (thr_32 / thr_8) / (32 / 8)
+
+Methodology (mirrors the reference's repeat-and-discard harness,
+/root/reference/src/queries.cpp:10-17): each level runs in its own
+subprocess (fresh JVMs), does a JIT warm-up pass over a small corpus,
+then times the real corpus; levels are interleaved for 2 trials and the
+MIN per level is reported (this host's vCPU capacity varies ~2x with
+co-tenancy — the harness also records a raw CPU-capacity probe so the
+environment is visible in the result).
+
+Corpus: sf × 40M turns (sf0.1 → 4M; override SPARK_GRAFT_BENCH_TURNS),
+generated distributed once and cached under /tmp keyed by (n, seed) —
+sized so one trial fits ~1 min and multiple trials fit the round budget
+(bigger corpora raise measured efficiency further; see BENCH/BASELINE.md
+for the corpus-size → efficiency curve and its extrapolation).
 
 Prints ONE JSON line:
-  {"metric": "pipeline_e2e", "value": <sec at full cores>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>,
-   "triples_per_sec": ..., "scaling": {...}}
+  {"metric": "pipeline_e2e", "value": <sec at 32 cores>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "triples_per_sec": ...,
+   "scaling": {...}, "cpu_probe": {...}}
 """
 
 from __future__ import annotations
@@ -28,8 +42,13 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# scaling pair: N and N/4 cores (4x ratio, mirrors the N vs 4N rule)
-LOW_CPUS = max(2, CPUS // 4)
+EXEC_CORES = 4
+N_EXEC_HI = max(2, CPUS // EXEC_CORES)          # 32 cores -> 8 executors
+N_EXEC_LO = max(1, N_EXEC_HI // 4)              # 4x fewer executors
+SHUFFLE_PARTITIONS = CPUS                        # FIXED across levels: sized
+# by data volume, not cluster size (the scale-correct rule) — and it keeps
+# per-task overhead identical at both levels.
+TRIALS = 2
 
 BENCH_QUERIES = [
     "b1_term_freq",
@@ -39,6 +58,7 @@ BENCH_QUERIES = [
     "d1_stats",
     "d3_skew_census",
     "e1_broadcast_join",
+    "e4_p_index",
     "f1_member",
     "f2_pattern_sp",
     "f5_pattern_p",
@@ -46,6 +66,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "text_token_count",
     "text_language_id",
     "text_quality",
@@ -63,60 +84,109 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _corpus_path(n_turns: int, seed: int = 42) -> str:
-    """Synthesize (once, cached) the transcript corpus parquet."""
+    """Synthesize (once, cached) the transcript corpus parquet, distributed."""
     path = f"/tmp/bench_transcripts_n{n_turns}_s{seed}"
-    marker = os.path.join(path, "_DONE")
-    if os.path.exists(marker):
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    import pandas as pd  # noqa: F401
-
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from rdf_indexes_spark.synth import generate
+    from rdf_indexes_spark.session import get_spark
+    from rdf_indexes_spark.synth import generate_distributed
 
-    corpus = generate(n_turns, seed=seed)
-    os.makedirs(path, exist_ok=True)
-    corpus.transcripts.to_parquet(os.path.join(path, "transcripts.parquet"), index=False)
-    open(marker, "w").write("ok")
+    spark = get_spark(cores=CPUS, shuffle_partitions=CPUS, app_name="bench_gen")
+    generate_distributed(spark, n_turns, seed=seed).write.mode("overwrite").parquet(path)
+    spark.stop()
     return path
 
 
-def _worker(cores: int, corpus_path: str, out_json: str) -> None:
-    """Subprocess body: time the fast pipeline at local[cores]."""
+def _warm_corpus() -> str:
+    path = "/tmp/bench_transcripts_warm5k"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from rdf_indexes_spark.session import get_spark
+        from rdf_indexes_spark.synth import generate_distributed
+
+        spark = get_spark(cores=8, shuffle_partitions=8, app_name="bench_warm_gen")
+        generate_distributed(spark, 5000, seed=9).write.mode("overwrite").parquet(path)
+        spark.stop()
+    return path
+
+
+def _scratch_dir() -> str:
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="bench_perms_", dir=base)
+
+
+def _worker(n_exec: int, corpus_path: str, warm_path: str, out_json: str) -> None:
+    """Subprocess body: warm-up run then timed run at n_exec executors."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import shutil
-    import tempfile
 
     from rdf_indexes_spark.pipeline import run_pipeline_fast
     from rdf_indexes_spark.session import get_spark
     from rdf_indexes_spark.sources.transcripts import TRANSCRIPT_SCHEMA
 
-    spark = get_spark(cores=cores, shuffle_partitions=max(cores, 8), app_name=f"bench{cores}")
-    tr = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
-        os.path.join(corpus_path, "transcripts.parquet")
+    spark = get_spark(
+        cores=n_exec * EXEC_CORES,
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+        master=f"local-cluster[{n_exec},{EXEC_CORES},8192]",
+        app_name=f"bench{n_exec}x{EXEC_CORES}",
     )
-    tr.count()  # warm: file listing + first scan outside the timed window
-    out_dir = tempfile.mkdtemp(prefix=f"bench_perms_{cores}_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    warm = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(warm_path)
+    wdir = _scratch_dir()
+    run_pipeline_fast(spark, warm, wdir, num_partitions=SHUFFLE_PARTITIONS)
+    shutil.rmtree(wdir, ignore_errors=True)
+
+    tr = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(corpus_path)
+    tr.count()  # file listing + first scan outside the timed window
+    out_dir = _scratch_dir()
     t0 = time.monotonic()
-    counters = run_pipeline_fast(spark, tr, out_dir, num_partitions=max(cores, 8))
+    counters = run_pipeline_fast(spark, tr, out_dir, num_partitions=SHUFFLE_PARTITIONS)
     elapsed = time.monotonic() - t0
     with open(out_json, "w") as f:
-        json.dump({"cores": cores, "elapsed_sec": elapsed, **counters}, f)
+        json.dump({"n_exec": n_exec, "elapsed_sec": elapsed, **counters}, f)
     shutil.rmtree(out_dir, ignore_errors=True)
     spark.stop()
 
 
-def _run_level(cores: int, corpus_path: str) -> dict:
-    out = f"/tmp/bench_worker_{cores}.json"
+def _run_level(n_exec: int, corpus_path: str, warm_path: str) -> dict:
+    out = f"/tmp/bench_worker_{n_exec}.json"
     if os.path.exists(out):
         os.remove(out)
     subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cores), corpus_path, out],
+        [sys.executable, os.path.abspath(__file__), "--worker", str(n_exec), corpus_path, warm_path, out],
         check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
         capture_output=True,
     )
     with open(out) as f:
         return json.load(f)
+
+
+def _cpu_probe() -> dict:
+    """Raw capacity probe: this host's vCPUs are co-tenant; record what
+    the hardware could deliver at measurement time."""
+    import multiprocessing as mp
+
+    out = {}
+    for n in (N_EXEC_LO * EXEC_CORES, N_EXEC_HI * EXEC_CORES):
+        with mp.Pool(n) as p:
+            out[str(n)] = sum(p.map(_burn, range(n)))
+    lo, hi = out[str(N_EXEC_LO * EXEC_CORES)], out[str(N_EXEC_HI * EXEC_CORES)]
+    return {
+        "iters_lo": lo,
+        "iters_hi": hi,
+        "raw_scaling_ceiling": round((hi / lo) / (N_EXEC_HI / N_EXEC_LO), 3),
+    }
+
+
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.5:
+        x += 1
+    return x
 
 
 def _time_queries(sf_dir: str) -> dict[str, float]:
@@ -138,17 +208,26 @@ def _time_queries(sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        _worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        _worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
         return
     sf = _sf_of(SF_DIR)
-    n_turns = max(1000, int(round(sf * 1_000_000)))
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "0")) or max(
+        10_000, int(round(sf * 40_000_000))
+    )
+    warm_path = _warm_corpus()
     corpus_path = _corpus_path(n_turns)
 
-    hi = _run_level(CPUS, corpus_path)
-    lo = _run_level(LOW_CPUS, corpus_path)
-    thr_hi = hi["mentions"] / hi["elapsed_sec"]
-    thr_lo = lo["mentions"] / lo["elapsed_sec"]
-    eff = (thr_hi / thr_lo) / (CPUS / LOW_CPUS)
+    probe = _cpu_probe()
+    best: dict[int, dict] = {}
+    for _ in range(TRIALS):
+        for n_exec in (N_EXEC_HI, N_EXEC_LO):
+            r = _run_level(n_exec, corpus_path, warm_path)
+            if n_exec not in best or r["elapsed_sec"] < best[n_exec]["elapsed_sec"]:
+                best[n_exec] = r
+    hi, lo = best[N_EXEC_HI], best[N_EXEC_LO]
+    thr_hi = hi["triples"] / hi["elapsed_sec"]
+    thr_lo = lo["triples"] / lo["elapsed_sec"]
+    eff = (thr_hi / thr_lo) / (N_EXEC_HI / N_EXEC_LO)
 
     queries = _time_queries(SF_DIR)
 
@@ -161,17 +240,24 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf,
                 "n_turns": n_turns,
+                "mentions": hi["mentions"],
                 "triples_emitted": hi["triples"],
                 "triples_per_sec": round(thr_hi, 1),
+                "mentions_per_sec": round(hi["mentions"] / hi["elapsed_sec"], 1),
                 "scaling": {
-                    "cores_hi": CPUS,
-                    "cores_lo": LOW_CPUS,
+                    "mode": f"local-cluster[N,{EXEC_CORES},8192] — separate executor JVMs",
+                    "executors_hi": N_EXEC_HI,
+                    "executors_lo": N_EXEC_LO,
+                    "cores_hi": N_EXEC_HI * EXEC_CORES,
+                    "cores_lo": N_EXEC_LO * EXEC_CORES,
                     "sec_hi": round(hi["elapsed_sec"], 3),
                     "sec_lo": round(lo["elapsed_sec"], 3),
                     "throughput_hi": round(thr_hi, 1),
                     "throughput_lo": round(thr_lo, 1),
                     "efficiency": round(eff, 3),
+                    "trials": TRIALS,
                 },
+                "cpu_probe": probe,
             }
         )
     )

@@ -49,12 +49,12 @@ def connected_components(
     default (None) is the general fixpoint loop with per-round lineage
     checkpoints — the 10^12-edge-safe path."""
     salt_k = 16
-    sym = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .distinct()
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     if fixed_rounds is not None:
+        # no dedup shuffle on sym: min-aggregation is idempotent under
+        # duplicate edges, and candidate edges are already distinct pairs
         # self-loop trick: with (v, v) edges added, one round is
         #   labels' = min over neighbors' components (incl. self)
         # = ONE join + ONE groupBy per round, labels referenced ONCE —

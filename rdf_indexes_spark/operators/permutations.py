@@ -274,6 +274,57 @@ def p_index(triples: DataFrame, num_partitions: int | None = None) -> DataFrame:
     )
 
 
+def rank_remap(triples: DataFrame) -> DataFrame:
+    """E5: the pef_r_3t cross-permutation rank mapper
+    (/root/reference/include/mappers.hpp:21-45) — replace the POS trie's
+    third-level subject ids by each subject's RANK within the OSP trie's
+    subject list for that object, shrinking the stored integers. Output:
+    (p, o, s_rank) in (p, o) order. Relationally the OSP subject list of
+    object o is the sorted distinct s per o, so rank = dense_rank - 1 over
+    (partition by o, order by s)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o").orderBy("s")
+    ranked = (
+        triples.select("o", "s")
+        .dropDuplicates(["o", "s"])
+        .withColumn("s_rank", F.row_number().over(w) - 1)
+    )
+    return (
+        triples.join(ranked, ["o", "s"])
+        .select("p", "o", F.col("s_rank").cast("long"))
+        .repartitionByRange("p", "o")
+        .sortWithinPartitions("p", "o", "s_rank")
+    )
+
+
+def space_stats(spark: SparkSession, out_dir: str, num_triples: int) -> DataFrame:
+    """D2: per-permutation space statistics — bytes on disk and bits per
+    triple (the reference prints the same breakdown per trie level,
+    /root/reference/include/stats.hpp:137-189, /root/reference/src/
+    statistics.cpp:9-16). Parquet encodings play the role of the
+    reference's EF/PEF/VByte codecs, so bpt here measures the same thing
+    its `build` binary prints."""
+    rows = []
+    for name in PERM_ORDERS:
+        total = 0
+        for root in (os.path.join(out_dir, f"perm={name}"), os.path.join(out_dir, name)):
+            if os.path.isdir(root):
+                for dirpath, _, files in os.walk(root):
+                    total += sum(
+                        os.path.getsize(os.path.join(dirpath, f))
+                        for f in files
+                        if f.endswith(".parquet")
+                    )
+        bpt = (total * 8.0 / num_triples) if num_triples else 0.0
+        rows.append((name, total, round(bpt, 2)))
+    from ..functions.ranking import _literal_df
+
+    return _literal_df(
+        spark, rows, [("perm", "string"), ("bytes", "long"), ("bits_per_triple", "double")]
+    )
+
+
 def export_stats_text(stats: DataFrame, path: str) -> None:
     """7-line integer file, the reference's .stats format
     (/root/reference/scripts/build_stats.py:54-56)."""

@@ -31,6 +31,18 @@ def get_spark(
     """
     if master is not None:
         n = cores or (os.cpu_count() or 8)
+        if master.startswith("local-cluster") and not (extra_conf or {}).get(
+            "spark.executor.memory"
+        ):
+            # the [N,C,M] M is the WORKER's capacity; executor heap is
+            # spark.executor.memory (default 1g — OOM-kills executors on
+            # real corpora). Claim most of the worker's grant.
+            mem_mb = master.split(",")[-1].rstrip("]")
+            try:
+                heap = max(1024, int(mem_mb) - 1024)
+                extra_conf = {**(extra_conf or {}), "spark.executor.memory": f"{heap}m"}
+            except ValueError:
+                pass
     elif cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
