@@ -120,7 +120,12 @@ def _scratch_dir() -> str:
 
 def _worker(n_exec: int, corpus_path: str, warm_path: str, out_json: str) -> None:
     """Subprocess body: warm-up run then timed run at n_exec executors."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+    # local-cluster executors launch their OWN python workers — they need
+    # the repo on PYTHONPATH to unpickle the pandas UDFs (in plain local
+    # mode workers inherit the driver process' sys.path side effects).
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     import shutil
 
     from rdf_indexes_spark.pipeline import run_pipeline_fast

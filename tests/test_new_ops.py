@@ -160,3 +160,34 @@ def test_hash_ids_vocab(spark, transcripts):
         .toPandas()
     )
     assert dict(zip(chk["term"], chk["id"])) == got
+
+
+def test_rank_remap(spark, triples):
+    got = perm.rank_remap(triples).toPandas()
+    t = triples.toPandas()
+    ranks = (
+        t[["o", "s"]].drop_duplicates().sort_values(["o", "s"]).assign(
+            s_rank=lambda d: d.groupby("o").cumcount()
+        )
+    )
+    exp = t.merge(ranks, on=["o", "s"])[["p", "o", "s_rank"]]
+    key = lambda d: d.sort_values(["p", "o", "s_rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(got).astype("int64"), key(exp).astype("int64"))
+
+
+def test_unified_write_space_stats_and_pushdown(spark, triples, workdir):
+    out = os.path.join(workdir, "perms5")
+    perm.write_permutations_unified(triples.limit(5000), out, num_partitions=4)
+    tables = perm.read_permutations_unified(spark, out)
+    n = tables["spo"].count()
+    assert n == min(5000, triples.count())
+    stats = perm.space_stats(spark, out, n).toPandas()
+    assert len(stats) == 5 and (stats["bytes"] > 0).all() and (stats["bits_per_triple"] > 0).all()
+    # plan audit: equality filters must be pushed into the FileScan and the
+    # perm partition column must prune
+    from rdf_indexes_spark.plans.router import select
+
+    s0 = tables["spo"].agg(F.min("s")).first()[0]
+    plan = select(tables, s=int(s0))._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "DataFilters" in plan
+    assert "perm" in plan  # partition filter on the routed permutation
