@@ -48,7 +48,7 @@ N_EXEC_LO = max(1, N_EXEC_HI // 4)              # 4x fewer executors
 SHUFFLE_PARTITIONS = CPUS                        # FIXED across levels: sized
 # by data volume, not cluster size (the scale-correct rule) — and it keeps
 # per-task overhead identical at both levels.
-TRIALS = 2
+TRIALS = 3
 
 BENCH_QUERIES = [
     "b1_term_freq",
@@ -137,6 +137,10 @@ def _worker(n_exec: int, corpus_path: str, warm_path: str, out_json: str) -> Non
         shuffle_partitions=SHUFFLE_PARTITIONS,
         master=f"local-cluster[{n_exec},{EXEC_CORES},8192]",
         app_name=f"bench{n_exec}x{EXEC_CORES}",
+        # in cluster mode the driver only plans/collects tiny results — a
+        # big driver heap here just competes with 8 executor JVMs + python
+        # workers + tmpfs shuffle for the host's RAM
+        driver_memory="6g",
     )
     warm = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(warm_path)
     wdir = _scratch_dir()
@@ -224,9 +228,11 @@ def main() -> None:
 
     probe = _cpu_probe()
     best: dict[int, dict] = {}
+    trials: dict[int, list[float]] = {N_EXEC_HI: [], N_EXEC_LO: []}
     for _ in range(TRIALS):
         for n_exec in (N_EXEC_HI, N_EXEC_LO):
             r = _run_level(n_exec, corpus_path, warm_path)
+            trials[n_exec].append(round(r["elapsed_sec"], 3))
             if n_exec not in best or r["elapsed_sec"] < best[n_exec]["elapsed_sec"]:
                 best[n_exec] = r
     hi, lo = best[N_EXEC_HI], best[N_EXEC_LO]
@@ -261,6 +267,8 @@ def main() -> None:
                     "throughput_lo": round(thr_lo, 1),
                     "efficiency": round(eff, 3),
                     "trials": TRIALS,
+                    "trials_sec_hi": trials[N_EXEC_HI],
+                    "trials_sec_lo": trials[N_EXEC_LO],
                 },
                 "cpu_probe": probe,
             }

@@ -33,6 +33,45 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _scored_candidates(
+    corpus: DataFrame, queries: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-partition numpy top-k: the query matrix rides in the UDF
+    closure (queries are small by contract — the ANN API's query set);
+    each Arrow batch of the corpus is one BLAS matmul. Spark's
+    higher-order-fn fold (F.aggregate) is interpreted, ~30x slower.
+    Output is a k*|Q| per-partition candidate set — the global top-k
+    window then touches only |partitions|*k*|Q| rows."""
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    kk = k
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            C = Vn @ Qn.T  # (batch, nq)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                col = C[:, j].copy()
+                col[ids == qids[j]] = -np.inf  # exclude self
+                top = np.argsort(-col, kind="stable")[:kk]
+                top = top[np.isfinite(col[top])]
+                out_q.extend([qids[j]] * len(top))
+                out_n.extend(ids[top])
+                out_c.extend(col[top])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -43,21 +82,10 @@ def brute_force_topk(
     """(query_id, neighbor_id, rank, cosine) exact top-k per query.
 
     Self-matches (same id) are excluded. Ties broken by neighbor id for
-    determinism across engines.
+    determinism across engines. One corpus scan (vectorized matmul per
+    Arrow batch) + a tiny global top-k window over per-partition winners.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
-    )
+    scored = _scored_candidates(corpus, queries, k, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -81,20 +109,43 @@ def embedding_near_dup(
     carries no floats, so the driver's value-hash compare is engine-stable
     (the threshold test itself is safe: pairs land ~never within double
     rounding error of the cut)."""
-    v = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    a = v.select(F.col("_id").alias("a"), F.col("v").alias("va"))
-    b = v.select(F.col("_id").alias("b"), F.col("v").alias("vb"))
     if candidates is not None:
+        v = corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        a = v.select(F.col("_id").alias("a"), F.col("v").alias("va"))
+        b = v.select(F.col("_id").alias("b"), F.col("v").alias("vb"))
         pairs = candidates.select("a", "b").join(a, "a").join(b, "b")
-    else:
-        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    return (
-        pairs.withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= F.lit(float(threshold)))
-        .select("a", "b")
-    )
+        return (
+            pairs.withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= F.lit(float(threshold)))
+            .select("a", "b")
+        )
+    # all-pairs path (test/oracle scale): one corpus scan, each Arrow
+    # batch matmuled against the (collected) corpus matrix — a crossJoin
+    # with interpreted higher-order-fn cosine is ~30x slower. The 100 TB
+    # path is embedding_near_dup_lsh, which feeds `candidates` here.
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    th = float(threshold)
+
+    def pairs_fn(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            C = Vn @ Mn.T  # (batch, N)
+            bi, cj = np.nonzero(C >= th)
+            arow = ids[bi]
+            brow = all_ids[cj]
+            keep = arow < brow  # a < b once, no self pairs
+            yield pd.DataFrame({"a": arow[keep], "b": brow[keep]})
+
+    return corpus.select(id_col, vec_col).mapInPandas(pairs_fn, schema="a long, b long")
 
 
 def embedding_near_dup_lsh(
@@ -111,18 +162,13 @@ def embedding_near_dup_lsh(
     within-bucket self-join on (bucket) — shuffle keys are small ints.
     High-cosine pairs collide in >=1 of `tables` tables w.h.p."""
     dim = len(corpus.select(vec_col).first()[0])
-    v = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    b = _all_buckets_df(corpus, dim, planes, tables, id_col, vec_col, "_id").localCheckpoint(
+        eager=False
     )
-    cand = None
-    for t in range(tables):
-        hp = _hyperplanes(dim, planes, t)
-        bucketed = v.withColumn("bucket", lsh_bucket_col(F.col("v"), hp))
-        lft = bucketed.select("bucket", F.col("_id").alias("a"))
-        rgt = bucketed.select("bucket", F.col("_id").alias("b"))
-        pairs = lft.join(rgt, "bucket").filter(F.col("a") < F.col("b")).select("a", "b")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+    lft = b.select("table", "bucket", F.col("_id").alias("a"))
+    rgt = b.select("table", "bucket", F.col("_id").alias("b"))
+    # within-bucket self-join across ALL tables at once on (table, bucket)
+    cand = lft.join(rgt, ["table", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     return embedding_near_dup(corpus, threshold, id_col, vec_col, candidates=cand)
 
 
@@ -132,12 +178,49 @@ def _hyperplanes(dim: int, planes: int, table: int, seed: int = 11) -> list[list
 
 
 def lsh_bucket_col(vec_col, planes: list[list[float]]):
-    """Sign-pattern bucket id from random hyperplanes (JVM expressions)."""
+    """Sign-pattern bucket id from random hyperplanes (JVM expressions).
+
+    Kept for single-table/plan-visible uses; the hot paths batch ALL
+    tables' projections into one numpy matmul via _all_buckets_df."""
     bucket = F.lit(0)
     for i, h in enumerate(planes):
         proj = _dot(vec_col, F.array(*[F.lit(float(x)) for x in h]))
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def _all_buckets_df(
+    df: DataFrame, dim: int, planes: int, tables: int, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """(out_id, table, bucket): every table's sign-pattern bucket in ONE
+    Arrow pass — projections for all tables are a single (n, T*P) matmul,
+    bit-packed per table. The interpreted higher-order-fn fold costs
+    ~T*P folds per row; this is one BLAS call per batch."""
+    import pandas as pd
+
+    H = np.stack([np.array(_hyperplanes(dim, planes, t)) for t in range(tables)])  # (T,P,D)
+    Hm = H.reshape(tables * planes, dim)
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    def buckets(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = V @ Hm.T  # (n, T*P)
+            bits = (proj >= 0).astype(np.int64).reshape(len(ids), tables, planes)
+            vals = (bits * weights).sum(axis=2)  # (n, T)
+            n = len(ids)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, tables),
+                    "table": np.tile(np.arange(tables, dtype=np.int64), n),
+                    "bucket": vals.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        buckets, schema=f"{out_id} long, table long, bucket long"
+    )
 
 
 def lsh_topk(
@@ -161,33 +244,39 @@ def lsh_topk(
     so recall rises steeply at negligible cost at scale."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    cb = _all_buckets_df(corpus, dim, planes, tables, id_col, vec_col, "neighbor_id")
+    qb = _all_buckets_df(queries, dim, planes, tables, id_col, vec_col, "query_id")
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(planes)],
+        )
+        qb = (
+            qb.withColumn("bucket_probe", F.explode(probes))
+            .drop("bucket")
+            .withColumnRenamed("bucket_probe", "bucket")
+        )
+    # ONE equi-join on (table, bucket) covers all tables; shuffle keys are
+    # small ints, skew bounded by 2^planes spread per table.
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .select("query_id", "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # exact re-rank on the candidate set only: vectors rejoin by id; the
+    # query side broadcasts, the cosine is computed on candidate rows.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    cand = None
-    for t in range(tables):
-        hp = _hyperplanes(dim, planes, t)
-        ct = c.withColumn("bucket", lsh_bucket_col(F.col("cv"), hp))
-        qt = q.withColumn("bucket", lsh_bucket_col(F.col("qv"), hp))
-        if multiprobe >= 1:
-            probes = F.array(
-                F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(planes)],
-            )
-            qt = (
-                qt.withColumn("bucket_probe", F.explode(probes))
-                .drop("bucket")
-                .withColumnRenamed("bucket_probe", "bucket")
-            )
-        pairs = ct.join(F.broadcast(qt), "bucket").select("query_id", "neighbor_id", "qv", "cv")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
     )
-    scored = cand.select("query_id", "neighbor_id", cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
