@@ -15,7 +15,7 @@ scaling efficiency = (thr_32 / thr_8) / (32 / 8)
 Methodology (mirrors the reference's repeat-and-discard harness,
 /root/reference/src/queries.cpp:10-17): each level runs in its own
 subprocess (fresh JVMs), does a JIT warm-up pass over a small corpus,
-then times the real corpus; levels are interleaved for 2 trials and the
+then times the real corpus; levels are interleaved for 3 trials and the
 MIN per level is reported (this host's vCPU capacity varies ~2x with
 co-tenancy — the harness also records a raw CPU-capacity probe so the
 environment is visible in the result).
