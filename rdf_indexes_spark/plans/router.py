@@ -53,6 +53,30 @@ def route(s: int | None, p: int | None, o: int | None) -> Route:
     return Route(perm=perm, order=PERM_ORDERS[perm])
 
 
+def _best_available(tables: dict[str, DataFrame], preferred: str, bound: set[str]) -> str:
+    """Reduced-variant fallback (the reference's 2to/2tp indexes answer
+    every pattern from fewer tries via iterator_so / iterator_po,
+    /root/reference/include/algorithms.hpp:115-278): if the preferred
+    permutation isn't materialized, pick the available table whose sort
+    order matches the longest prefix of bound columns — Catalyst still
+    pushes ALL the equality filters; only scan pruning quality degrades,
+    exactly like the reference's fallback scans."""
+    if preferred in tables:
+        return preferred
+    from ..operators.permutations import PERM_ORDERS
+
+    def prefix_len(name: str) -> int:
+        n = 0
+        for c in PERM_ORDERS[name]:
+            if c in bound:
+                n += 1
+            else:
+                break
+        return n
+
+    return max(tables, key=prefix_len)
+
+
 def select(
     tables: dict[str, DataFrame],
     s: int | None = None,
@@ -60,9 +84,13 @@ def select(
     o: int | None = None,
 ) -> DataFrame:
     """Answer a triple pattern; result carries the routed permutation's
-    sort order (free from table layout; tests re-assert with orderBy)."""
+    sort order (free from table layout; tests re-assert with orderBy).
+
+    `tables` may be a REDUCED variant (e.g. only spo+pos, the reference's
+    2tp): the router then falls back to the best available table."""
     r = route(s, p, o)
-    df = tables[r.perm]
+    bound = {c for c, v in (("s", s), ("p", p), ("o", o)) if v is not None}
+    df = tables[_best_available(tables, r.perm, bound)]
     for col, val in (("s", s), ("p", p), ("o", o)):
         if val is not None:
             df = df.filter(F.col(col) == F.lit(int(val)))

@@ -88,3 +88,30 @@ def test_ordered_result_matches_permutation_order(kg):
         .reset_index(drop=True)[["s", "p", "o"]]
     )
     assert got[["s", "p", "o"]].values.tolist() == want.values.tolist()
+
+
+def test_reduced_variant_fallback(kg):
+    """2to/2tp analogue: every pattern must still be answerable when only
+    a subset of permutations is materialized (reference fallback
+    iterators, /root/reference/include/algorithms.hpp:115-278)."""
+    art, pdf = kg
+    full = art.permutations
+    t = pdf.iloc[0]
+    for subset in (["spo", "pos"], ["spo", "ops"], ["spo"]):
+        tables = {k: full[k] for k in subset}
+        for mask in MASKS:
+            got = select(
+                tables,
+                s=int(t.s) if mask[0] else None,
+                p=int(t.p) if mask[1] else None,
+                o=int(t.o) if mask[2] else None,
+            ).toPandas()
+            exp = pdf
+            for col, b in zip("spo", mask):
+                if b:
+                    exp = exp[exp[col] == t[col]]
+            assert len(got) == len(exp)
+            assert (
+                got.sort_values(["s", "p", "o"]).reset_index(drop=True)[["s", "p", "o"]]
+                .equals(exp.sort_values(["s", "p", "o"]).reset_index(drop=True)[["s", "p", "o"]])
+            )
