@@ -51,14 +51,19 @@ _TRIPLES_SQL = (
 )
 
 
+_CONSTS_CACHE: dict[str, tuple[int, int, int]] = {}
+
+
 def _pattern_consts(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
     """Deterministic probe constants: s0=min s; p0=min p at s0; o0=min o at
-    (s0,p0) — same definition as the oracle's scalar subqueries."""
-    t = _derived_triples(spark, sf_dir)
-    s0 = t.agg(F.min("s")).first()[0]
-    p0 = t.filter(F.col("s") == s0).agg(F.min("p")).first()[0]
-    o0 = t.filter((F.col("s") == s0) & (F.col("p") == p0)).agg(F.min("o")).first()[0]
-    return int(s0), int(p0), int(o0)
+    (s0,p0) — same definition as the oracle's scalar subqueries. The first
+    row of the (s,p,o)-sorted triple set IS exactly (s0,p0,o0), so this is
+    ONE TakeOrderedAndProject job; memoized per sf_dir so the 8 pattern
+    gates don't re-derive (and re-dedup lineitem for) the same constants."""
+    if sf_dir not in _CONSTS_CACHE:
+        r = _derived_triples(spark, sf_dir).orderBy("s", "p", "o").first()
+        _CONSTS_CACHE[sf_dir] = (int(r["s"]), int(r["p"]), int(r["o"]))
+    return _CONSTS_CACHE[sf_dir]
 
 
 _CONST_SQL = """
@@ -86,8 +91,9 @@ def _sf_of(sf_dir: str) -> float:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derived triples → pattern router F5 (?P?) over the
-    materialized permutation semantics at sf0.001."""
-    sf_dir = "/root/testdata/sf0.001"
+    materialized permutation semantics at sf0.001 (overridable via
+    SPARK_GRAFT_ENTRY_SF_DIR so entry() runs outside this sandbox)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
     from rdf_indexes_spark.plans.router import select
 
     t = _derived_triples(spark, sf_dir)
@@ -320,14 +326,17 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 def _q_a7_querylog(spark, sf_dir):
-    """Rows-only: batched querylog execution (sampling order is engine-
-    specific xxhash64, so no portable SQL oracle; exactness is asserted
-    against the router in tests/test_new_ops.py)."""
+    """Batched querylog execution over a PORTABLE sample: the first 20
+    triples in (s,p,o) order, wildcard-stamped in a fixed 5-pattern cycle —
+    fully replayable by the ANSI oracle (row_number OVER (ORDER BY s,p,o) +
+    a qid%5 CASE join). Pseudo-random (xxhash64) sampling stays available
+    for the latency bench; router-equality is additionally asserted in
+    tests/test_new_ops.py."""
     from rdf_indexes_spark.plans import querylog as ql
 
     t = _derived_triples(spark, sf_dir)
     tables = {name: t for name in ("spo", "pos", "osp", "ops", "pso")}
-    samples = ql.sample_querylog(t, n=20, seed=7)
+    samples = ql.sample_querylog(t, n=20, order="sorted")
     pats = [
         ql.stamp_wildcards(tr, perm, w)
         for tr, (perm, w) in zip(
@@ -524,7 +533,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT group_size, count(*) AS frequency FROM g GROUP BY group_size"
         ),
         "e1_broadcast_join": (
-            "SELECT n_name, count(*) AS n_items, sum(CAST(l_quantity AS BIGINT)) AS sum_qty "
+            # outer CAST: DuckDB promotes sum(BIGINT) to HUGEINT, which
+            # pandas receives as float64 (30622.0) while Spark's sum(long)
+            # is int64 (30622) — same value, different hash. Pin BIGINT.
+            "SELECT n_name, count(*) AS n_items, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
             "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
         ),
@@ -568,6 +580,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT s, p, o FROM t EXCEPT ALL SELECT s, p, o FROM t WHERE s = (SELECT s0 FROM consts)"
     )
     sql["a4_text_roundtrip"] = _TRIPLES_SQL
+    # a7: replay the sorted 20-triple sample + the fixed wildcard cycle
+    # (qid%5: 0→SPO member, 1→SP?, 2→S??, 3→?PO, 4→?P? — exactly
+    # stamp_wildcards over perms [(spo,0),(spo,1),(spo,2),(pos,1),(pos,2)]).
+    sql["a7_querylog_batched"] = (
+        f"WITH t AS ({_TRIPLES_SQL}), sample AS ("
+        "  SELECT s, p, o, CAST(row_number() OVER (ORDER BY s, p, o) - 1 AS BIGINT) AS qid"
+        "  FROM t ORDER BY s, p, o LIMIT 20) "
+        "SELECT q.qid, t.s, t.p, t.o FROM sample q JOIN t ON CASE CAST(q.qid % 5 AS INT) "
+        "  WHEN 0 THEN t.s = q.s AND t.p = q.p AND t.o = q.o "
+        "  WHEN 1 THEN t.s = q.s AND t.p = q.p "
+        "  WHEN 2 THEN t.s = q.s "
+        "  WHEN 3 THEN t.p = q.p AND t.o = q.o "
+        "  ELSE t.p = q.p END"
+    )
     sql["e5_rank_remap"] = _with_triples(
         "SELECT p, o, s_rank FROM t JOIN ("
         "SELECT o, s, CAST(row_number() OVER (PARTITION BY o ORDER BY s) - 1 AS BIGINT) AS s_rank "
@@ -590,7 +616,8 @@ def oracle_sql() -> dict[str, str]:
     ]:
         sql[name] = _pattern_sql(mask)
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / kg_* /
-    # multimodal_features: deliberately no SQL oracle (hash-family and
-    # pipeline ops aren't portably SQL-expressible) → rows-only check;
-    # exact oracles live in tests/ (pandas/numpy golden comparisons).
+    # multimodal_features / b3_hash_ids / d2_space_stats: deliberately no
+    # SQL oracle (hash-family, filesystem and pipeline ops aren't portably
+    # SQL-expressible) → rows-only check; exact oracles live in tests/
+    # (pandas/numpy golden comparisons).
     return sql

@@ -32,17 +32,25 @@ class Pattern:
 
 
 def sample_querylog(
-    triples: DataFrame, n: int = 5000, seed: int = 7, source_col_order: tuple[str, str, str] = ("s", "p", "o")
+    triples: DataFrame,
+    n: int = 5000,
+    seed: int = 7,
+    order: str = "hash",
 ) -> list[tuple[int, int, int]]:
-    """n corpus triples in deterministic pseudo-random order (collect is
-    driver-side by design: a querylog is a tiny workload artifact, exactly
-    like the reference's `shuf -n 5000 > queries` file)."""
-    rows = (
-        triples.select("s", "p", "o")
-        .orderBy(F.xxhash64(F.lit(seed), "s", "p", "o"))
-        .limit(n)
-        .collect()
+    """n corpus triples in deterministic order (collect is driver-side by
+    design: a querylog is a tiny workload artifact, exactly like the
+    reference's `shuf -n 5000 > queries` file).
+
+    order="hash": pseudo-random via xxhash64 (≙ shuf with a fixed seed) —
+    the bench workload. order="sorted": first n triples in (s,p,o) order —
+    engine-portable, so an ANSI-SQL oracle (row_number OVER (ORDER BY
+    s,p,o)) can replay the exact same sample."""
+    key = (
+        F.xxhash64(F.lit(seed), "s", "p", "o")
+        if order == "hash"
+        else F.struct("s", "p", "o")
     )
+    rows = triples.select("s", "p", "o").orderBy(key).limit(n).collect()
     return [(r["s"], r["p"], r["o"]) for r in rows]
 
 
@@ -104,12 +112,18 @@ def run_querylog_batched(
         table = tables[_ROUTE[mask]]
         if not bound:  # ??? — full scan once, each such query sees it all
             for qid, _ in items:
-                part = table.select(F.lit(qid).alias("qid"), "s", "p", "o")
+                part = table.select(F.lit(qid).cast("long").alias("qid"), "s", "p", "o")
                 out = part if out is None else out.unionByName(part)
             continue
-        keys = spark.createDataFrame(
+        # pure-JVM literal keys table: createDataFrame(list) would put a
+        # PythonRDD inside the broadcast and spin a python worker per task
+        # (~7s dead wait each, see functions/ranking._literal_df).
+        from ..functions.ranking import _literal_df
+
+        keys = _literal_df(
+            spark,
             [(qid, *[getattr(q, c) for c in bound]) for qid, q in items],
-            ", ".join(["qid int"] + [f"{c} long" for c in bound]),
+            [("qid", "long")] + [(c, "long") for c in bound],
         )
         joined = table.join(F.broadcast(keys), on=bound).select("qid", "s", "p", "o")
         out = joined if out is None else out.unionByName(joined)
