@@ -60,7 +60,10 @@ def _scored_candidates(
             for j in range(len(qids)):
                 col = C[:, j].copy()
                 col[ids == qids[j]] = -np.inf  # exclude self
-                top = np.argsort(-col, kind="stable")[:kk]
+                # same tie-break as the global window (desc cosine, asc
+                # neighbor_id): a positional argsort could drop a smaller-id
+                # neighbor tied at the k boundary within this partition.
+                top = np.lexsort((ids, -col))[:kk]
                 top = top[np.isfinite(col[top])]
                 out_q.extend([qids[j]] * len(top))
                 out_n.extend(ids[top])
@@ -121,31 +124,79 @@ def embedding_near_dup(
             .filter(F.col("cosine") >= F.lit(float(threshold)))
             .select("a", "b")
         )
-    # all-pairs path (test/oracle scale): one corpus scan, each Arrow
-    # batch matmuled against the (collected) corpus matrix — a crossJoin
-    # with interpreted higher-order-fn cosine is ~30x slower. The 100 TB
-    # path is embedding_near_dup_lsh, which feeds `candidates` here.
+    # Exact all-pairs, DISTRIBUTED: block-pair matmul. All-pairs at a low
+    # threshold (continuous cosine mass at the cut — e.g. the gate's 0.35)
+    # is inherently O(N^2) and NOT LSH-prunable with complete recall
+    # (per-hyperplane collision prob at cos 0.35 is only ~0.61), so the
+    # exact semantics cost a quadratic number of COMPARISONS — but they
+    # must not cost a driver materialization. Rows hash into B id-disjoint
+    # blocks; each of the B(B+1)/2 block pairs is one applyInPandas task
+    # doing a single BLAS matmul over two in-memory block matrices.
+    # Shuffle volume is N*B rows, peak task memory two blocks — no
+    # collect() anywhere in the lineage. Real near-dup thresholds (>=0.9)
+    # should use embedding_near_dup_lsh, which prunes then verifies here.
+    return embedding_near_dup_blocked(corpus, threshold, id_col=id_col, vec_col=vec_col)
+
+
+def embedding_near_dup_blocked(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    blocks: int | None = None,
+    block_rows: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine all-pairs (a, b), a < b, cosine >= threshold — the
+    distributed block-matrix form. ``blocks`` defaults to ceil(N /
+    block_rows) (one cheap count job), sizing each block matrix to fit a
+    task comfortably (100k x 1k doubles = 0.8 GB per side at most)."""
     import pandas as pd
 
-    rows = corpus.select(id_col, vec_col).collect()
-    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([r[1] for r in rows], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     th = float(threshold)
+    if blocks is None:
+        n = corpus.count()
+        blocks = max(1, -(-n // block_rows))
+    nb = int(blocks)
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_bid", F.pmod(F.xxhash64(F.col("_id")), F.lit(nb)).cast("int"))
+    # each row joins every partner block once: pair key (pi, pj), pi <= pj
+    pairs = v.select(
+        "_id",
+        "_v",
+        "_bid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("_bid"), F.lit(i)).alias("pi"),
+                        F.greatest(F.col("_bid"), F.lit(i)).alias("pj"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("_pk"),
+    ).select("_pk.pi", "_pk.pj", "_bid", "_id", "_v")
 
-    def pairs_fn(batches):
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            C = Vn @ Mn.T  # (batch, N)
-            bi, cj = np.nonzero(C >= th)
-            arow = ids[bi]
-            brow = all_ids[cj]
-            keep = arow < brow  # a < b once, no self pairs
-            yield pd.DataFrame({"a": arow[keep], "b": brow[keep]})
+    def block_pairs(key, pdf):
+        pi, pj = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        bid = pdf["_bid"].to_numpy()
+        if pi == pj:
+            C = Vn @ Vn.T
+            ii, jj = np.nonzero(np.triu(C >= th, k=1))
+        else:
+            am, bm = bid == pi, bid == pj
+            C = Vn[am] @ Vn[bm].T
+            ai, bj = np.nonzero(C >= th)
+            ii = np.flatnonzero(am)[ai]
+            jj = np.flatnonzero(bm)[bj]
+        a, b = ids[ii], ids[jj]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
 
-    return corpus.select(id_col, vec_col).mapInPandas(pairs_fn, schema="a long, b long")
+    return pairs.groupBy("pi", "pj").applyInPandas(block_pairs, schema="a long, b long")
 
 
 def embedding_near_dup_lsh(

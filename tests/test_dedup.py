@@ -94,3 +94,22 @@ def test_simhash_vs_numpy_oracle(spark, docs, docs_pdf):
     for r in near.itertuples():
         ham = bin((sim_by_id[r.a] ^ sim_by_id[r.b]) & ((1 << 64) - 1)).count("1")
         assert ham <= 3 and ham == r.hamming
+
+
+def test_embedding_blocked_matches_numpy_any_block_count(spark):
+    """The block-pair exact path must be invariant to the block count and
+    equal the O(N^2) numpy oracle (the gate may run it at blocks=1; scale
+    runs use many blocks — same answer required)."""
+    from rdf_indexes_spark.operators.similarity import embedding_near_dup_blocked
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    C = Mn @ Mn.T
+    ii, jj = np.nonzero(np.triu(C >= 0.35, k=1))
+    want = {(min(a, b), max(a, b)) for a, b in zip(ids[ii], ids[jj])}
+    for nb in (1, 4, 7):
+        got = embedding_near_dup_blocked(emb, threshold=0.35, blocks=nb).toPandas()
+        assert set(zip(got.a, got.b)) == want, f"blocks={nb}"
