@@ -89,6 +89,12 @@ def dense_ids_grouped(
     ranged = df.repartitionByRange(n, F.col(group_col), *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # persist: the range shuffle is reused by the counts collect AND the
+    # output join below, and partition assignment must be STABLE across
+    # the two jobs. Intentionally not unpersisted here (the output is
+    # returned lazily); the frame is vocab-sized, callers that loop should
+    # unpersist via df.sparkSession.catalog.clearCache() or use
+    # grouped_rank (which manages its own cut).
     ranged = ranged.persist()
     rows = (
         ranged.groupBy(group_col, "_pid").agg(F.count("*").alias("cnt")).collect()
@@ -102,13 +108,59 @@ def dense_ids_grouped(
         for pid, cnt in sorted(lst):
             offsets.append((g, pid, acc))
             acc += cnt
+    group_type = df.schema[group_col].dataType.simpleString()
     off_df = _literal_df(
-        df.sparkSession, offsets, [(group_col, "string"), ("_pid", "int"), ("_off", "long")]
+        df.sparkSession, offsets, [(group_col, group_type), ("_pid", "int"), ("_off", "long")]
     )
     w = Window.partitionBy(group_col, "_pid").orderBy(*order_cols)
     return (
         ranged.withColumn("_rn", F.row_number().over(w) - 1)
         .join(F.broadcast(off_df), [group_col, "_pid"])
+        .withColumn(id_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column | str],
+    id_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0..k-1 rank of each row WITHIN its group, in order_cols order
+    — with NO driver-side state and NO per-group single task, for use when
+    the group count itself is data-scale (dense_ids_grouped collects one
+    offset row per (group, partition) to the driver — right for 3 vocab
+    roles, wrong for 10^9 distinct objects).
+
+    Plan: range-partition by (group, order...) so each group's rows are
+    contiguous across partitions; rank locally per (group, partition);
+    add each partition's preceding-count offset, computed DISTRIBUTEDLY:
+    the (group, pid, cnt) table (<= one row per group per touched
+    partition — for range partitioning, #groups + #partitions rows total)
+    gets an exclusive running sum over pid per group. That window's
+    partitions are per-GROUP over at most #partitions rows — a hub group
+    contributes rows, not its row COUNT, so no straggler."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, F.col(group_col), *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # stable pids across the two consumers
+    )
+    counts = ranged.groupBy(group_col, "_pid").agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).drop("_cnt")
+    w = Window.partitionBy(group_col, "_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w) - 1)
+        .join(offsets, [group_col, "_pid"])
         .withColumn(id_col, (F.col("_rn") + F.col("_off")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )

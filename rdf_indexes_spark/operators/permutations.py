@@ -280,15 +280,16 @@ def rank_remap(triples: DataFrame) -> DataFrame:
     third-level subject ids by each subject's RANK within the OSP trie's
     subject list for that object, shrinking the stored integers. Output:
     (p, o, s_rank) in (p, o) order. Relationally the OSP subject list of
-    object o is the sorted distinct s per o, so rank = dense_rank - 1 over
-    (partition by o, order by s)."""
-    from pyspark.sql import Window
+    object o is the sorted distinct s per o, so rank = dense rank of s
+    within o — computed via the distributed grouped rank (range partition
+    + partition-local window + distributed offsets): a plain
+    Window.partitionBy("o") would funnel a hub object's entire distinct-
+    subject list through ONE task, the exact straggler the repo's ranking
+    helpers exist to avoid."""
+    from ..functions.ranking import grouped_rank
 
-    w = Window.partitionBy("o").orderBy("s")
-    ranked = (
-        triples.select("o", "s")
-        .dropDuplicates(["o", "s"])
-        .withColumn("s_rank", F.row_number().over(w) - 1)
+    ranked = grouped_rank(
+        triples.select("o", "s").dropDuplicates(["o", "s"]), "o", ["s"], id_col="s_rank"
     )
     return (
         triples.join(ranked, ["o", "s"])

@@ -191,3 +191,42 @@ def test_unified_write_space_stats_and_pushdown(spark, triples, workdir):
     plan = select(tables, s=int(s0))._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "DataFilters" in plan
     assert "perm" in plan  # partition filter on the routed permutation
+
+
+def test_grouped_rank_hub_no_single_task(spark):
+    """A hub group (1 object x 1e5 subjects) must not funnel through one
+    window task: every window in the executed plan partitions by
+    (group, _pid), and the hub's rows demonstrably span >1 range
+    partition. Rank values still equal the global per-group sort order."""
+    from rdf_indexes_spark.functions.ranking import grouped_rank
+
+    n_hub, n_cold = 100_000, 500
+    hub = spark.range(n_hub).select(
+        F.lit(7).alias("o"), (F.col("id") * 3 + 1).alias("s")
+    )
+    cold = spark.range(n_cold).select(
+        (F.col("id") % 50 + 100).alias("o"), F.col("id").alias("s")
+    )
+    df = hub.unionByName(cold)
+    out = grouped_rank(df, "o", ["s"], id_col="s_rank", num_partitions=16)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, f"window not partition-local: {line}"
+
+    # hub rows span multiple range partitions (same partitioner as grouped_rank)
+    pids = (
+        df.repartitionByRange(16, F.col("o"), F.col("s"))
+        .withColumn("_pid", F.spark_partition_id())
+        .filter(F.col("o") == 7)
+        .select("_pid")
+        .distinct()
+        .count()
+    )
+    assert pids > 1
+
+    got = out.filter(F.col("o") == 7).orderBy("s").toPandas()
+    assert got["s_rank"].tolist() == list(range(n_hub))
+    cold_got = out.filter(F.col("o") == 120).orderBy("s").toPandas()
+    assert cold_got["s_rank"].tolist() == list(range(len(cold_got)))
