@@ -36,6 +36,20 @@ def edge_endpoints(edges: DataFrame) -> DataFrame:
     )
 
 
+def _propagate(sym_id: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label round over the self-looped symmetric edge set:
+    labels' = min component over neighbors (incl. self via the loops).
+    ONE join + ONE groupBy; labels referenced ONCE, so a k-round plan
+    grows linearly (a naive union(labels, nbr-mins) references labels
+    twice and doubles the plan every round: 2^k analysis blowup)."""
+    return (
+        sym_id.join(labels, sym_id.dst == labels.surface)
+        .groupBy("src")
+        .agg(F.min("component").alias("component"))
+        .select(F.col("src").alias("surface"), "component")
+    )
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 25, fixed_rounds: int | None = None
 ) -> DataFrame:
@@ -43,11 +57,12 @@ def connected_components(
     lexicographic-min surface reachable from each node.
 
     fixed_rounds=k builds k propagation rounds as ONE lazy plan — no
-    per-round checkpoint or convergence-count job. Correct whenever k >=
-    component diameter; right for the link graphs this pipeline builds
-    (normkey blocks are stars + sameAs chains: diameter <= ~4). The
-    default (None) is the general fixpoint loop with per-round lineage
-    checkpoints — the 10^12-edge-safe path."""
+    per-round checkpoint — then runs ONE verification round and counts
+    changed labels (a single cheap job over link-graph-sized state): if
+    any label still moves, k was below the component diameter and the
+    loop continues to the fixpoint instead of silently under-merging.
+    The default (None) is the general fixpoint loop with per-round
+    lineage checkpoints — the 10^12-edge-safe path."""
     salt_k = 16
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
@@ -55,12 +70,6 @@ def connected_components(
     if fixed_rounds is not None:
         # no dedup shuffle on sym: min-aggregation is idempotent under
         # duplicate edges, and candidate edges are already distinct pairs
-        # self-loop trick: with (v, v) edges added, one round is
-        #   labels' = min over neighbors' components (incl. self)
-        # = ONE join + ONE groupBy per round, labels referenced ONCE —
-        # the logical plan grows linearly in rounds (a naive
-        # union(labels, neighbor-mins) references labels twice and
-        # doubles the plan every round: 2^k analysis blowup).
         sym_id = (
             sym.unionByName(
                 nodes.select(F.col("surface").alias("src"), F.col("surface").alias("dst"))
@@ -68,12 +77,24 @@ def connected_components(
         )
         labels = nodes.select(F.col("surface"), F.col("surface").alias("component"))
         for _ in range(fixed_rounds):
-            labels = (
-                sym_id.join(labels, sym_id.dst == labels.surface)
-                .groupBy("src")
-                .agg(F.min("component").alias("component"))
-                .select(F.col("src").alias("surface"), "component")
+            labels = _propagate(sym_id, labels)
+        # convergence proof: one extra round must change zero labels.
+        # labels is cut so the k-round prefix computes once; the check is
+        # one count over |linked surfaces| rows.
+        labels = labels.localCheckpoint(eager=False)
+        rounds = fixed_rounds
+        while rounds < max_iter:
+            nxt = _propagate(sym_id, labels).localCheckpoint(eager=False)
+            changed = (
+                nxt.join(labels.withColumnRenamed("component", "_old"), "surface")
+                .filter(F.col("component") != F.col("_old"))
+                .limit(1)
+                .count()
             )
+            if changed == 0:
+                return labels
+            labels = nxt  # under-converged: keep propagating to fixpoint
+            rounds += 1
         return labels
     sym = sym.persist()
     labels = nodes.select(F.col("surface"), F.col("surface").alias("component")).localCheckpoint()

@@ -81,9 +81,15 @@ def build_vocabs_fused(canonical_mentions: DataFrame) -> dict[str, DataFrame]:
     freq = melted.groupBy("role", "term").agg(
         F.count("*").alias("cnt"), F.min("_pos").alias("first_pos")
     )
+    # EAGER cut: the three role views feed three CONCURRENT broadcast
+    # builds in encode_mentions — a lazy checkpoint caches only after the
+    # first partition computes, so concurrent consumers would each re-run
+    # the window+offset-join tail (the repo's eager-vs-lazy rule). The
+    # eager job is cheap: dense_ids_grouped already persisted its input
+    # shuffle.
     ranked = dense_ids_grouped(
         freq, "role", [F.desc("cnt"), F.asc("first_pos")], id_col="id"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     return {
         role: ranked.filter(F.col("role") == role).select("term", "id", "cnt")
         for role in ("s", "p", "o")

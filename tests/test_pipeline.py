@@ -131,3 +131,32 @@ def test_resume_skips_completed_stages(spark, transcripts, workdir, artifacts):
     a = _sorted_pdf(artifacts.triples, ["s", "p", "o"], ["s", "p", "o"])
     b = _sorted_pdf(art2.triples, ["s", "p", "o"], ["s", "p", "o"])
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cc_fixed_rounds_converges_on_long_chain(spark):
+    """fixed_rounds below the component diameter must NOT under-merge: the
+    post-rounds convergence check detects moving labels and continues to
+    the fixpoint. Chain a0-a1-...-a12 (diameter 12) with fixed_rounds=4
+    must still collapse to one component labeled a00."""
+    from pyspark.sql import functions as F
+
+    from rdf_indexes_spark.operators.canonicalize import (
+        connected_components,
+        edge_endpoints,
+    )
+
+    n = 13
+    names = [f"a{i:02d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(names[i], names[i + 1]) for i in range(n - 1)], "a string, b string"
+    )
+    comps = connected_components(edge_endpoints(edges), edges, fixed_rounds=4)
+    got = comps.toPandas()
+    assert set(got["component"]) == {"a00"}
+    assert len(got) == n
+
+    # sanity: the converged-in-k case returns identical labels to fixpoint
+    comps_fp = connected_components(edge_endpoints(edges), edges)
+    pd_fp = comps_fp.toPandas().sort_values("surface").reset_index(drop=True)
+    pd_fx = got.sort_values("surface").reset_index(drop=True)
+    assert pd_fp.equals(pd_fx)
