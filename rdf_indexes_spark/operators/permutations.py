@@ -326,6 +326,36 @@ def space_stats(spark: SparkSession, out_dir: str, num_triples: int) -> DataFram
     )
 
 
+def export_vocab_text(vocab: DataFrame, path: str, num_partitions: int | None = None) -> str:
+    """Reference-format vocabulary sink: one term per line, line number ==
+    id (the reference writes terms in descending-frequency order and
+    reassigns id = line number on reload,
+    /root/reference/scripts/extract_vocabs.py:64-67,72-85,
+    /root/reference/scripts/map_dataset.py:16-26). Range-partitioned by id
+    so part files concatenate in id order — same contract as export_text."""
+    n = num_partitions or vocab.sparkSession.sparkContext.defaultParallelism
+    (
+        vocab.repartitionByRange(n, F.col("id"))
+        .sortWithinPartitions("id")
+        .select(F.col("term").cast("string").alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )
+    return path
+
+
+def read_vocab_text(spark: SparkSession, path: str) -> DataFrame:
+    """Reload a reference-format vocab file: id = line number
+    (map_dataset.py:16-26). zipWithIndex is exactly line-number semantics
+    — deterministic, distributed, one extra count job — and is the one
+    legitimate RDD detour in this repo (DataFrames have no stable global
+    line ordinal)."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    return spark.createDataFrame(rdd, "term string, id long").select(
+        "term", F.col("id").cast("long")
+    )
+
+
 def export_stats_text(stats: DataFrame, path: str) -> None:
     """7-line integer file, the reference's .stats format
     (/root/reference/scripts/build_stats.py:54-56)."""

@@ -1,0 +1,119 @@
+"""NT/NQ ingestion: parser semantics vs the reference scanners, vocab text
+sink round-trip, and the full parse → encode → permutations → export_text
+== sorted-unique-mapped contract (/root/reference/test/check_index.cpp:9-40)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_indexes_spark.operators import encode as enc
+from rdf_indexes_spark.operators import permutations as perm
+from rdf_indexes_spark.sources.ntriples import (
+    parse_rdf_lines,
+    rdf_to_mentions,
+    read_ntriples,
+)
+
+NT_FIXTURE = """\
+<http://ex/s1> <http://ex/p1> <http://ex/o1> .
+<http://ex/s1> <http://ex/p1> "a literal"@en .
+<http://ex/s2> <http://ex/p2> "typed lit"^^<http://www.w3.org/2001/XMLSchema#string> .
+<http://ex/s1> <http://ex/p1> <http://ex/o1> .
+this line is garbage
+<http://ex/s3> <http://ex/p1> "spaced  literal with . dot" .
+"""
+
+NQ_FIXTURE = """\
+<http://ex/s1> <http://ex/p1> <http://ex/o1> <http://graph/g> .
+_:b0 <http://ex/p2> "inner text"@en <http://graph/g> .
+<http://ex/s2> <http://ex/p1> bare_token .
+"""
+
+
+@pytest.fixture()
+def nt_path(tmp_path):
+    p = tmp_path / "fixture.nt"
+    p.write_text(NT_FIXTURE)
+    return str(p)
+
+
+def test_parse_nt_semantics(spark, nt_path):
+    got = read_ntriples(spark, nt_path, fmt="nt").orderBy("line_no").toPandas()
+    rows = list(zip(got.s, got.p, got.o))
+    # rdf_parser.parse_nt: brackets stripped; literals keep quotes + tags
+    # through end of line minus the " ." terminator; malformed line dropped
+    assert rows == [
+        ("http://ex/s1", "http://ex/p1", "http://ex/o1"),
+        ("http://ex/s1", "http://ex/p1", '"a literal"@en'),
+        (
+            "http://ex/s2",
+            "http://ex/p2",
+            '"typed lit"^^<http://www.w3.org/2001/XMLSchema#string>',
+        ),
+        ("http://ex/s1", "http://ex/p1", "http://ex/o1"),
+        ("http://ex/s3", "http://ex/p1", '"spaced  literal with . dot"'),
+    ]
+    flagged = read_ntriples(spark, nt_path, fmt="nt", with_malformed=True)
+    assert flagged.filter("malformed").count() == 1
+
+
+def test_parse_nq_semantics(spark, tmp_path):
+    p = tmp_path / "fixture.nq"
+    p.write_text(NQ_FIXTURE)
+    got = read_ntriples(spark, str(p), fmt="nq").orderBy("line_no").toPandas()
+    rows = list(zip(got.s, got.p, got.o))
+    # rdf_parser.parse_nq: bare tokens allowed; literal = BETWEEN-quote
+    # content (tags dropped); graph term never scanned
+    assert rows == [
+        ("http://ex/s1", "http://ex/p1", "http://ex/o1"),
+        ("_:b0", "http://ex/p2", "inner text"),
+        ("http://ex/s2", "http://ex/p1", "bare_token"),
+    ]
+
+
+def test_vocab_text_roundtrip(spark, nt_path, tmp_path):
+    mentions = rdf_to_mentions(read_ntriples(spark, nt_path, fmt="nt"))
+    vocab = enc.build_vocab(mentions, "cs")
+    out = str(tmp_path / "subjects_vocab")
+    perm.export_vocab_text(vocab, out, num_partitions=2)
+    back = perm.read_vocab_text(spark, out).toPandas().sort_values("id")
+    orig = vocab.select("term", "id").toPandas().sort_values("id")
+    assert list(back.term) == list(orig.term)
+    assert list(back.id) == list(orig.id)
+    # reference ordering contract: line 0 = most frequent subject (s1 x4)
+    assert back.iloc[0]["term"] == "http://ex/s1"
+
+
+def test_nt_to_index_roundtrip(spark, nt_path, tmp_path):
+    """check_index contract: the materialized SPO permutation equals the
+    sorted-unique mapped corpus (sort -n -u of .mapped.unsorted,
+    /root/reference/scripts/sort.py + test/check_index.cpp:9-40)."""
+    mentions = rdf_to_mentions(read_ntriples(spark, nt_path, fmt="nt"))
+    vocabs = enc.build_vocabs(mentions)
+    encoded, quarantine = enc.encode_mentions(mentions, vocabs)
+    assert quarantine.count() == 0
+    # .mapped.unsorted analogue: duplicates retained, corpus order
+    mapped = [
+        (r.s, r.p, r.o) for r in encoded.orderBy("mention_idx").select("s", "p", "o").collect()
+    ]
+    assert len(mapped) == 5  # all parsed lines mapped, dup kept
+    want = sorted(set(mapped))
+
+    triples = perm.dedup_triples(encoded)
+    out = str(tmp_path / "perms_text")
+    perm.export_text(triples, out, num_partitions=2)
+    spo_dir = os.path.join(out, "text_spo")
+    lines = []
+    for fname in sorted(os.listdir(spo_dir)):
+        if fname.startswith("part-"):
+            with open(os.path.join(spo_dir, fname)) as f:
+                lines.extend(f.read().splitlines())
+    got = [tuple(int(x) for x in ln.split()) for ln in lines]
+    assert got == want
+
+    # id semantics: most frequent subject gets id 0 (s1 appears 3x as subject)
+    vs = {r.term: r.id for r in vocabs["s"].collect()}
+    assert vs["http://ex/s1"] == 0
