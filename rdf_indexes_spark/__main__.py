@@ -1,0 +1,197 @@
+"""CLI drivers — the Spark twins of the reference executables
+(/root/reference/src/build.cpp:33-80, src/build_permutation.cpp,
+src/queries.cpp:164-227, src/statistics.cpp:9-16):
+
+  python -m rdf_indexes_spark build --input data.nt.gz --format nt --out idx/
+  python -m rdf_indexes_spark build --input transcripts.parquet --format transcripts --out idx/
+  python -m rdf_indexes_spark build_permutation --input idx/ --perm pos --out pos_dir/
+  python -m rdf_indexes_spark queries --index idx/ --queries q.txt [--batched]
+  python -m rdf_indexes_spark statistics --index idx/
+
+Index directory layout (written by `build`):
+  idx/perms5/perm={spo,pos,osp,ops,pso}/   unified sorted permutations
+  idx/stats/                               7-count stats (parquet)
+  idx/stats.txt                            reference-format stats file
+  idx/vocabs/{s,p,o}_vocab/                reference-format term-per-line
+Query file format mirrors the reference's (README.md:176-187): one
+"s p o" integer triple per line, -1 as the wildcard.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(
+        cores=args.cores,
+        app_name=f"rdf_indexes_spark.{args.cmd}",
+        master=args.master,
+    )
+
+
+def cmd_build(args) -> int:
+    from . import pipeline
+    from .operators import encode as enc
+    from .operators import permutations as perm
+
+    spark = _spark(args)
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    t0 = time.monotonic()
+    if args.format in ("nt", "nq"):
+        from .sources.ntriples import rdf_to_mentions, read_ntriples
+
+        mentions = rdf_to_mentions(read_ntriples(spark, args.input, fmt=args.format))
+        if args.hash:
+            vocabs = {
+                role: enc.build_vocab(mentions, col, hash_ids=True)
+                for role, col in [("s", "cs"), ("p", "pred"), ("o", "co")]
+            }
+        else:
+            vocabs = enc.build_vocabs_fused(mentions)
+        encoded, quarantine = enc.encode_mentions(mentions, vocabs)
+        nq = quarantine.count()
+        if nq:
+            print(f"warning: {nq} mentions missed a vocab (quarantined)", file=sys.stderr)
+        triples = perm.dedup_triples(encoded)
+        perm.write_permutations_unified(triples, os.path.join(out, "perms5"), num_partitions=args.partitions)
+        stats = perm.compute_stats(triples)
+        stats.write.mode("overwrite").parquet(os.path.join(out, "stats"))
+        for role, v in vocabs.items():
+            perm.export_vocab_text(v, os.path.join(out, "vocabs", f"{role}_vocab"))
+    elif args.format == "transcripts":
+        transcripts = spark.read.parquet(args.input)
+        art = pipeline.run_pipeline(spark, transcripts, out, num_partitions=args.partitions, input_id=args.input)
+        stats = art.stats
+        for role, v in [("s", art.vocab_s), ("p", art.vocab_p), ("o", art.vocab_o)]:
+            perm.export_vocab_text(v, os.path.join(out, "vocabs", f"{role}_vocab"))
+        # run_pipeline writes perms under workdir/perms/perms5; link layout
+        if not os.path.exists(os.path.join(out, "perms5")):
+            os.symlink(os.path.join(out, "perms", "perms5"), os.path.join(out, "perms5"))
+    else:
+        print(f"unknown --format {args.format}", file=sys.stderr)
+        return 2
+    perm.export_stats_text(stats, os.path.join(out, "stats.txt"))
+    row = stats.first()
+    print(json.dumps({"built": out, "num_triples": row["num_triples"], "sec": round(time.monotonic() - t0, 3)}))
+    return 0
+
+
+def cmd_build_permutation(args) -> int:
+    """One permutation only (src/build_permutation.cpp): re-sort the index's
+    triples into --perm order at --out."""
+    from .operators import permutations as perm
+
+    spark = _spark(args)
+    tables = perm.read_permutations_unified(spark, os.path.join(args.input, "perms5"))
+    keys = perm.PERM_ORDERS[args.perm]
+    n = args.partitions or spark.sparkContext.defaultParallelism
+    from pyspark.sql import functions as F
+
+    (
+        tables["spo"]
+        .repartitionByRange(n, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .parquet(args.out)
+    )
+    print(json.dumps({"built": args.out, "perm": args.perm}))
+    return 0
+
+
+def _parse_query_file(path: str):
+    pats = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            s, p, o = (int(x) for x in line.split())
+            pats.append(tuple(None if v == -1 else v for v in (s, p, o)))
+    return pats
+
+
+def cmd_queries(args) -> int:
+    from .operators import permutations as perm
+    from .plans.querylog import Pattern, run_querylog, run_querylog_batched
+
+    spark = _spark(args)
+    tables = perm.read_permutations_unified(spark, os.path.join(args.index, "perms5"))
+    pats = [Pattern(*t) for t in _parse_query_file(args.queries)]
+    if args.batched:
+        t0 = time.monotonic()
+        out = run_querylog_batched(tables, pats)
+        total = out.count()
+        elapsed = time.monotonic() - t0
+        report = {
+            "queries": len(pats),
+            "triples": total,
+            "musec_per_query": elapsed * 1e6 / max(1, len(pats)),
+            "ns_per_triple": (elapsed * 1e9 / total) if total else 0.0,
+            "elapsed_sec": elapsed,
+        }
+    else:
+        report = run_querylog(tables, pats)
+    # same report shape as the reference driver (src/queries.cpp:155-161)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_statistics(args) -> int:
+    from .operators import permutations as perm
+
+    spark = _spark(args)
+    stats = spark.read.parquet(os.path.join(args.index, "stats"))
+    row = stats.first()
+    for c in perm.STATS_COLS:
+        print(f"{c}: {row[c]}")
+    space = perm.space_stats(spark, os.path.join(args.index, "perms5"), row["num_triples"])
+    for r in space.collect():
+        print(f"perm {r['perm']}: {r['bytes']} bytes, {r['bits_per_triple']} bits/triple")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m rdf_indexes_spark")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="dataset -> 5 sorted permutations + stats + vocabs")
+    b.add_argument("--input", required=True)
+    b.add_argument("--format", default="nq", choices=["nt", "nq", "transcripts"])
+    b.add_argument("--out", required=True)
+    b.add_argument("--hash", action="store_true", help="hash ids instead of dense ranks (--hash mode)")
+    b.add_argument("--partitions", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    bp = sub.add_parser("build_permutation", help="re-sort an index into one permutation order")
+    bp.add_argument("--input", required=True, help="index dir from `build`")
+    bp.add_argument("--perm", required=True, choices=["spo", "pos", "osp", "ops", "pso"])
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--partitions", type=int, default=None)
+    bp.set_defaults(fn=cmd_build_permutation)
+
+    q = sub.add_parser("queries", help="run a query file against an index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True, help='file of "s p o" lines, -1 = wildcard')
+    q.add_argument("--batched", action="store_true", help="set-oriented: one job per wildcard class")
+    q.set_defaults(fn=cmd_queries)
+
+    s = sub.add_parser("statistics", help="print the 7-count stats + per-permutation space")
+    s.add_argument("--index", required=True)
+    s.set_defaults(fn=cmd_statistics)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""Smoke tests for the CLI drivers (the reference's build / queries /
+statistics / build_permutation executables, src/*.cpp) via subprocess."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+NT = """\
+<http://ex/s1> <http://ex/p1> <http://ex/o1> .
+<http://ex/s1> <http://ex/p1> "a literal"@en .
+<http://ex/s2> <http://ex/p2> <http://ex/o1> .
+<http://ex/s1> <http://ex/p1> <http://ex/o1> .
+<http://ex/s3> <http://ex/p1> <http://ex/o2> .
+"""
+
+
+def _run(*argv: str) -> subprocess.CompletedProcess:
+    env = {**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_DRIVER_MEM": "4g"}
+    return subprocess.run(
+        [sys.executable, "-m", "rdf_indexes_spark", "--cores", "4", *argv],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=300,
+    )
+
+
+@pytest.fixture(scope="module")
+def built_index(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    nt = d / "fixture.nt"
+    nt.write_text(NT)
+    idx = str(d / "idx")
+    r = _run("build", "--input", str(nt), "--format", "nt", "--out", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["num_triples"] == 4  # one duplicate removed
+    return d, idx
+
+
+def test_cli_statistics(built_index):
+    _, idx = built_index
+    r = _run("statistics", "--index", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = dict(
+        line.split(": ") for line in r.stdout.splitlines() if ": " in line and "perm " not in line
+    )
+    assert out["num_triples"] == "4"
+    assert out["distinct_predicates"] == "2"
+    # stats.txt written in reference format: 7 integer lines
+    with open(os.path.join(idx, "stats.txt")) as f:
+        lines = f.read().split()
+    assert len(lines) == 7 and lines[0] == "4"
+
+
+def test_cli_queries_and_build_permutation(built_index):
+    d, idx = built_index
+    qf = d / "queries.txt"
+    # vocab ids: s1 -> 0 (3 subject occurrences); p1 -> 0; full scan; ?P?
+    qf.write_text("0 0 -1\n-1 -1 -1\n-1 0 -1\n")
+    r = _run("queries", "--index", idx, "--queries", str(qf), "--batched")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["queries"] == 3
+    # S=0,P=0 matches s1's 2 distinct triples; full scan 4; ?P=0? is 3
+    assert rep["triples"] == 2 + 4 + 3
+
+    out_pos = str(d / "pos_only")
+    r = _run("build_permutation", "--input", idx, "--perm", "pos", "--out", out_pos)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert any(f.endswith(".parquet") for f in os.listdir(out_pos))
