@@ -174,19 +174,36 @@ def _run_level(n_exec: int, corpus_path: str, warm_path: str) -> dict:
 
 
 def _cpu_probe() -> dict:
-    """Raw capacity probe: this host's vCPUs are co-tenant; record what
-    the hardware could deliver at measurement time."""
+    """Raw capacity probe: this host's vCPUs are co-tenant AND share a
+    memory bus; record what the hardware could deliver at measurement
+    time, for BOTH resource classes:
+      - alu ceiling: pure-python busy loops (tiny working set) — the
+        scheduler/SMT/steal component;
+      - membw ceiling: numpy streaming over a 128 MB array (far beyond
+        LLC) — the shared-memory-bandwidth component, which a shuffle-
+        and scan-heavy Spark pipeline resembles much more closely.
+    Per-stage profiling (scripts/profile_pipeline.py) showed total task
+    time inflating ~2.4x from 8 to 32 active threads while the alu probe
+    predicts only ~1.4x — the membw probe captures the difference."""
     import multiprocessing as mp
 
-    out = {}
+    out: dict[str, dict[str, int]] = {"alu": {}, "membw": {}}
     for n in (N_EXEC_LO * EXEC_CORES, N_EXEC_HI * EXEC_CORES):
         with mp.Pool(n) as p:
-            out[str(n)] = sum(p.map(_burn, range(n)))
-    lo, hi = out[str(N_EXEC_LO * EXEC_CORES)], out[str(N_EXEC_HI * EXEC_CORES)]
+            out["alu"][str(n)] = sum(p.map(_burn, range(n)))
+        with mp.Pool(n) as p:
+            out["membw"][str(n)] = sum(p.map(_burn_mem, range(n)))
+    ratio = N_EXEC_HI / N_EXEC_LO
+    lo_c, hi_c = (str(N_EXEC_LO * EXEC_CORES), str(N_EXEC_HI * EXEC_CORES))
     return {
-        "iters_lo": lo,
-        "iters_hi": hi,
-        "raw_scaling_ceiling": round((hi / lo) / (N_EXEC_HI / N_EXEC_LO), 3),
+        "iters_lo": out["alu"][lo_c],
+        "iters_hi": out["alu"][hi_c],
+        "raw_scaling_ceiling": round((out["alu"][hi_c] / out["alu"][lo_c]) / ratio, 3),
+        "membw_lo": out["membw"][lo_c],
+        "membw_hi": out["membw"][hi_c],
+        "membw_scaling_ceiling": round(
+            (out["membw"][hi_c] / max(1, out["membw"][lo_c])) / ratio, 3
+        ),
     }
 
 
@@ -198,6 +215,19 @@ def _burn(_):
     return x
 
 
+def _burn_mem(_):
+    import numpy as np
+
+    a = np.arange(16_000_000, dtype=np.int64)  # 128 MB, streams past LLC
+    t0 = time.time()
+    it = 0
+    while time.time() - t0 < 1.5:
+        np.multiply(a, 31, out=a)
+        np.add(a, 7, out=a)
+        it += 1
+    return it
+
+
 def _time_queries(sf_dir: str) -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
@@ -206,6 +236,12 @@ def _time_queries(sf_dir: str) -> dict[str, float]:
     spark = get_spark(cores=CPUS, shuffle_partitions=max(CPUS, 8), app_name="bench_queries")
     qs = entry_mod.queries()
     out: dict[str, float] = {}
+    # session warm-up OUTSIDE the timed loop: JIT, codegen, Arrow/python
+    # worker spin-up used to be billed to whichever query ran first
+    # (b1_term_freq showed 6.1s for a 600k-row groupBy). A groupBy + a
+    # pandas-UDF query touch both engines' cold paths.
+    for warm_name in ("b1_term_freq", "dedup_simhash"):
+        qs[warm_name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)

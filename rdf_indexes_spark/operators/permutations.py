@@ -31,6 +31,11 @@ PERM_ORDERS: dict[str, tuple[str, str, str]] = {
     "pso": ("p", "s", "o"),
 }
 
+# the reference's permutation_type enum values (util_types.hpp:42-49) —
+# stored as a tinyint partition value instead of a string: the perm tag
+# rides every exploded shuffle row, so its width is paid 5x per triple.
+PERM_IDS: dict[str, int] = {"spo": 1, "pos": 2, "osp": 3, "ops": 4, "pso": 5}
+
 STATS_COLS = [
     "num_triples",
     "distinct_subjects",
@@ -151,6 +156,8 @@ def write_permutations_unified(
     out_dir: str,
     num_partitions: int | None = None,
     hub_salt: int = 8,
+    hubs: DataFrame | None = None,
+    downcast: bool | None = None,
 ) -> str:
     """All five sorted permutations in ONE shuffle + ONE write.
 
@@ -160,28 +167,94 @@ def write_permutations_unified(
     partitionBy(perm) parquet write. Same total bytes as five separate
     sorts, but one stage pair and one commit instead of five — on a
     cluster this fills every executor in a single balanced wave instead
-    of five half-empty ones, and at bench scale it removes four job
-    round-trips from the serial floor. Hub rows (head of the zipf degree
+    of five half-empty ones. Hub rows (head of the zipf degree
     distribution, same census as /root/reference/include/stats.hpp:63-114)
-    get a salt so no reducer owns a hub's full range."""
+    get a salt so no reducer owns a hub's full range.
+
+    The exploded shuffle is the pipeline's largest memory-bandwidth
+    consumer (5x the triple volume; profiled as the non-scaling stage
+    pair at high parallelism), so rows are SLIMMED before the exchange:
+    perm tag + salt as tinyint, components as int32 whenever ids fit
+    (dense vocab ranks fit until 2^31 distinct terms; downcast=None
+    probes min/max with one cheap agg, or pass the answer if the caller
+    knows it). ~24B/row narrower on the wire = roughly half the shuffle
+    and sort traffic.
+
+    hubs: optional precomputed hub-subject frame (column s). The pipeline
+    passes vocab-derived hubs (frequency ranks are already materialized),
+    saving the degree-census shuffle here.
+    """
     spark = triples.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    hubs = F.broadcast(hub_subjects(triples).select("s").withColumn("_is_hub", F.lit(True)))
-    tagged = triples.join(hubs, "s", "left").select(
+    if downcast is None:
+        r = triples.agg(
+            F.min("s"), F.max("s"), F.min("p"), F.max("p"), F.min("o"), F.max("o")
+        ).first()
+        vals = [v for v in r if v is not None]
+        downcast = all(-(2**31) <= v < 2**31 for v in vals)
+    if hubs is None:
+        hubs = hub_subjects(triples).select("s")
+    hubs_b = F.broadcast(hubs.select("s").withColumn("_is_hub", F.lit(True)))
+    salt_expr = (
+        F.when(
+            F.col("_is_hub").isNotNull(),
+            F.pmod(F.xxhash64("s", "p", "o"), F.lit(hub_salt)),
+        )
+        .otherwise(F.lit(0))
+        .cast("tinyint")
+    )
+    joined = triples.join(hubs_b, "s", "left")
+    if downcast:
+        # BIT-PACKED exchange: UnsafeRow spends a fixed 8-byte slot per
+        # field, so an int32 downcast alone shrinks parquet but NOT the
+        # wire. Packing (perm,c1) and (c2,c3) into two longs takes the row
+        # from 5 slots to 3 AND turns the 4-key sort into a 2-key compare:
+        #   k1 = perm<<32 | c1   (order == (perm, c1))
+        #   k2 = c2 <<32 | c3   (order == (c2, c3); ids are >=0 < 2^31)
+        # Partition keys stay (perm,c1,c2,salt) == (k1, k2>>32, salt) so
+        # the (c1,c2)-group co-location and hub salting are unchanged.
+        tagged = joined.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.lit(PERM_IDS[name] << 32) + F.col(keys[0])).alias("k1"),
+                            (
+                                F.shiftleft(F.col(keys[1]), 32) + F.col(keys[2])
+                            ).alias("k2"),
+                            salt_expr.alias("_salt"),
+                        )
+                        for name, keys in PERM_ORDERS.items()
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        mask = F.lit(0xFFFFFFFF)
+        (
+            tagged.repartition(5 * n, "k1", F.shiftrightunsigned("k2", 32), "_salt")
+            .sortWithinPartitions("k1", "k2")
+            .select(
+                F.shiftrightunsigned("k1", 32).cast("tinyint").alias("perm"),
+                F.col("k1").bitwiseAND(mask).cast("int").alias("c1"),
+                F.shiftrightunsigned("k2", 32).cast("int").alias("c2"),
+                F.col("k2").bitwiseAND(mask).cast("int").alias("c3"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("perm")
+            .parquet(out_dir)
+        )
+        return out_dir
+    # 64-bit ids (e.g. --hash mode): no packing possible, plain layout
+    tagged = joined.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(name).alias("perm"),
+                        F.lit(PERM_IDS[name]).cast("tinyint").alias("perm"),
                         F.col(keys[0]).alias("c1"),
                         F.col(keys[1]).alias("c2"),
                         F.col(keys[2]).alias("c3"),
-                        F.when(
-                            F.col("_is_hub").isNotNull(),
-                            F.pmod(F.xxhash64("s", "p", "o"), F.lit(hub_salt)),
-                        )
-                        .otherwise(F.lit(0))
-                        .alias("_salt"),
+                        salt_expr.alias("_salt"),
                     )
                     for name, keys in PERM_ORDERS.items()
                 ]
@@ -200,13 +273,30 @@ def write_permutations_unified(
 
 
 def read_permutations_unified(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
-    """Read back the unified layout as canonical (s, p, o) tables."""
-    base = spark.read.schema("c1 long, c2 long, c3 long, perm string").parquet(out_dir)
+    """Read back the unified layout as canonical (s, p, o) tables.
+    Handles both the current tinyint-perm/int32 layout and the legacy
+    string-perm/long one (schema read from footers; empty corpora write
+    zero files, so fall back to a typed empty relation)."""
+    try:
+        base = spark.read.parquet(out_dir)
+        dt = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    except Exception:
+        base = None
+    if base is None or "perm" not in dt:
+        base = spark.range(0).select(
+            F.lit(None).cast("long").alias("c1"),
+            F.lit(None).cast("long").alias("c2"),
+            F.lit(None).cast("long").alias("c3"),
+            F.lit(None).cast("int").alias("perm"),
+        )
+        dt = {"perm": "int"}
+    perm_is_str = dt["perm"] == "string"
     out = {}
     for name, keys in PERM_ORDERS.items():
-        df = base.filter(F.col("perm") == name)
+        tag = F.lit(name) if perm_is_str else F.lit(PERM_IDS[name])
+        df = base.filter(F.col("perm") == tag)
         out[name] = df.select(
-            *[F.col(f"c{i+1}").alias(k) for i, k in enumerate(keys)]
+            *[F.col(f"c{i+1}").cast("long").alias(k) for i, k in enumerate(keys)]
         ).select("s", "p", "o")
     return out
 
@@ -309,7 +399,11 @@ def space_stats(spark: SparkSession, out_dir: str, num_triples: int) -> DataFram
     rows = []
     for name in PERM_ORDERS:
         total = 0
-        for root in (os.path.join(out_dir, f"perm={name}"), os.path.join(out_dir, name)):
+        for root in (
+            os.path.join(out_dir, f"perm={PERM_IDS[name]}"),
+            os.path.join(out_dir, f"perm={name}"),
+            os.path.join(out_dir, name),
+        ):
             if os.path.isdir(root):
                 for dirpath, _, files in os.walk(root):
                     total += sum(

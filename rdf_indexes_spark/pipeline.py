@@ -99,12 +99,33 @@ def run_pipeline_fast(
     vocabs = enc.build_vocabs_fused(canon)
     encoded, _ = enc.encode_mentions(canon, vocabs)
     triples = perm.dedup_triples(encoded).localCheckpoint(eager=False)
-    perm.write_permutations_unified(triples, out_dir, num_partitions=n)
-    stats = perm.compute_stats(triples).first()
+    # vocab sizes: three count jobs over the (eager-checkpointed) ranked
+    # frame — effectively free, and they answer two questions at once:
+    #  - ids are dense 0..|vocab|-1, so ALL components fit int32 iff every
+    #    vocab is < 2^31 terms → write-side downcast decided with no extra
+    #    scan of the triples;
+    #  - distinct s/p/o of the deduped triples == the vocab sizes (dedup
+    #    drops duplicate rows, never a term's last row), so the expensive
+    #    countDistinct expand the old counter path ran is unnecessary.
+    n_s, n_p, n_o = (vocabs[r].count() for r in ("s", "p", "o"))
+    # hub subjects from the s-vocab's own frequency column (mention count
+    # >= triple degree, so every true triple hub is caught): saves the
+    # degree-census groupBy inside the write. Threshold: mean + 3*stddev.
+    vs = vocabs["s"]
+    mrow = vs.agg(F.mean("cnt").alias("m"), F.stddev_pop("cnt").alias("sd")).first()
+    thr = float((mrow["m"] or 0) + 3 * (mrow["sd"] or 0))
+    hubs = vs.filter(F.col("cnt") >= thr).select(F.col("id").alias("s"))
+    perm.write_permutations_unified(
+        triples,
+        out_dir,
+        num_partitions=n,
+        hubs=hubs,
+        downcast=max(n_s, n_p, n_o) < 2**31,
+    )
     counters = {
         "mentions": mentions.count(),  # checkpointed: cheap tail read
-        "triples": stats["num_triples"],
-        "distinct_subjects": stats["distinct_subjects"],
+        "triples": triples.count(),
+        "distinct_subjects": n_s,
     }
     mentions.unpersist()
     canon.unpersist()
