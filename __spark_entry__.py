@@ -363,6 +363,28 @@ def _q_b3_hash_ids(spark, sf_dir):
     return build_vocab(ev, "cs", hash_ids=True).select("term", "id")
 
 
+def _q_f1_member_position(spark, sf_dir):
+    """F1's full reference contract: is_member returns the triple's rank
+    in SPO order (algorithms.hpp:280-298). Probes the min and max triples
+    (positions 0 and n-1) plus an absent triple (-1)."""
+    t = _derived_triples(spark, sf_dir)
+    cur = F.struct(F.col("s"), F.col("p"), F.col("o"))
+    probe_min = t.orderBy("s", "p", "o").limit(1).select(cur.alias("pr"))
+    probe_max = t.orderBy(F.desc("s"), F.desc("p"), F.desc("o")).limit(1).select(cur.alias("pr"))
+    out = None
+    for tag, probe in (("min", probe_min), ("max", probe_max)):
+        j = t.crossJoin(F.broadcast(probe))
+        row = j.agg(
+            F.coalesce(F.sum((cur < F.col("pr")).cast("long")), F.lit(0)).alias("before"),
+            F.coalesce(F.max((cur == F.col("pr")).cast("int")), F.lit(0)).alias("found"),
+        ).select(
+            F.lit(tag).alias("probe"),
+            F.when(F.col("found") == 1, F.col("before")).otherwise(F.lit(-1)).cast("long").alias("position"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _q_e5_rank_remap(spark, sf_dir):
     from rdf_indexes_spark.operators.permutations import rank_remap
 
@@ -432,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": _q_simhash_near,
         "e5_rank_remap": _q_e5_rank_remap,
         "d2_space_stats": _q_d2_space_stats,
+        "f1_member_position": _q_f1_member_position,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -580,6 +603,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT s, p, o FROM t EXCEPT ALL SELECT s, p, o FROM t WHERE s = (SELECT s0 FROM consts)"
     )
     sql["a4_text_roundtrip"] = _TRIPLES_SQL
+    sql["f1_member_position"] = _with_triples(
+        "SELECT 'min' AS probe, CAST(0 AS BIGINT) AS position "
+        "UNION ALL SELECT 'max' AS probe, CAST((SELECT count(*) - 1 FROM t) AS BIGINT) AS position"
+    )
     # a7: replay the sorted 20-triple sample + the fixed wildcard cycle
     # (qid%5: 0→SPO member, 1→SP?, 2→S??, 3→?PO, 4→?P? — exactly
     # stamp_wildcards over perms [(spo,0),(spo,1),(spo,2),(pos,1),(pos,2)]).

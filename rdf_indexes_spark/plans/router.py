@@ -104,6 +104,26 @@ def is_member(tables: dict[str, DataFrame], s: int, p: int, o: int) -> bool:
     return bool(select(tables, s, p, o).limit(1).count())
 
 
+def member_position(tables: dict[str, DataFrame], s: int, p: int, o: int) -> int:
+    """F1 with the reference's FULL return contract: is_member returns the
+    triple's POSITION in SPO order, not just existence
+    (/root/reference/include/algorithms.hpp:280-298 accumulates the level
+    offsets into a global rank). Relationally the rank is the count of
+    triples strictly below the probe in (s,p,o) order — one aggregation
+    over the spo table (struct comparison keeps it a single pruned scan);
+    -1 when absent, matching the reference's not-found sentinel."""
+    t = tables["spo"]
+    probe = F.struct(
+        F.lit(int(s)).alias("s"), F.lit(int(p)).alias("p"), F.lit(int(o)).alias("o")
+    )
+    cur = F.struct(F.col("s"), F.col("p"), F.col("o"))
+    row = t.agg(
+        F.coalesce(F.sum((cur < probe).cast("long")), F.lit(0)).alias("before"),
+        F.coalesce(F.max((cur == probe).cast("int")), F.lit(0)).alias("found"),
+    ).first()
+    return int(row["before"]) if row["found"] else -1
+
+
 def count_pattern(tables: dict[str, DataFrame], s=None, p=None, o=None) -> int:
     """Result cardinality. The reference answers S?? by pointer arithmetic
     without enumeration (/root/reference/include/algorithms.hpp:86-90);

@@ -115,3 +115,18 @@ def test_reduced_variant_fallback(kg):
                 got.sort_values(["s", "p", "o"]).reset_index(drop=True)[["s", "p", "o"]]
                 .equals(exp.sort_values(["s", "p", "o"]).reset_index(drop=True)[["s", "p", "o"]])
             )
+
+
+def test_member_position_matches_sorted_rank(kg):
+    """member_position == the triple's index in the fully sorted (s,p,o)
+    list (reference is_member returns the global rank,
+    algorithms.hpp:280-298); absent triples return -1."""
+    from rdf_indexes_spark.plans.router import member_position
+
+    art, triples_pdf = kg
+    tables = art.permutations
+    ordered = sorted(map(tuple, triples_pdf[["s", "p", "o"]].to_numpy().tolist()))
+    for idx in (0, 1, len(ordered) // 2, len(ordered) - 1):
+        s, p, o = ordered[idx]
+        assert member_position(tables, s, p, o) == idx
+    assert member_position(tables, -5, -5, -5) == -1
