@@ -107,11 +107,37 @@ def test_multimodal_features_and_stub(spark):
     assert len(feats) == 30
     assert all(len(f) == 8 for f in feats.features)
     assert (feats.n_bytes > 0).all()
+    # REAL decodes: image dims come from the PPM header and match meta
+    meta = media.selectExpr("media_id", "kind", "meta.width w", "meta.height h", "meta.duration_ms d").toPandas().set_index("media_id")
+    for r in feats.itertuples():
+        if r.kind == "image":
+            assert (r.width, r.height) == (meta.loc[r.media_id].w, meta.loc[r.media_id].h)
+        elif r.kind == "audio":
+            # PCM16 duration from the data chunk; generator rounds to ms
+            assert abs(r.duration_ms - meta.loc[r.media_id].d) <= 1
+            assert 0.05 < r.rms < 0.7  # sine rms = amp/sqrt(2), amp in [0.2,0.9]
     # deterministic across runs
     feats2 = M.extract_features(media, decode_stub=True).toPandas()
     assert list(feats.sort_values("media_id").sha256) == list(feats2.sort_values("media_id").sha256)
-    # real decode is an explicit stub
+    # codecs without a container-free decoder (h264) still raise in strict mode
     with pytest.raises(Exception):
         M.extract_features(media, decode_stub=False).collect()
     plan = M.frame_sample_plan(media, every_ms=5000).toPandas()
     assert (plan.frame_ts_ms % 5000 == 0).all()
+
+
+def test_wav_ppm_roundtrip_and_resize():
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    wave = (0.5 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    sr2, back = M.decode_wav(M.encode_wav_pcm16(wave, sr))
+    assert sr2 == sr and np.array_equal(back, wave)
+
+    img = (np.arange(24 * 16 * 3, dtype=np.uint8).reshape(24, 16, 3) * 7) % 256
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(img)), img)
+    # mean-pool resize: 2x2 block means, exact for integer ratios
+    small = M.resize_mean_pool(img.astype(np.uint8), 8, 12)
+    want = img.reshape(12, 2, 8, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+    assert np.array_equal(small, want)
