@@ -70,10 +70,20 @@ def connected_components(
     if fixed_rounds is not None:
         # no dedup shuffle on sym: min-aggregation is idempotent under
         # duplicate edges, and candidate edges are already distinct pairs
+        # repartition BEFORE persist: the 3-way union otherwise caches with
+        # the summed partition count of its inputs (~5x shuffle.partitions
+        # of near-empty blocks), and every round re-reads all of them — a
+        # per-round fixed cost that is identical at every cluster size
+        # (profiled: the single largest serial-floor item). One hash
+        # exchange on the join key collapses it; rounds then join
+        # co-partitioned sides.
+        nparts = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         sym_id = (
             sym.unionByName(
                 nodes.select(F.col("surface").alias("src"), F.col("surface").alias("dst"))
-            ).persist()  # reused every round inside the one consuming job
+            )
+            .repartition(nparts, "dst")
+            .persist()  # reused every round inside the one consuming job
         )
         labels = nodes.select(F.col("surface"), F.col("surface").alias("component"))
         for _ in range(fixed_rounds):
@@ -96,7 +106,8 @@ def connected_components(
             labels = nxt  # under-converged: keep propagating to fixpoint
             rounds += 1
         return labels
-    sym = sym.persist()
+    nparts = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sym = sym.repartition(nparts, "dst").persist()
     labels = nodes.select(F.col("surface"), F.col("surface").alias("component")).localCheckpoint()
     for _ in range(max_iter):
         # neighbor labels via one shuffle join; previous label rides along

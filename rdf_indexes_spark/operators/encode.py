@@ -58,7 +58,7 @@ def build_vocabs(canonical_mentions: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def build_vocabs_fused(canonical_mentions: DataFrame) -> dict[str, DataFrame]:
+def build_vocabs_fused(canonical_mentions: DataFrame, with_ranked: bool = False):
     """All three role vocabularies in ONE job chain: melt (role, term,
     pos) via an exploded struct array (map-side), one groupBy shuffle for
     the three frequency tables together, one grouped two-phase rank.
@@ -90,10 +90,15 @@ def build_vocabs_fused(canonical_mentions: DataFrame) -> dict[str, DataFrame]:
     ranked = dense_ids_grouped(
         freq, "role", [F.desc("cnt"), F.asc("first_pos")], id_col="id"
     ).localCheckpoint(eager=True)
-    return {
+    vocabs = {
         role: ranked.filter(F.col("role") == role).select("term", "id", "cnt")
         for role in ("s", "p", "o")
     }
+    if with_ranked:
+        # callers can aggregate sizes/frequency stats of all three roles
+        # in ONE job over the checkpointed frame instead of three
+        return vocabs, ranked
+    return vocabs
 
 
 def encode_mentions(

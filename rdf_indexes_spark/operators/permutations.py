@@ -229,9 +229,13 @@ def write_permutations_unified(
                 )
             ).alias("r")
         ).select("r.*")
+        # n (not 5n) reducers: the packed rows are ~1/3 the bytes, so n
+        # partitions keep per-task input moderate while paying 1 wave of
+        # task fixed costs instead of 5 — at real scale callers size
+        # num_partitions by bytes anyway.
         mask = F.lit(0xFFFFFFFF)
         (
-            tagged.repartition(5 * n, "k1", F.shiftrightunsigned("k2", 32), "_salt")
+            tagged.repartition(n, "k1", F.shiftrightunsigned("k2", 32), "_salt")
             .sortWithinPartitions("k1", "k2")
             .select(
                 F.shiftrightunsigned("k1", 32).cast("tinyint").alias("perm"),

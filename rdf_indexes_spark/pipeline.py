@@ -96,37 +96,55 @@ def run_pipeline_fast(
     cmap = canonical_map(facts, comps).localCheckpoint()  # 2 concurrent bc builds
     canon = canonicalize_mentions(facts, cmap).localCheckpoint(eager=False)
     # one fused job chain ranks all three role vocabularies
-    vocabs = enc.build_vocabs_fused(canon)
+    vocabs, ranked = enc.build_vocabs_fused(canon, with_ranked=True)
     encoded, _ = enc.encode_mentions(canon, vocabs)
-    triples = perm.dedup_triples(encoded).localCheckpoint(eager=False)
-    # vocab sizes: three count jobs over the (eager-checkpointed) ranked
-    # frame — effectively free, and they answer two questions at once:
-    #  - ids are dense 0..|vocab|-1, so ALL components fit int32 iff every
-    #    vocab is < 2^31 terms → write-side downcast decided with no extra
-    #    scan of the triples;
+    # EAGER: the permutation write and the counter jobs below consume
+    # triples CONCURRENTLY (separate driver threads) — the concurrent-
+    # consumer rule again; the dedup shuffle would otherwise run twice.
+    triples = perm.dedup_triples(encoded).localCheckpoint(eager=True)
+    # ONE tiny job over the (eager-checkpointed) ranked frame answers
+    # three questions at once:
+    #  - vocab sizes: ids are dense 0..|vocab|-1, so ALL components fit
+    #    int32 iff every vocab is < 2^31 terms → write-side downcast
+    #    decided with no extra scan of the triples;
     #  - distinct s/p/o of the deduped triples == the vocab sizes (dedup
     #    drops duplicate rows, never a term's last row), so the expensive
-    #    countDistinct expand the old counter path ran is unnecessary.
-    n_s, n_p, n_o = (vocabs[r].count() for r in ("s", "p", "o"))
-    # hub subjects from the s-vocab's own frequency column (mention count
-    # >= triple degree, so every true triple hub is caught): saves the
-    # degree-census groupBy inside the write. Threshold: mean + 3*stddev.
-    vs = vocabs["s"]
-    mrow = vs.agg(F.mean("cnt").alias("m"), F.stddev_pop("cnt").alias("sd")).first()
-    thr = float((mrow["m"] or 0) + 3 * (mrow["sd"] or 0))
-    hubs = vs.filter(F.col("cnt") >= thr).select(F.col("id").alias("s"))
-    perm.write_permutations_unified(
-        triples,
-        out_dir,
-        num_partitions=n,
-        hubs=hubs,
-        downcast=max(n_s, n_p, n_o) < 2**31,
-    )
-    counters = {
-        "mentions": mentions.count(),  # checkpointed: cheap tail read
-        "triples": triples.count(),
-        "distinct_subjects": n_s,
+    #    countDistinct expand the old counter path ran is unnecessary;
+    #  - hub subjects from the s-vocab's frequency column (mention count
+    #    >= triple degree, so every true triple hub is caught; threshold
+    #    mean + 3*stddev), saving the degree-census groupBy in the write.
+    vinfo = {
+        r["role"]: r
+        for r in ranked.groupBy("role")
+        .agg(
+            F.count("*").alias("n"),
+            F.mean("cnt").alias("m"),
+            F.stddev_pop("cnt").alias("sd"),
+        )
+        .collect()
     }
+    n_s, n_p, n_o = (int(vinfo[r]["n"]) if r in vinfo else 0 for r in ("s", "p", "o"))
+    srow = vinfo.get("s")
+    thr = float((srow["m"] or 0) + 3 * (srow["sd"] or 0)) if srow else 0.0
+    hubs = vocabs["s"].filter(F.col("cnt") >= thr).select(F.col("id").alias("s"))
+    # overlap the write (the pipeline's largest tail block) with the
+    # counter jobs: Spark's scheduler runs jobs from separate driver
+    # threads concurrently; the counters touch only checkpointed frames.
+    from concurrent.futures import ThreadPoolExecutor
+
+    counters: dict[str, int] = {"distinct_subjects": n_s}
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut = pool.submit(
+            perm.write_permutations_unified,
+            triples,
+            out_dir,
+            num_partitions=n,
+            hubs=hubs,
+            downcast=max(n_s, n_p, n_o) < 2**31,
+        )
+        counters["mentions"] = mentions.count()  # checkpointed: cheap tail read
+        counters["triples"] = triples.count()
+        fut.result()
     mentions.unpersist()
     canon.unpersist()
     triples.unpersist()

@@ -80,6 +80,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the pipeline leans on localCheckpoint caches, whose partitions
+        # carry PROCESS_LOCAL preferences; the default 3s locality wait
+        # turns any cache imbalance into idle executors at stage
+        # boundaries — a pure serial-floor tax in a many-stage pipeline.
+        # Schedule immediately instead (cache misses refetch over netty,
+        # cheap on both this host and any rack-local cluster).
+        .config("spark.locality.wait", "0ms")
+        # finer input splits (default 128m): scan+UDF stages get enough
+        # tasks to fill wide clusters and smooth task-time skew; at real
+        # scale the file count dominates and this is a no-op.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # committer v2: tasks move their output into place at task commit
