@@ -54,6 +54,12 @@ def dense_ids(
     partition, so ranking is still total and deterministic.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # eager cut BEFORE the range exchange: the RangePartitioner runs a
+    # sampling pass that executes the child plan, then the exchange
+    # executes it AGAIN — for a df that is itself an aggregation (vocab
+    # frequency), that doubles the heaviest upstream stage. The ranked
+    # input is agg-output-sized, so the cut is cheap at any scale.
+    df = df.localCheckpoint(eager=True)
     ranged = df.repartitionByRange(n, *order_cols).withColumn("_pid", F.spark_partition_id())
     ranged = ranged.persist()
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
@@ -86,6 +92,8 @@ def dense_ids_grouped(
     Used to rank the three vocab roles (s/p/o) with a single shuffle +
     a single tiny collect instead of three separate rank pipelines."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # same sampling-pass double-compute as dense_ids: cut the input once
+    df = df.localCheckpoint(eager=True)
     ranged = df.repartitionByRange(n, F.col(group_col), *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -143,6 +151,9 @@ def grouped_rank(
     partitions are per-GROUP over at most #partitions rows — a hub group
     contributes rows, not its row COUNT, so no straggler."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # cut before the range exchange (sampling pass + exchange would run
+    # the upstream plan twice); MEMORY_AND_DISK, data-scale like `ranged`
+    df = df.localCheckpoint(eager=True)
     ranged = (
         df.repartitionByRange(n, F.col(group_col), *order_cols)
         .withColumn("_pid", F.spark_partition_id())

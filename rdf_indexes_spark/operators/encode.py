@@ -26,6 +26,35 @@ from ..functions.ranking import dense_ids
 
 _POS = ["conv_id", "turn_idx", "mention_idx"]
 
+# packed corpus-position widths: conv rank 34 bits (17B conversations),
+# turn_idx 16 bits (65k turns/conversation), mention_idx 14 bits
+# (16k mentions/turn) — documented engine limits, far above any real
+# transcript corpus shape.
+_TURN_BITS, _MENTION_BITS = 16, 14
+
+
+def _attach_pos(canonical_mentions: DataFrame) -> DataFrame:
+    """Add ``_pos``: a LONG encoding the (conv_id, turn_idx, mention_idx)
+    corpus order. Why not min(struct(...)) directly: non-primitive (and
+    string) aggregation buffers force SortAggregate — a per-partition
+    SORT of the full melted stream (~3 rows per mention), profiled as the
+    single most expensive stage of the pipeline. A packed long keeps the
+    frequency+first-occurrence aggregation in pure HashAggregate.
+
+    conv_id (arbitrary string) becomes a dense rank in string order via
+    the two-phase ranker over the DISTINCT conv ids (conversation-count-
+    sized), then a shuffle-hash join (hint: no sort-merge — the rank side
+    is always orders of magnitude smaller) attaches it back."""
+    convs = canonical_mentions.select("conv_id").distinct()
+    ranked = dense_ids(convs, [F.asc("conv_id")], id_col="_conv_rank")
+    joined = canonical_mentions.join(ranked.hint("shuffle_hash"), "conv_id")
+    pos = (
+        F.shiftleft(F.col("_conv_rank"), _TURN_BITS + _MENTION_BITS)
+        + F.shiftleft(F.col("turn_idx").cast("long"), _MENTION_BITS)
+        + F.col("mention_idx").cast("long")
+    )
+    return joined.withColumn("_pos", pos).drop("_conv_rank")
+
 
 def build_vocab(canonical_mentions: DataFrame, role_col: str, hash_ids: bool = False) -> DataFrame:
     """(term, id, cnt) for one component role. One shuffle (groupBy term),
@@ -36,7 +65,8 @@ def build_vocab(canonical_mentions: DataFrame, role_col: str, hash_ids: bool = F
     the term instead of a dense rank) — here xxhash64, entirely map-side:
     no rank shuffle at all, at the cost of non-dense 64-bit ids."""
     freq = (
-        canonical_mentions.select(F.col(role_col).alias("term"), F.struct(*_POS).alias("_pos"))
+        _attach_pos(canonical_mentions)
+        .select(F.col(role_col).alias("term"), "_pos")
         .groupBy("term")
         .agg(F.count("*").alias("cnt"), F.min("_pos").alias("first_pos"))
     )
@@ -67,7 +97,7 @@ def build_vocabs_fused(canonical_mentions: DataFrame, with_ranked: bool = False)
     (/root/reference/scripts/extract_vocabs.py:29-31)."""
     from ..functions.ranking import dense_ids_grouped
 
-    melted = canonical_mentions.select(
+    melted = _attach_pos(canonical_mentions).select(
         F.explode(
             F.array(
                 *[
@@ -76,7 +106,7 @@ def build_vocabs_fused(canonical_mentions: DataFrame, with_ranked: bool = False)
                 ]
             )
         ).alias("rt"),
-        F.struct(*_POS).alias("_pos"),
+        "_pos",
     ).select("rt.role", "rt.term", "_pos")
     freq = melted.groupBy("role", "term").agg(
         F.count("*").alias("cnt"), F.min("_pos").alias("first_pos")

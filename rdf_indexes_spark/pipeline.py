@@ -78,7 +78,17 @@ def run_pipeline_fast(
     # consumed strictly sequentially stay LAZY and piggyback on their
     # first consumer's job. Net: ~10 jobs for the whole pipeline.
     n = num_partitions or spark.sparkContext.defaultParallelism
-    mentions = extract_mentions(transcripts).localCheckpoint()  # 2-branch fan-out
+    # DATA-SCALE frames (mentions, canon) cache as COLUMNAR persist(), not
+    # localCheckpoint: RDD-row checkpoint storage of a 10^8-mention frame
+    # fills every executor heap and GC-thrashes wide clusters (profiled at
+    # 32M turns: 325s of GC in one stage); InMemoryRelation's compressed
+    # column batches are several times smaller and evictable. The lineage
+    # cut matters less here (shallow plans); concurrent-consumer safety is
+    # preserved by materializing via count() BEFORE the fan-out consumers
+    # (a lazy cache + two concurrent first-consumers would compute the
+    # extract twice).
+    mentions = extract_mentions(transcripts).persist()
+    n_mentions = mentions.count()  # materialize; reused as the counter
     facts = mentions.filter(F.col("pred") != SAME_AS)
     # edges is referenced 4x downstream (endpoints x2, symmetrized x2):
     # without a cut the scoring subtree replicates per reference and the
@@ -94,7 +104,9 @@ def run_pipeline_fast(
         edge_endpoints(edges), edges.select("a", "b"), fixed_rounds=4
     ).localCheckpoint(eager=False)  # single consumer (cmap)
     cmap = canonical_map(facts, comps).localCheckpoint()  # 2 concurrent bc builds
-    canon = canonicalize_mentions(facts, cmap).localCheckpoint(eager=False)
+    # canon's consumers are strictly sequential (vocab melt job populates
+    # the cache, encode joins reuse it) — lazy columnar persist
+    canon = canonicalize_mentions(facts, cmap).persist()
     # one fused job chain ranks all three role vocabularies
     vocabs, ranked = enc.build_vocabs_fused(canon, with_ranked=True)
     encoded, _ = enc.encode_mentions(canon, vocabs)
@@ -142,7 +154,7 @@ def run_pipeline_fast(
             hubs=hubs,
             downcast=max(n_s, n_p, n_o) < 2**31,
         )
-        counters["mentions"] = mentions.count()  # checkpointed: cheap tail read
+        counters["mentions"] = n_mentions
         counters["triples"] = triples.count()
         fut.result()
     mentions.unpersist()

@@ -94,11 +94,16 @@ def rdf_to_mentions(parsed: DataFrame) -> DataFrame:
     operators consume (cs, pred, co + the corpus-position columns used for
     the frequency tie-break). RDF corpora skip linking/canonicalization —
     the reference's pipeline is parse → vocab → map with no entity
-    resolution (scripts/process.sh) — so parsed terms ARE canonical."""
+    resolution (scripts/process.sh) — so parsed terms ARE canonical.
+
+    The line ordinal rides in conv_id as a zero-padded string (lex order
+    == numeric order): monotonically_increasing_id values carry partition
+    bits far beyond the packed-position widths of encode._attach_pos,
+    whereas conv_id is rank-normalized there for ANY string shape."""
     return parsed.select(
-        F.lit("").alias("conv_id"),
+        F.lpad(F.col("line_no").cast("string"), 20, "0").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
-        F.col("line_no").alias("mention_idx"),
+        F.lit(0).alias("mention_idx"),
         F.col("s").alias("cs"),
         F.col("p").alias("pred"),
         F.col("o").alias("co"),
