@@ -256,8 +256,12 @@ def main() -> None:
         _worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
         return
     sf = _sf_of(SF_DIR)
+    # sf x 80M turns (sf0.1 -> 8M): after the round-2 serial-floor fixes
+    # the 4M corpus finished in ~20s at BOTH cluster sizes — pure fixed
+    # cost, no parallel work left to measure. 8M keeps a trial ~40-60s
+    # while giving the scaling comparison real work to scale.
     n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "0")) or max(
-        10_000, int(round(sf * 40_000_000))
+        10_000, int(round(sf * 80_000_000))
     )
     warm_path = _warm_corpus()
     corpus_path = _corpus_path(n_turns)
