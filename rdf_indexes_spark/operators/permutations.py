@@ -444,14 +444,31 @@ def export_vocab_text(vocab: DataFrame, path: str, num_partitions: int | None = 
 
 def read_vocab_text(spark: SparkSession, path: str) -> DataFrame:
     """Reload a reference-format vocab file: id = line number
-    (map_dataset.py:16-26). zipWithIndex is exactly line-number semantics
-    — deterministic, distributed, one extra count job — and is the one
-    legitimate RDD detour in this repo (DataFrames have no stable global
-    line ordinal)."""
-    rdd = spark.sparkContext.textFile(path).zipWithIndex()
-    return spark.createDataFrame(rdd, "term string, id long").select(
-        "term", F.col("id").cast("long")
+    (map_dataset.py:16-26). NOT sc.textFile().zipWithIndex(): Hadoop
+    split ordering does not guarantee file-name order, which scrambles
+    ids across part files. Instead each part file is one row
+    (wholetext), lines get in-file ordinals via posexplode, and file
+    offsets come from a running sum over the file list in NAME order —
+    part files concatenate by name, the same contract export_vocab_text
+    and export_text write under. The only window runs over one row per
+    part FILE (writer-partition count, never data-sized)."""
+    from pyspark.sql import Window
+
+    files = (
+        spark.read.option("wholetext", "true")
+        .text(path)
+        .select(
+            F.input_file_name().alias("_f"),
+            F.split(F.regexp_replace("value", "\n$", ""), "\n").alias("_lines"),
+        )
     )
+    w = Window.orderBy("_f").rowsBetween(Window.unboundedPreceding, -1)
+    with_off = files.withColumn(
+        "_off", F.coalesce(F.sum(F.size("_lines")).over(w), F.lit(0))
+    )
+    return with_off.select(
+        F.posexplode("_lines").alias("_i", "term"), "_off"
+    ).select("term", (F.col("_off") + F.col("_i")).cast("long").alias("id"))
 
 
 def export_stats_text(stats: DataFrame, path: str) -> None:
