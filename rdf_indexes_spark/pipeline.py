@@ -189,14 +189,21 @@ def run_pipeline(
         "canonical_mentions", [fp_c], lambda: canonicalize_mentions(facts, cmap)
     )
 
-    vs, fp_vs = store.run("vocab_s", [fp_cm], lambda: enc.build_vocab(canon, "cs"))
-    vp, fp_vp = store.run("vocab_p", [fp_cm], lambda: enc.build_vocab(canon, "pred"))
-    vo, fp_vo = store.run("vocab_o", [fp_cm], lambda: enc.build_vocab(canon, "co"))
-    vocabs = {"s": vs, "p": vp, "o": vo}
+    # ONE fused stage ranks all three role vocabularies (ids identical to
+    # per-role builds; ranks are computed per role) — the conv-id rank of
+    # encode._attach_pos is paid once instead of three times.
+    ranked, fp_v = store.run(
+        "vocabs_ranked", [fp_cm], lambda: enc.build_vocabs_fused(canon, with_ranked=True)[1]
+    )
+    vocabs = {
+        role: ranked.filter(F.col("role") == role).select("term", "id", "cnt")
+        for role in ("s", "p", "o")
+    }
+    vs, vp, vo = vocabs["s"], vocabs["p"], vocabs["o"]
 
     unsorted, fp_u = store.run(
         "triples_unsorted",
-        [fp_cm, fp_vs, fp_vp, fp_vo],
+        [fp_cm, fp_v],
         lambda: enc.encode_mentions(canon, vocabs)[0],
     )
 
