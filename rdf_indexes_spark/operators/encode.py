@@ -64,14 +64,19 @@ def build_vocab(canonical_mentions: DataFrame, role_col: str, hash_ids: bool = F
     (/root/reference/scripts/extract_vocabs.py:49-52: id = mmh3.hash64 of
     the term instead of a dense rank) — here xxhash64, entirely map-side:
     no rank shuffle at all, at the cost of non-dense 64-bit ids."""
+    if hash_ids:
+        # hash ids need no first-occurrence tie-break — skip the conv-rank
+        # join entirely; the whole build is one map-side-combined groupBy.
+        freq = canonical_mentions.groupBy(F.col(role_col).alias("term")).agg(
+            F.count("*").alias("cnt")
+        )
+        return freq.select("term", F.xxhash64("term").alias("id"), "cnt")
     freq = (
         _attach_pos(canonical_mentions)
         .select(F.col(role_col).alias("term"), "_pos")
         .groupBy("term")
         .agg(F.count("*").alias("cnt"), F.min("_pos").alias("first_pos"))
     )
-    if hash_ids:
-        return freq.select("term", F.xxhash64("term").alias("id"), "cnt")
     ranked = dense_ids(
         freq,
         [F.desc("cnt"), F.asc("first_pos")],
