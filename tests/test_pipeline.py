@@ -160,3 +160,25 @@ def test_cc_fixed_rounds_converges_on_long_chain(spark):
     pd_fp = comps_fp.toPandas().sort_values("surface").reset_index(drop=True)
     pd_fx = got.sort_values("surface").reset_index(drop=True)
     assert pd_fp.equals(pd_fx)
+
+
+def test_vocab_agg_stays_hash_aggregate(spark, transcripts):
+    """Regression lock: the vocabulary frequency/first-pos aggregation must
+    plan as HashAggregate. min over a struct (or any var-length buffer)
+    silently downgrades to SortAggregate — a per-partition sort of the
+    melted mention stream, the round-2 #1 cost before the packed-long fix."""
+    from rdf_indexes_spark.operators.canonicalize import (
+        canonical_map,
+        connected_components,
+        edge_endpoints,
+    )
+    from rdf_indexes_spark.operators.extract import extract_mentions
+    from rdf_indexes_spark.operators import encode as enc
+
+    mentions = extract_mentions(transcripts)
+    freq_plan_df = enc.build_vocab(mentions.withColumnRenamed("subj", "cs")
+                                   .withColumnRenamed("pred", "pred")
+                                   .withColumnRenamed("obj", "co"), "cs")
+    plan = freq_plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan[:2000]
+    assert "ObjectHashAggregate" not in plan, plan[:2000]
