@@ -234,6 +234,25 @@ def _q_language_id(spark, sf_dir):
     return language_id(_read(spark, sf_dir, "documents"))
 
 
+def _q_token_bpe(spark, sf_dir):
+    from rdf_indexes_spark.operators.textops import token_count_bpe
+
+    return token_count_bpe(_read(spark, sf_dir, "documents"))
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """Rows-only: IVF ANN (k-means quantizer isn't SQL-expressible);
+    recall vs brute force asserted in tests/test_textops.py."""
+    from rdf_indexes_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    queries_df = emb.filter(F.col("vec_id").isin(qids))
+    return ivf_topk(emb, queries_df, k=5, n_centroids=16, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _q_quality(spark, sf_dir):
     from rdf_indexes_spark.operators.textops import quality_score
 
@@ -441,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "ann_cosine_topk": _q_ann,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "text_token_bpe": _q_token_bpe,
         "kg_extract_mentions": _q_kg_mentions,
         "kg_triples": _q_kg_triples,
         "multimodal_features": _q_multimodal,
@@ -578,6 +599,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END AS BIGINT) AS n_tokens FROM documents"
         ),
         "text_language_id": _lang_sql(),
+        "text_token_bpe": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+')) "
+            "  + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens, "
+            "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens, "
+            "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_other_tokens "
+            "FROM documents"
+        ),
         "text_quality": _quality_sql(),
         "text_fingerprint": (
             "SELECT doc_id, CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0 ELSE "

@@ -334,3 +334,107 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
     )
+
+
+def _kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 13,
+) -> np.ndarray:
+    """Driver-side Lloyd's k-means over a DETERMINISTIC bounded sample
+    (xxhash64 order ⇒ same sample every run and at every scale): the
+    coarse quantizer is centroid-count x dim — tiny — while assignment
+    stays fully distributed. Standard IVF training practice: the sample,
+    not the corpus, trains the quantizer."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(Xn))
+    C = Xn[rng.choice(len(Xn), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)  # cosine on normalized = dot
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c = Xn[m].mean(axis=0)
+                C[j] = c / max(1e-12, np.linalg.norm(c))
+    return C
+
+
+def _assign_centroids(
+    df: DataFrame, C: np.ndarray, nprobe: int, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """(out_id, cid): nearest-`nprobe` centroid ids per vector — one
+    BLAS matmul per Arrow batch, centroids ride in the closure."""
+    import pandas as pd
+
+    Cn = C
+
+    def assign(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Cn.T
+            top = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+            n = len(ids)
+            yield pd.DataFrame(
+                {out_id: np.repeat(ids, nprobe), "cid": top.reshape(-1)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=f"{out_id} long, cid long")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer (trained on a
+    bounded deterministic sample), inverted lists = the centroid
+    assignment column, probe the query's `nprobe` nearest lists, exact
+    cosine re-rank on the candidates. The corpus side carries ONE
+    centroid id per vector (nprobe expansion is query-side only), so the
+    single equi-join on cid shuffles small-int keys — the same scale
+    shape as lsh_topk, with data-adaptive buckets instead of random
+    hyperplanes."""
+    C = _kmeans_centroids(corpus, n_centroids, id_col, vec_col)
+    cb = _assign_centroids(corpus, C, 1, id_col, vec_col, "neighbor_id")
+    qb = _assign_centroids(queries, C, nprobe, id_col, vec_col, "query_id")
+    cand = (
+        cb.join(F.broadcast(qb), "cid")
+        .select("query_id", "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )

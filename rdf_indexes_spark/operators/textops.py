@@ -118,3 +118,31 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         lambda acc, ch: F.pmod(acc * F.lit(_FP_BASE) + F.ascii(ch), F.lit(_FP_MOD)),
     )
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+# BPE-ish tokenization: letter runs, digit runs, single punctuation marks
+# (whitespace dropped) — the pre-merge word/number/symbol split every BPE
+# tokenizer starts from. Basic character classes only, so Spark (Java
+# regex) and DuckDB (RE2) agree exactly.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_bpe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_word_tokens, n_number_tokens, n_other_tokens):
+    counts under the BPE-ish pre-tokenization split. Pure JVM regex —
+    one regexp_extract_all per class, no Python."""
+    def count(pat: str) -> Column:
+        return F.coalesce(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))), F.lit(0)
+        ).cast("long")
+
+    words = count("[A-Za-z]+")
+    nums = count("[0-9]+")
+    other = count("[^A-Za-z0-9\\s]")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        (words + nums + other).alias("n_bpe_tokens"),
+        words.alias("n_word_tokens"),
+        nums.alias("n_number_tokens"),
+        other.alias("n_other_tokens"),
+    )

@@ -92,6 +92,10 @@ def get_spark(
         # scale the file count dominates and this is a no-op.
         .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches for the mapInPandas extractors: fewer
+        # python<->JVM round-trips per task; the extractor's regex pass is
+        # O(batch bytes) so latency per batch stays bounded.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # committer v2: tasks move their output into place at task commit
         # instead of a serial driver-side rename loop at job commit — the

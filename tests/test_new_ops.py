@@ -230,3 +230,24 @@ def test_grouped_rank_hub_no_single_task(spark):
     assert got["s_rank"].tolist() == list(range(n_hub))
     cold_got = out.filter(F.col("o") == 120).orderBy("s").toPandas()
     assert cold_got["s_rank"].tolist() == list(range(len(cold_got)))
+
+
+def test_ivf_topk_recall(spark, clustered_emb):
+    """IVF with a generous quantizer must recover most of the exact top-k
+    on the clustered fixture; exact re-rank means every returned neighbor
+    is a true candidate with its true cosine rank order."""
+    from rdf_indexes_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    queries = clustered_emb.orderBy("vec_id").limit(8)
+    exact = brute_force_topk(clustered_emb, queries, k=5).toPandas()
+    approx = ivf_topk(clustered_emb, queries, k=5, n_centroids=8, nprobe=4).toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    hits = sum(len(a.get(q, set()) & e[q]) for q in e.index)
+    tot = sum(len(v) for v in e)
+    assert hits / tot >= 0.6, f"IVF recall too low: {hits}/{tot}"
+    # determinism: same run twice -> identical result
+    approx2 = ivf_topk(clustered_emb, queries, k=5, n_centroids=8, nprobe=4).toPandas()
+    assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        approx2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )

@@ -141,3 +141,21 @@ def test_wav_ppm_roundtrip_and_resize():
     small = M.resize_mean_pool(img.astype(np.uint8), 8, 12)
     want = img.reshape(12, 2, 8, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
     assert np.array_equal(small, want)
+
+
+def test_token_count_bpe_matches_python_re(spark):
+    import re
+
+    from rdf_indexes_spark.operators.textops import token_count_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = token_count_bpe(docs).toPandas().set_index("doc_id")
+    pdf = docs.select("doc_id", "text").toPandas()
+    for r in pdf.itertuples():
+        t = r.text or ""
+        w = len(re.findall(r"[A-Za-z]+", t))
+        n = len(re.findall(r"[0-9]+", t))
+        o = len(re.findall(r"[^A-Za-z0-9\s]", t))
+        row = got.loc[r.doc_id]
+        assert (row.n_word_tokens, row.n_number_tokens, row.n_other_tokens) == (w, n, o)
+        assert row.n_bpe_tokens == w + n + o
