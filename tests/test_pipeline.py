@@ -182,3 +182,26 @@ def test_vocab_agg_stays_hash_aggregate(spark, transcripts):
     plan = freq_plan_df._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan, plan[:2000]
     assert "ObjectHashAggregate" not in plan, plan[:2000]
+
+
+def test_empty_corpus_end_to_end(spark, workdir):
+    """Zero-turn input must flow through extract -> CC -> vocab -> encode ->
+    permutations without error: zero counters, empty-but-queryable
+    permutation tables (the zero-part-file parquet read is the known
+    regression spot)."""
+    import os
+
+    from rdf_indexes_spark.operators.permutations import read_permutations_unified
+    from rdf_indexes_spark.pipeline import run_pipeline_fast
+    from rdf_indexes_spark.plans.router import select
+    from rdf_indexes_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    out = os.path.join(workdir, "empty_perms")
+    counters = run_pipeline_fast(spark, empty, out, num_partitions=4)
+    assert counters["mentions"] == 0
+    assert counters["triples"] == 0
+    tables = read_permutations_unified(spark, out)
+    assert set(tables) == {"spo", "pos", "osp", "ops", "pso"}
+    assert tables["spo"].count() == 0
+    assert select(tables, s=1).count() == 0
