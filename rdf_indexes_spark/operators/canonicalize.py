@@ -18,7 +18,7 @@ and Beyond") — the helper is structured so only ``_one_round`` changes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -150,12 +150,24 @@ def canonical_map(mentions_facts: DataFrame, components: DataFrame) -> DataFrame
         .groupBy("surface")
         .agg(F.count("*").alias("freq"))
     )
-    lab = components.join(occ, "surface", "left").fillna(0, subset=["freq"])
-    w = Window.partitionBy("component").orderBy(F.desc("freq"), F.asc("surface"))
+    # lazy cut: lab is referenced three times below (max-freq agg, the
+    # tie filter, the final join) — uncut, the components⋈occ subtree
+    # would compute three times inside the one consuming job.
+    lab = (
+        components.join(occ, "surface", "left")
+        .fillna(0, subset=["freq"])
+        .localCheckpoint(eager=False)
+    )
+    # representative via two aggregations instead of a per-component
+    # window: Window.partitionBy(component) funnels a giant component's
+    # whole surface list through ONE task (the same hub-skew shape fixed
+    # in rank_remap); max/min aggs keep partial aggregation and spread.
+    best = lab.groupBy("component").agg(F.max("freq").alias("_mf"))
     reps = (
-        lab.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("component", F.col("surface").alias("canonical"))
+        lab.join(best, "component")
+        .filter(F.col("freq") == F.col("_mf"))
+        .groupBy("component")
+        .agg(F.min("surface").alias("canonical"))
     )
     return lab.join(reps, "component").select("surface", "canonical")
 
