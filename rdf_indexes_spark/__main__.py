@@ -61,7 +61,14 @@ def cmd_build(args) -> int:
         if nq:
             print(f"warning: {nq} mentions missed a vocab (quarantined)", file=sys.stderr)
         triples = perm.dedup_triples(encoded)
-        perm.write_permutations_unified(triples, os.path.join(out, "perms5"), num_partitions=args.partitions)
+        perm.write_permutations_unified(
+            triples,
+            os.path.join(out, "perms5"),
+            num_partitions=args.partitions,
+            perms=perm.VARIANT_PERMS[args.variant],
+        )
+        if args.variant == "2to":  # the 2to variant pairs with the p_index
+            perm.p_index(triples).write.mode("overwrite").parquet(os.path.join(out, "p_index"))
         stats = perm.compute_stats(triples)
         stats.write.mode("overwrite").parquet(os.path.join(out, "stats"))
         for role, v in vocabs.items():
@@ -169,6 +176,12 @@ def main(argv=None) -> int:
     b.add_argument("--format", default="nq", choices=["nt", "nq", "transcripts"])
     b.add_argument("--out", required=True)
     b.add_argument("--hash", action="store_true", help="hash ids instead of dense ranks (--hash mode)")
+    b.add_argument(
+        "--variant",
+        default="5p",
+        choices=["5p", "3t", "2tp", "2to"],
+        help="index variant: which permutations to materialize (reference index_3t/2tp/2to)",
+    )
     b.add_argument("--partitions", type=int, default=None)
     b.set_defaults(fn=cmd_build)
 

@@ -36,6 +36,17 @@ PERM_ORDERS: dict[str, tuple[str, str, str]] = {
 # rides every exploded shuffle row, so its width is paid 5x per triple.
 PERM_IDS: dict[str, int] = {"spo": 1, "pos": 2, "osp": 3, "ops": 4, "pso": 5}
 
+# the reference's index variants: which permutations each materializes
+# (include/types.hpp:19-84; index_2to = SPO+OPS + the p_index,
+# index_2tp = SPO+POS, the 3t family = SPO+POS+OSP). "5p" keeps every
+# sorted order the prep scripts produce (scripts/sort.py).
+VARIANT_PERMS: dict[str, tuple[str, ...]] = {
+    "5p": ("spo", "pos", "osp", "ops", "pso"),
+    "3t": ("spo", "pos", "osp"),
+    "2tp": ("spo", "pos"),
+    "2to": ("spo", "ops"),
+}
+
 STATS_COLS = [
     "num_triples",
     "distinct_subjects",
@@ -158,8 +169,13 @@ def write_permutations_unified(
     hub_salt: int = 8,
     hubs: DataFrame | None = None,
     downcast: bool | None = None,
+    perms: tuple[str, ...] | None = None,
 ) -> str:
-    """All five sorted permutations in ONE shuffle + ONE write.
+    """All requested sorted permutations (default: five) in ONE shuffle +
+    ONE write. ``perms`` materializes a reduced variant — the reference's
+    index_2tp (SPO+POS), index_2to (SPO+OPS, pair with p_index), or the
+    3t trio — the router answers every pattern from any of them via its
+    longest-bound-prefix fallback (plans/router._best_available).
 
     Each triple explodes into 5 rows tagged (perm, c1, c2, c3) with
     (c1,c2,c3) already column-permuted; one repartition on
@@ -186,6 +202,7 @@ def write_permutations_unified(
     """
     spark = triples.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    sel = {name: keys for name, keys in PERM_ORDERS.items() if perms is None or name in perms}
     if downcast is None:
         r = triples.agg(
             F.min("s"), F.max("s"), F.min("p"), F.max("p"), F.min("o"), F.max("o")
@@ -224,7 +241,7 @@ def write_permutations_unified(
                             ).alias("k2"),
                             salt_expr.alias("_salt"),
                         )
-                        for name, keys in PERM_ORDERS.items()
+                        for name, keys in sel.items()
                     ]
                 )
             ).alias("r")
@@ -260,7 +277,7 @@ def write_permutations_unified(
                         F.col(keys[2]).alias("c3"),
                         salt_expr.alias("_salt"),
                     )
-                    for name, keys in PERM_ORDERS.items()
+                    for name, keys in sel.items()
                 ]
             )
         ).alias("r")
@@ -295,8 +312,16 @@ def read_permutations_unified(spark: SparkSession, out_dir: str) -> dict[str, Da
         )
         dt = {"perm": "int"}
     perm_is_str = dt["perm"] == "string"
+    # reduced variants: only perms actually on disk enter the dict — the
+    # router treats a MISSING table as "fall back", an EMPTY one as truth.
+    present = set()
+    for entry in (os.listdir(out_dir) if os.path.isdir(out_dir) else []):
+        if entry.startswith("perm="):
+            present.add(entry.split("=", 1)[1])
     out = {}
     for name, keys in PERM_ORDERS.items():
+        if present and name not in present and str(PERM_IDS[name]) not in present:
+            continue
         tag = F.lit(name) if perm_is_str else F.lit(PERM_IDS[name])
         df = base.filter(F.col("perm") == tag)
         out[name] = df.select(

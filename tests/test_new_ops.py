@@ -251,3 +251,28 @@ def test_ivf_topk_recall(spark, clustered_emb):
     assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
         approx2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
+
+
+def test_reduced_variant_build_answers_all_patterns(spark, triples, workdir):
+    """A 2tp store (SPO+POS only) must answer every wildcard pattern with
+    the same result as the full 5-permutation store (router fallback),
+    and the read-back dict must contain ONLY the materialized perms
+    (missing != empty)."""
+    from rdf_indexes_spark.operators.permutations import (
+        VARIANT_PERMS,
+        read_permutations_unified,
+        write_permutations_unified,
+    )
+    from rdf_indexes_spark.plans.router import select
+
+    out = os.path.join(workdir, "perms_2tp")
+    write_permutations_unified(triples, out, num_partitions=4, perms=VARIANT_PERMS["2tp"])
+    reduced = read_permutations_unified(spark, out)
+    assert set(reduced) == {"spo", "pos"}
+    full = {name: triples for name in ("spo", "pos", "osp", "ops", "pso")}
+    t0 = triples.orderBy("s", "p", "o").first()
+    for mask in [(1, 1, 1), (1, 1, 0), (1, 0, 0), (0, 1, 1), (0, 1, 0), (0, 0, 1), (1, 0, 1), (0, 0, 0)]:
+        kw = {c: v for c, v, m in zip("spo", (t0.s, t0.p, t0.o), mask) if m}
+        got = select(reduced, **kw).toPandas().sort_values(["s", "p", "o"]).reset_index(drop=True)
+        want = select(full, **kw).toPandas().sort_values(["s", "p", "o"]).reset_index(drop=True)
+        assert got.equals(want), f"mask {mask}"
