@@ -97,7 +97,7 @@ def test_nt_to_index_roundtrip(spark, nt_path, tmp_path):
     assert quarantine.count() == 0
     # .mapped.unsorted analogue: duplicates retained, corpus order
     mapped = [
-        (r.s, r.p, r.o) for r in encoded.orderBy("mention_idx").select("s", "p", "o").collect()
+        (r.s, r.p, r.o) for r in encoded.orderBy("conv_id").select("s", "p", "o").collect()
     ]
     assert len(mapped) == 5  # all parsed lines mapped, dup kept
     want = sorted(set(mapped))
@@ -117,3 +117,25 @@ def test_nt_to_index_roundtrip(spark, nt_path, tmp_path):
     # id semantics: most frequent subject gets id 0 (s1 appears 3x as subject)
     vs = {r.term: r.id for r in vocabs["s"].collect()}
     assert vs["http://ex/s1"] == 0
+
+
+def test_delta_batch_quarantine(spark, nt_path, tmp_path):
+    """Encoding a NEW batch against FROZEN vocabs drops-and-logs mentions
+    whose terms miss a vocab (the reference prints & skips,
+    map_dataset.py:61-83): quarantine holds exactly those mentions and
+    the encoded set excludes them."""
+    mentions = rdf_to_mentions(read_ntriples(spark, nt_path, fmt="nt"))
+    vocabs = enc.build_vocabs(mentions)
+    delta = tmp_path / "delta.nt"
+    delta.write_text(
+        "<http://ex/s1> <http://ex/p1> <http://ex/o1> .\n"       # all known
+        "<http://ex/sNEW> <http://ex/p1> <http://ex/o1> .\n"     # unknown subject
+        "<http://ex/s1> <http://ex/pNEW> <http://ex/o1> .\n"     # unknown predicate
+    )
+    dm = rdf_to_mentions(read_ntriples(spark, str(delta), fmt="nt"))
+    encoded, quarantine = enc.encode_mentions(dm, vocabs)
+    assert encoded.count() == 1
+    q = quarantine.select("cs", "pred").toPandas()
+    assert len(q) == 2
+    assert set(q.cs) == {"http://ex/sNEW", "http://ex/s1"}
+    assert "http://ex/pNEW" in set(q.pred)
