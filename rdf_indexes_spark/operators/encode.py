@@ -48,10 +48,18 @@ def _attach_pos(canonical_mentions: DataFrame) -> DataFrame:
     convs = canonical_mentions.select("conv_id").distinct()
     ranked = dense_ids(convs, [F.asc("conv_id")], id_col="_conv_rank")
     joined = canonical_mentions.join(ranked.hint("shuffle_hash"), "conv_id")
+    # order-preserving saturation: turn/mention beyond their width clamp to
+    # the max value (ties among >65k-turn positions then break by conv only
+    # — bounded, and free: no validation job). Conv rank has 34 bits (17B
+    # conversations); past that, re-balance widths for the corpus shape.
+    turn = F.least(F.col("turn_idx").cast("long"), F.lit((1 << _TURN_BITS) - 1))
+    mention = F.least(
+        F.col("mention_idx").cast("long"), F.lit((1 << _MENTION_BITS) - 1)
+    )
     pos = (
         F.shiftleft(F.col("_conv_rank"), _TURN_BITS + _MENTION_BITS)
-        + F.shiftleft(F.col("turn_idx").cast("long"), _MENTION_BITS)
-        + F.col("mention_idx").cast("long")
+        + F.shiftleft(turn, _MENTION_BITS)
+        + mention
     )
     return joined.withColumn("_pos", pos).drop("_conv_rank")
 
