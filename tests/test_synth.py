@@ -60,3 +60,15 @@ def test_zipf_hub():
     hub_turns = facts[(facts["subj"].isin(hub_surfaces)) | (facts["obj"].isin(hub_surfaces))]
     assert len(hub_turns[["conv_id", "turn_idx"]].drop_duplicates()) >= 0.05 * n_turns * 0.5
     assert facts["pred"].nunique() <= len(PRED_CUES)
+
+
+def test_table_seam_reads_catalog_table(spark, transcripts):
+    """The Iceberg seam: `table:<name>` reads through the catalog (a temp
+    view stands in for the Iceberg table in this sandbox; the code path —
+    spark.read.table — is the same one an Iceberg catalog serves)."""
+    from rdf_indexes_spark.sources.transcripts import read_transcripts
+
+    transcripts.createOrReplaceTempView("transcripts_v")
+    got = read_transcripts(spark, "table:transcripts_v")
+    assert got.count() == transcripts.count()
+    assert set(got.columns) == set(transcripts.columns)
