@@ -130,3 +130,30 @@ def test_member_position_matches_sorted_rank(kg):
         s, p, o = ordered[idx]
         assert member_position(tables, s, p, o) == idx
     assert member_position(tables, -5, -5, -5) == -1
+
+
+def test_find_semi_exhaustive_over_sampled_ranges(kg):
+    """Mirror of check_find.cpp:8-71: for sampled (s,p) prefixes, every
+    value probed inside the group's [min_o, max_o] range must be found
+    iff present — probes cover all present values plus absent values
+    inside the range (bounded sample of the gap set)."""
+    art, pdf = kg
+    tables = art.permutations
+    groups = (
+        pdf.groupby(["s", "p"])["o"]
+        .apply(set)
+        .reset_index()
+        .sort_values(["s", "p"])
+        .head(3)
+    )
+    for r in groups.itertuples():
+        present = sorted(r.o)
+        lo, hi = present[0], present[-1]
+        absent = [v for v in range(lo, hi + 1) if v not in r.o][:8]
+        for o in present:
+            assert is_member(tables, r.s, r.p, o), (r.s, r.p, o)
+        for o in absent:
+            assert not is_member(tables, r.s, r.p, o), (r.s, r.p, o)
+        # range boundaries behave like next_geq walls (E3 semantics)
+        assert not is_member(tables, r.s, r.p, lo - 1)
+        assert not is_member(tables, r.s, r.p, hi + 1)
