@@ -205,3 +205,25 @@ def test_empty_corpus_end_to_end(spark, workdir):
     assert set(tables) == {"spo", "pos", "osp", "ops", "pso"}
     assert tables["spo"].count() == 0
     assert select(tables, s=1).count() == 0
+
+
+def test_resume_rebuilds_only_invalidated_stage(spark, transcripts, workdir, artifacts):
+    """Mid-pipeline kill simulation: delete one stage's manifest — the
+    rerun rebuilds that stage (and it alone among the manifest-tracked
+    stages is uncached) with byte-identical output; upstream stages stay
+    cached."""
+    import json as _json
+
+    pipe = os.path.join(workdir, "pipe")
+    victim = os.path.join(pipe, "canonical_mentions", "_manifest.json")
+    saved = open(victim).read()
+    os.remove(victim)
+    art3 = run_pipeline(spark, transcripts, pipe, input_id="test600")
+    assert art3.counters["canonical_mentions"]["cached"] is False
+    assert art3.counters["mentions"]["cached"] is True
+    assert art3.counters["canonical_map"]["cached"] is True
+    a = _sorted_pdf(artifacts.triples, ["s", "p", "o"], ["s", "p", "o"])
+    b = _sorted_pdf(art3.triples, ["s", "p", "o"], ["s", "p", "o"])
+    pd.testing.assert_frame_equal(a, b)
+    # rebuilt manifest matches the original fingerprint chain
+    assert _json.loads(open(victim).read())["fingerprint"] == _json.loads(saved)["fingerprint"]
