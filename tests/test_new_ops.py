@@ -297,3 +297,29 @@ def test_hashed_subject_layout_roundtrip(spark, triples, workdir):
     for name, df in tables.items():
         got = df.toPandas().sort_values(["s", "p", "o"]).reset_index(drop=True)
         assert got.equals(want), name
+
+
+def test_hash_id_pipeline_uses_wide_layout(spark, transcripts, workdir):
+    """--hash mode end-to-end: xxhash64 ids are 64-bit (and negative), so
+    the unified write must auto-detect downcast=False and take the plain
+    (unpacked) layout; read-back round-trips the triple set exactly."""
+    from rdf_indexes_spark.operators.encode import build_vocab, encode_mentions
+    from rdf_indexes_spark.operators.extract import extract_mentions
+    from rdf_indexes_spark.operators.permutations import (
+        dedup_triples,
+        read_permutations_unified,
+        write_permutations_unified,
+    )
+
+    m = extract_mentions(transcripts).withColumnRenamed("subj", "cs").withColumnRenamed("obj", "co")
+    vocabs = {r: build_vocab(m, c, hash_ids=True) for r, c in [("s", "cs"), ("p", "pred"), ("o", "co")]}
+    encoded, _ = encode_mentions(m, vocabs)
+    triples = dedup_triples(encoded)
+    assert triples.filter(F.col("s") < 0).count() > 0  # genuinely 64-bit ids
+    out = os.path.join(workdir, "perms_hash")
+    write_permutations_unified(triples, out, num_partitions=4)
+    tables = read_permutations_unified(spark, out)
+    want = triples.toPandas().sort_values(["s", "p", "o"]).reset_index(drop=True)
+    for name in ("spo", "pos"):
+        got = tables[name].toPandas().sort_values(["s", "p", "o"]).reset_index(drop=True)
+        assert got.equals(want), name
