@@ -103,3 +103,58 @@ def test_vocabs_and_mapping_byte_parity(spark, ref_outputs, tmp_path):
         for r in triples.orderBy("s", "p", "o").collect()
     ]
     assert got == want
+
+
+def test_parity_on_generated_corpus(spark, tmp_path):
+    """Same byte-parity contract on a 2000-line generated NQ corpus with
+    zipf-ish term reuse (frequency ties are common → the first-occurrence
+    tie-break is genuinely exercised), literals, and duplicate lines."""
+    if not os.path.isdir(REF_SCRIPTS):
+        pytest.skip("reference scripts not available")
+    import random
+
+    rng = random.Random(99)
+    lines = []
+    for i in range(2000):
+        s = f"http://ex/s{int(rng.paretovariate(1.2)) % 97}"
+        p = f"http://ex/p{rng.randrange(7)}"
+        if rng.random() < 0.25:
+            o_term = f'some literal {rng.randrange(40)}'
+            o = f'"{o_term}"@en'
+        else:
+            o = f"<http://ex/o{int(rng.paretovariate(1.1)) % 211}>"
+        lines.append(f"<{s}> <{p}> {o} <http://g/{rng.randrange(3)}> .")
+    # duplicates on purpose
+    lines += lines[:50]
+    nq = tmp_path / "gen.nq.gz"
+    with gzip.open(nq, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    (tmp_path / "mmh3.py").write_text("def hash64(*a, **k):\n    raise NotImplementedError\n")
+    env = {**os.environ, "PYTHONPATH": f"{tmp_path}{os.pathsep}{REF_SCRIPTS}"}
+    for script, extra in (("extract_vocabs.py", ["-S", "-P", "-O"]), ("map_dataset.py", [])):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REF_SCRIPTS, script), str(nq), *extra],
+            capture_output=True, text=True, env=env, cwd=tmp_path, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr
+    prefix = str(nq)[: -len(".gz")]
+    ref = {suf: open(prefix + "." + suf).read().splitlines()
+           for suf in ("subjects_vocab", "predicates_vocab", "objects_vocab", "mapped.unsorted")}
+
+    mentions = rdf_to_mentions(read_ntriples(spark, str(nq), fmt="nq"))
+    vocabs = enc.build_vocabs(mentions)
+    for role, suf in (("s", "subjects_vocab"), ("p", "predicates_vocab"), ("o", "objects_vocab")):
+        out = str(tmp_path / f"v_{role}")
+        perm.export_vocab_text(vocabs[role], out, num_partitions=3)
+        ours = []
+        for fname in sorted(os.listdir(out)):
+            if fname.startswith("part-"):
+                ours.extend(open(os.path.join(out, fname)).read().splitlines())
+        assert ours == ref[suf], f"vocab {role}"
+    encoded, quarantine = enc.encode_mentions(mentions, vocabs)
+    assert quarantine.count() == 0
+    ours_mapped = [
+        f"{r.s} {r.p} {r.o}"
+        for r in encoded.orderBy("conv_id").select("s", "p", "o").collect()
+    ]
+    assert ours_mapped == ref["mapped.unsorted"]
