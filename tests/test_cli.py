@@ -77,3 +77,30 @@ def test_cli_queries_and_build_permutation(built_index):
     r = _run("build_permutation", "--input", idx, "--perm", "pos", "--out", out_pos)
     assert r.returncode == 0, r.stderr[-2000:]
     assert any(f.endswith(".parquet") for f in os.listdir(out_pos))
+
+
+def test_cli_build_transcripts(tmp_path):
+    """build --format transcripts: full KG pipeline via CLI, index layout
+    complete (perms5 link, stats.txt, vocab files)."""
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from rdf_indexes_spark.session import get_spark
+    from rdf_indexes_spark.synth import generate
+
+    spark = get_spark(cores=4, driver_memory="4g", app_name="cli_fixture_gen")
+    src = str(tmp_path / "transcripts.parquet")
+    spark.createDataFrame(generate(300, seed=3).transcripts).write.parquet(src)
+    spark.stop()
+
+    idx = str(tmp_path / "idx")
+    r = _run("build", "--input", src, "--format", "transcripts", "--out", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["num_triples"] > 0
+    assert os.path.isdir(os.path.join(idx, "perms5", "perm=1")) or os.path.islink(
+        os.path.join(idx, "perms5")
+    )
+    with open(os.path.join(idx, "stats.txt")) as f:
+        assert len(f.read().split()) == 7
+    assert os.path.isdir(os.path.join(idx, "vocabs", "s_vocab"))
