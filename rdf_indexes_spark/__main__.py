@@ -50,8 +50,9 @@ def cmd_build(args) -> int:
 
         mentions = rdf_to_mentions(read_ntriples(spark, args.input, fmt=args.format))
         if args.hash:
+            mentions = mentions.localCheckpoint(eager=False)  # 3 vocab scans
             vocabs = {
-                role: enc.build_vocab(mentions, col, hash_ids=True)
+                role: enc.build_vocab(mentions, col, hash_ids=True, hash_fn=args.hash_fn)
                 for role, col in [("s", "cs"), ("p", "pred"), ("o", "co")]
             }
         else:
@@ -77,11 +78,18 @@ def cmd_build(args) -> int:
         transcripts = spark.read.parquet(args.input)
         art = pipeline.run_pipeline(spark, transcripts, out, num_partitions=args.partitions, input_id=args.input)
         stats = art.stats
+        # the documented index layout puts stats at <index>/stats
+        # (cmd_statistics reads it there); run_pipeline checkpoints it under
+        # perms/stats, so land a copy at the contract location too.
+        stats.write.mode("overwrite").parquet(os.path.join(out, "stats"))
         for role, v in [("s", art.vocab_s), ("p", art.vocab_p), ("o", art.vocab_o)]:
             perm.export_vocab_text(v, os.path.join(out, "vocabs", f"{role}_vocab"))
-        # run_pipeline writes perms under workdir/perms/perms5; link layout
+        # run_pipeline writes perms under workdir/perms/perms5; link layout.
+        # Symlink target is resolved relative to the LINK's directory, so it
+        # must be the relative "perms/perms5", not os.path.join(out, ...) —
+        # with a relative --out the latter points at out/out/perms/perms5.
         if not os.path.exists(os.path.join(out, "perms5")):
-            os.symlink(os.path.join(out, "perms", "perms5"), os.path.join(out, "perms5"))
+            os.symlink(os.path.join("perms", "perms5"), os.path.join(out, "perms5"))
     else:
         print(f"unknown --format {args.format}", file=sys.stderr)
         return 2
@@ -127,11 +135,34 @@ def _parse_query_file(path: str):
 
 def cmd_queries(args) -> int:
     from .operators import permutations as perm
-    from .plans.querylog import Pattern, run_querylog, run_querylog_batched
+    from .plans.querylog import (
+        Pattern,
+        run_querylog,
+        run_querylog_batched,
+        sample_querylog,
+        stamp_wildcards,
+    )
 
     spark = _spark(args)
     tables = perm.read_permutations_unified(spark, os.path.join(args.index, "perms5"))
-    pats = [Pattern(*t) for t in _parse_query_file(args.queries)]
+    # the reference driver's workflow (src/queries.cpp:50-93, README.md:
+    # 190-194): take the first -n triples of a query file (or, new here,
+    # sample them straight from the index — the `shuf -n 5000` step), then
+    # stamp the TRAILING -w components of --perm's order to wildcards.
+    if args.queries:
+        raw = _parse_query_file(args.queries)
+        if args.num_queries:
+            raw = raw[: args.num_queries]
+    else:
+        base = tables.get("spo") or next(iter(tables.values()))
+        raw = sample_querylog(base, n=args.num_queries or 5000)
+    if args.num_wildcards:
+        pats = [
+            stamp_wildcards(t, perm=args.perm, num_wildcards=args.num_wildcards)
+            for t in raw
+        ]
+    else:
+        pats = [Pattern(*t) for t in raw]
     if args.batched:
         t0 = time.monotonic()
         out = run_querylog_batched(tables, pats)
@@ -177,6 +208,12 @@ def main(argv=None) -> int:
     b.add_argument("--out", required=True)
     b.add_argument("--hash", action="store_true", help="hash ids instead of dense ranks (--hash mode)")
     b.add_argument(
+        "--hash-fn",
+        default="xxhash64",
+        choices=["xxhash64", "mmh3"],
+        help="hash-id flavor: xxhash64 = JVM scale path; mmh3 = byte-parity with the reference's --hash vocab files",
+    )
+    b.add_argument(
         "--variant",
         default="5p",
         choices=["5p", "3t", "2tp", "2to"],
@@ -192,9 +229,28 @@ def main(argv=None) -> int:
     bp.add_argument("--partitions", type=int, default=None)
     bp.set_defaults(fn=cmd_build_permutation)
 
-    q = sub.add_parser("queries", help="run a query file against an index")
+    q = sub.add_parser("queries", help="run a query workload against an index")
     q.add_argument("--index", required=True)
-    q.add_argument("--queries", required=True, help='file of "s p o" lines, -1 = wildcard')
+    q.add_argument(
+        "--queries",
+        default=None,
+        help='file of "s p o" lines, -1 = wildcard; omit to SAMPLE -n triples from the index',
+    )
+    q.add_argument("-n", "--num-queries", type=int, default=None, help="first/sampled n triples (reference -n)")
+    q.add_argument(
+        "-w",
+        "--num-wildcards",
+        type=int,
+        default=0,
+        choices=[0, 1, 2],
+        help="blank the trailing w components of --perm's order (reference -w)",
+    )
+    q.add_argument(
+        "--perm",
+        default="spo",
+        choices=["spo", "pos", "osp", "ops", "pso"],
+        help="permutation whose order -w stamps against (reference's perm argument)",
+    )
     q.add_argument("--batched", action="store_true", help="set-oriented: one job per wildcard class")
     q.set_defaults(fn=cmd_queries)
 

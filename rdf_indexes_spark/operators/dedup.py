@@ -51,15 +51,24 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Exact duplicate groups by full-text equality: (doc_id, keep_id).
 
     keep_id = min doc_id of the group; a doc is a duplicate iff
-    doc_id != keep_id. One hash-shuffle on the text (Catalyst partial-aggs
-    map-side).
-    """
-    return (
-        docs.groupBy(text_col)
-        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("group_size"))
-        .join(docs.select(id_col, text_col), text_col)
-        .select(id_col, "keep_id", "group_size")
+    doc_id != keep_id. The group key is a 128-bit content fingerprint
+    (two independent xxhash64 seeds + the byte length), NOT the raw text:
+    the full document bytes would otherwise ride BOTH the groupBy exchange
+    and the join-back exchange — at 100 TB that is the whole corpus on the
+    wire twice. With the fingerprint, only (id, 2 longs, 1 int) rows
+    shuffle; collision probability over the 129-bit key is ~n²·2⁻¹³⁰
+    (zero at any feasible corpus size). Both sides derive the fingerprint
+    map-side from the same scan."""
+    key = [
+        F.xxhash64(F.lit(0), F.col(text_col)).alias("_h0"),
+        F.xxhash64(F.lit(1), F.col(text_col)).alias("_h1"),
+        F.length(text_col).alias("_len"),
+    ]
+    fp = docs.select(F.col(id_col), *key)
+    groups = fp.groupBy("_h0", "_h1", "_len").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("group_size")
     )
+    return fp.join(groups, ["_h0", "_h1", "_len"]).select(id_col, "keep_id", "group_size")
 
 
 def minhash_signatures(

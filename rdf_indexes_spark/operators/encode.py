@@ -64,14 +64,36 @@ def _attach_pos(canonical_mentions: DataFrame) -> DataFrame:
     return joined.withColumn("_pos", pos).drop("_conv_rank")
 
 
-def build_vocab(canonical_mentions: DataFrame, role_col: str, hash_ids: bool = False) -> DataFrame:
+def build_vocab(
+    canonical_mentions: DataFrame,
+    role_col: str,
+    hash_ids: bool = False,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """(term, id, cnt) for one component role. One shuffle (groupBy term),
     then the two-phase dense rank (no single-partition window).
 
     hash_ids=True is the reference's `--hash` mode
-    (/root/reference/scripts/extract_vocabs.py:49-52: id = mmh3.hash64 of
-    the term instead of a dense rank) — here xxhash64, entirely map-side:
-    no rank shuffle at all, at the cost of non-dense 64-bit ids."""
+    (/root/reference/scripts/extract_vocabs.py:49-52: terms are replaced
+    by mmh3.hash64 before counting). Two flavors:
+
+    - hash_fn="xxhash64" (default, the SCALE path): id = xxhash64(term),
+      entirely map-side JVM codegen — no rank shuffle at all, at the cost
+      of non-dense 64-bit ids.
+    - hash_fn="mmh3" (the PARITY path): the reference's exact
+      transformation — term → str(uint64 mmh3 first half) — followed by
+      the normal freq-desc dense rank, so export_vocab_text output is
+      byte-identical to `extract_vocabs.py --hash`. The hash runs in an
+      Arrow-batched pandas UDF (per-row Python inside the batch; parity
+      use only, see functions/mmh3_compat.py)."""
+    if hash_ids and hash_fn == "mmh3":
+        from pyspark.sql.functions import pandas_udf
+
+        from ..functions.mmh3_compat import hash64_unsigned_str
+
+        mm = pandas_udf(hash64_unsigned_str, "string")
+        hashed = canonical_mentions.withColumn(role_col, mm(F.col(role_col)))
+        return build_vocab(hashed, role_col, hash_ids=False)
     if hash_ids:
         # hash ids need no first-occurrence tie-break — skip the conv-rank
         # join entirely; the whole build is one map-side-combined groupBy.

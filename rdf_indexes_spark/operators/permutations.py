@@ -76,14 +76,27 @@ def skew_census(triples: DataFrame, key: str = "s") -> DataFrame:
     )
 
 
-def hub_subjects(triples: DataFrame, min_degree: int | None = None) -> DataFrame:
+def hub_subjects(
+    triples: DataFrame, min_degree: int | None = None, max_hubs: int = 65536
+) -> DataFrame:
     """Subjects whose triple count exceeds a degree threshold (default:
-    mean + 3x stddev of the degree distribution — cheap, robust to zipf)."""
+    mean + 3x stddev of the degree distribution — cheap, robust to zipf).
+
+    The result is broadcast-joined by the permutation writers, so it is
+    capped at ``max_hubs`` rows (highest degree first) no matter how the
+    distribution shapes up: a near-uniform corpus must never turn the
+    whole subject set into a broadcast. TakeOrderedAndProject keeps the
+    cap a per-partition top-k + tiny merge, never a global sort."""
     deg = triples.groupBy("s").agg(F.count("*").alias("deg"))
     if min_degree is None:
         row = deg.agg(F.mean("deg").alias("m"), F.stddev_pop("deg").alias("sd")).first()
         min_degree = int((row["m"] or 0) + 3 * (row["sd"] or 0)) + 1
-    return deg.filter(F.col("deg") >= min_degree).select("s", "deg")
+    return (
+        deg.filter(F.col("deg") >= min_degree)
+        .orderBy(F.desc("deg"))
+        .limit(max_hubs)
+        .select("s", "deg")
+    )
 
 
 def write_permutations(
@@ -207,8 +220,14 @@ def write_permutations_unified(
         r = triples.agg(
             F.min("s"), F.max("s"), F.min("p"), F.max("p"), F.min("o"), F.max("o")
         ).first()
+        # non-negativity is REQUIRED, not just 32-bit width: the packed
+        # layout below assumes every component is in [0, 2^31) — a negative
+        # c1/c3 would borrow into the perm/c2 bits of the packed longs and
+        # corrupt the tag and the (c2,c3) sort order. Callers passing
+        # downcast=True explicitly assert the same invariant (dense vocab
+        # ranks are non-negative by construction).
         vals = [v for v in r if v is not None]
-        downcast = all(-(2**31) <= v < 2**31 for v in vals)
+        downcast = all(0 <= v < 2**31 for v in vals)
     if hubs is None:
         hubs = hub_subjects(triples).select("s")
     hubs_b = F.broadcast(hubs.select("s").withColumn("_is_hub", F.lit(True)))

@@ -137,8 +137,21 @@ def run_pipeline_fast(
     }
     n_s, n_p, n_o = (int(vinfo[r]["n"]) if r in vinfo else 0 for r in ("s", "p", "o"))
     srow = vinfo.get("s")
-    thr = float((srow["m"] or 0) + 3 * (srow["sd"] or 0)) if srow else 0.0
-    hubs = vocabs["s"].filter(F.col("cnt") >= thr).select(F.col("id").alias("s"))
+    # STRICT threshold (int(m+3sd)+1, matching permutations.hub_subjects):
+    # `cnt >= m+3sd` with a float threshold marks the ENTIRE vocab as hubs
+    # on near-uniform corpora (sd≈0 → thr==every count) — that hub frame is
+    # F.broadcast()-joined in write_permutations_unified, so a vocab-sized
+    # broadcast would OOM at scale. The top-k cap bounds the broadcast
+    # unconditionally (TakeOrderedAndProject: per-partition top-k + merge,
+    # never a global sort); 64k hubs x 8 salts covers any realistic head.
+    thr = int((srow["m"] or 0) + 3 * (srow["sd"] or 0)) + 1 if srow else 1
+    hubs = (
+        vocabs["s"]
+        .filter(F.col("cnt") >= thr)
+        .orderBy(F.desc("cnt"))
+        .limit(65536)
+        .select(F.col("id").alias("s"))
+    )
     # overlap the write (the pipeline's largest tail block) with the
     # counter jobs: Spark's scheduler runs jobs from separate driver
     # threads concurrently; the counters touch only checkpointed frames.

@@ -107,9 +107,13 @@ def run_querylog_batched(
     out: DataFrame | None = None
     for mask, items in by_mask.items():
         bound = [c for c, m in zip(("s", "p", "o"), mask) if m]
-        from .router import _ROUTE
+        from .router import _ROUTE, _best_available
 
-        table = tables[_ROUTE[mask]]
+        # reduced variants (2tp/2to/3t) may lack the preferred permutation;
+        # the equi-join on bound columns is order-independent, so ANY
+        # materialized permutation answers the class — _best_available picks
+        # the one whose sort order prunes best (same fallback as select()).
+        table = tables[_best_available(tables, _ROUTE[mask], set(bound))]
         if not bound:  # ??? — full scan once, each such query sees it all
             for qid, _ in items:
                 part = table.select(F.lit(qid).cast("long").alias("qid"), "s", "p", "o")

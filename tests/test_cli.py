@@ -21,13 +21,13 @@ NT = """\
 """
 
 
-def _run(*argv: str) -> subprocess.CompletedProcess:
+def _run(*argv: str, cwd: str = REPO) -> subprocess.CompletedProcess:
     env = {**os.environ, "PYTHONPATH": REPO, "SPARK_GRAFT_DRIVER_MEM": "4g"}
     return subprocess.run(
         [sys.executable, "-m", "rdf_indexes_spark", "--cores", "4", *argv],
         capture_output=True,
         text=True,
-        cwd=REPO,
+        cwd=cwd,
         env=env,
         timeout=300,
     )
@@ -80,8 +80,11 @@ def test_cli_queries_and_build_permutation(built_index):
 
 
 def test_cli_build_transcripts(tmp_path):
-    """build --format transcripts: full KG pipeline via CLI, index layout
-    complete (perms5 link, stats.txt, vocab files)."""
+    """build --format transcripts with a RELATIVE --out: full KG pipeline
+    via CLI, index layout complete AND consumable — the perms5 symlink must
+    resolve from the link's own directory (a target of os.path.join(out,..)
+    broke every relative --out), statistics must find <index>/stats, and
+    queries must run through the symlinked layout."""
     import sys as _sys
 
     _sys.path.insert(0, REPO)
@@ -93,14 +96,56 @@ def test_cli_build_transcripts(tmp_path):
     spark.createDataFrame(generate(300, seed=3).transcripts).write.parquet(src)
     spark.stop()
 
-    idx = str(tmp_path / "idx")
-    r = _run("build", "--input", src, "--format", "transcripts", "--out", idx)
+    # RELATIVE --out, resolved against the subprocess cwd
+    r = _run("build", "--input", src, "--format", "transcripts", "--out", "idx", cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep["num_triples"] > 0
-    assert os.path.isdir(os.path.join(idx, "perms5", "perm=1")) or os.path.islink(
-        os.path.join(idx, "perms5")
-    )
+    idx = str(tmp_path / "idx")
+    link = os.path.join(idx, "perms5")
+    assert os.path.isdir(link), "perms5 symlink must resolve"  # follows links
+    assert os.path.isdir(os.path.join(idx, "stats"))
     with open(os.path.join(idx, "stats.txt")) as f:
         assert len(f.read().split()) == 7
     assert os.path.isdir(os.path.join(idx, "vocabs", "s_vocab"))
+
+    # statistics reads <index>/stats + walks the perms5 link
+    r = _run("statistics", "--index", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = dict(
+        line.split(": ") for line in r.stdout.splitlines() if ": " in line and "perm " not in line
+    )
+    assert int(out["num_triples"]) == rep["num_triples"]
+
+    # sampled + stamped workload through the symlinked index
+    # (reference driver flags -n/-w/perm, src/queries.cpp:50-93)
+    r = _run("queries", "--index", idx, "-n", "5", "-w", "1", "--perm", "spo", "--batched")
+    assert r.returncode == 0, r.stderr[-2000:]
+    qrep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert qrep["queries"] == 5
+    assert qrep["triples"] >= 5  # S P ? supersets each sampled triple
+
+
+def test_cli_reduced_variant_batched_queries(tmp_path):
+    """A reduced 2tp index (SPO+POS only) must answer EVERY wildcard class
+    in --batched mode via the router's longest-bound-prefix fallback —
+    ??O and S?O route to the absent osp table and must fall back, not
+    KeyError (the equi-join on bound columns is order-independent)."""
+    d = tmp_path
+    nt = d / "fixture.nt"
+    nt.write_text(NT)
+    idx = str(d / "idx2tp")
+    r = _run("build", "--input", str(nt), "--format", "nt", "--out", idx, "--variant", "2tp")
+    assert r.returncode == 0, r.stderr[-2000:]
+    # only spo+pos on disk
+    perms_on_disk = {e for e in os.listdir(os.path.join(idx, "perms5")) if e.startswith("perm=")}
+    assert perms_on_disk == {"perm=1", "perm=2"}
+    qf = d / "queries.txt"
+    # ??O (osp route, absent), S?O (osp route, absent), ?PO (pos, present)
+    qf.write_text("-1 -1 0\n0 -1 0\n-1 0 0\n")
+    r = _run("queries", "--index", idx, "--queries", str(qf), "--batched")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["queries"] == 3
+    # o=0 is ex/o1 (2 triples: s1 p1 o1, s2 p2 o1); S=0?O=0 -> 1; ?P=0 O=0 -> 1
+    assert rep["triples"] == 2 + 1 + 1

@@ -158,3 +158,129 @@ def test_parity_on_generated_corpus(spark, tmp_path):
         for r in encoded.orderBy("conv_id").select("s", "p", "o").collect()
     ]
     assert ours_mapped == ref["mapped.unsorted"]
+
+
+def _gen_nq_lines(n: int, seed: int) -> list[str]:
+    import random
+
+    rng = random.Random(seed)
+    lines = []
+    for _ in range(n):
+        s = f"http://ex/s{int(rng.paretovariate(1.2)) % 61}"
+        p = f"http://ex/p{rng.randrange(5)}"
+        if rng.random() < 0.25:
+            o = f'"lit {rng.randrange(30)}"@en'
+        else:
+            o = f"<http://ex/o{int(rng.paretovariate(1.1)) % 127}>"
+        lines.append(f"<{s}> <{p}> {o} <http://g/{rng.randrange(3)}> .")
+    return lines
+
+
+def _run_ref_scripts(nq_path, cwd, extract_args=("-S", "-P", "-O"), shim: str | None = None):
+    shim_src = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "rdf_indexes_spark", "functions", "mmh3_compat.py",
+    )
+    if shim == "real":
+        # our mmh3_compat doubles as an mmh3 shim — lets the reference's
+        # --hash path execute unmodified without the C extension
+        import shutil
+
+        shutil.copy(shim_src, os.path.join(cwd, "mmh3.py"))
+    else:
+        with open(os.path.join(cwd, "mmh3.py"), "w") as f:
+            f.write("def hash64(*a, **k):\n    raise NotImplementedError\n")
+    env = {**os.environ, "PYTHONPATH": f"{cwd}{os.pathsep}{REF_SCRIPTS}"}
+    for script, extra in (("extract_vocabs.py", list(extract_args)), ("map_dataset.py", [])):
+        if script == "map_dataset.py" and "--hash" in extract_args:
+            continue  # the reference's map --hash double-hashes vocab lines (see test docstring)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REF_SCRIPTS, script), str(nq_path), *extra],
+            capture_output=True, text=True, env=env, cwd=cwd, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr
+
+
+def _read_vocab_dir(out: str) -> list[str]:
+    ours: list[str] = []
+    for fname in sorted(os.listdir(out)):
+        if fname.startswith("part-"):
+            ours.extend(open(os.path.join(out, fname)).read().splitlines())
+    return ours
+
+
+def test_parity_multifile_nq(spark, tmp_path):
+    """Multi-FILE corpus parity: 3 .nq.gz shards read as a directory must
+    produce byte-identical vocabs to the reference scanning the shards
+    CONCATENATED IN NAME ORDER (gzip members concatenate; the engine's
+    line_no contract is name-ordered per-file offsets, not Spark's
+    size-ordered split packing). The zipf reuse ACROSS shards makes
+    frequency ties that only the cross-file first-occurrence order can
+    break correctly."""
+    if not os.path.isdir(REF_SCRIPTS):
+        pytest.skip("reference scripts not available")
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    blobs = []
+    for i in range(3):
+        lines = _gen_nq_lines(700, seed=100 + i)
+        blob = ("\n".join(lines) + "\n").encode()
+        with gzip.open(shard_dir / f"c{i}.nq.gz", "wb") as f:
+            f.write(blob)
+        blobs.append(blob)
+    concat = tmp_path / "concat.nq.gz"
+    # reference view: one stream == shards concatenated in NAME order
+    with open(concat, "wb") as f:
+        for i in range(3):
+            f.write(open(shard_dir / f"c{i}.nq.gz", "rb").read())
+    _run_ref_scripts(concat, tmp_path)
+    prefix = str(concat)[: -len(".gz")]
+    ref = {suf: open(prefix + "." + suf).read().splitlines()
+           for suf in ("subjects_vocab", "predicates_vocab", "objects_vocab", "mapped.unsorted")}
+
+    mentions = rdf_to_mentions(read_ntriples(spark, str(shard_dir), fmt="nq"))
+    vocabs = enc.build_vocabs(mentions)
+    for role, suf in (("s", "subjects_vocab"), ("p", "predicates_vocab"), ("o", "objects_vocab")):
+        out = str(tmp_path / f"mf_{role}")
+        perm.export_vocab_text(vocabs[role], out, num_partitions=3)
+        assert _read_vocab_dir(out) == ref[suf], f"vocab {role}"
+    encoded, quarantine = enc.encode_mentions(mentions, vocabs)
+    assert quarantine.count() == 0
+    ours_mapped = [
+        f"{r.s} {r.p} {r.o}"
+        for r in encoded.orderBy("conv_id").select("s", "p", "o").collect()
+    ]
+    assert ours_mapped == ref["mapped.unsorted"]
+
+
+def test_parity_hash_mode_mmh3(spark, tmp_path):
+    """--hash mode byte-parity (/root/reference/scripts/extract_vocabs.py:
+    49-52): vocab files hold str(uint64 mmh3.hash64[0]) per line in
+    freq-desc/first-occurrence order. The reference script runs with our
+    mmh3_compat as the `mmh3` module (same published test vectors); ours
+    is build_vocab(hash_ids=True, hash_fn='mmh3'). map_dataset --hash is
+    NOT exercised: the reference's map step re-hashes the already-hashed
+    vocab lines (map_dataset.py:19-24 vs extract_vocabs.py:49-52), so its
+    dict lookups can never hit — extract's vocab files are the only
+    well-defined --hash artifact."""
+    if not os.path.isdir(REF_SCRIPTS):
+        pytest.skip("reference scripts not available")
+    lines = _gen_nq_lines(900, seed=7)
+    nq = tmp_path / "hash.nq.gz"
+    with gzip.open(nq, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    _run_ref_scripts(nq, tmp_path, extract_args=("-S", "-P", "-O", "--hash"), shim="real")
+    prefix = str(nq)[: -len(".gz")]
+    ref = {suf: open(prefix + "." + suf).read().splitlines()
+           for suf in ("subjects_vocab", "predicates_vocab", "objects_vocab")}
+
+    mentions = rdf_to_mentions(read_ntriples(spark, str(nq), fmt="nq"))
+    for role, col, suf in (
+        ("s", "cs", "subjects_vocab"),
+        ("p", "pred", "predicates_vocab"),
+        ("o", "co", "objects_vocab"),
+    ):
+        vocab = enc.build_vocab(mentions, col, hash_ids=True, hash_fn="mmh3")
+        out = str(tmp_path / f"h_{role}")
+        perm.export_vocab_text(vocab, out, num_partitions=2)
+        assert _read_vocab_dir(out) == ref[suf], f"hash vocab {role}"
