@@ -410,6 +410,16 @@ def _q_e5_rank_remap(spark, sf_dir):
     return rank_remap(_derived_triples(spark, sf_dir))
 
 
+def _q_e5_rank_decode(spark, sf_dir):
+    """pef_r round-trip through the driver gate: remap POS subjects to
+    OSP-relative ranks, then decode them back (rank_remap_decode) — the
+    result must equal the triple set itself (oracle: SELECT s,p,o)."""
+    from rdf_indexes_spark.operators.permutations import rank_remap, rank_remap_decode
+
+    t = _derived_triples(spark, sf_dir)
+    return rank_remap_decode(rank_remap(t), t)
+
+
 def _q_d2_space_stats(spark, sf_dir):
     """Rows-only (byte sizes depend on parquet writer version/fs): write
     the unified permutation layout for the derived triples, report bpt."""
@@ -474,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b3_hash_ids": _q_b3_hash_ids,
         "dedup_simhash_near": _q_simhash_near,
         "e5_rank_remap": _q_e5_rank_remap,
+        "e5_rank_decode": _q_e5_rank_decode,
         "d2_space_stats": _q_d2_space_stats,
         "f1_member_position": _q_f1_member_position,
     }
@@ -656,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT o, s, CAST(row_number() OVER (PARTITION BY o ORDER BY s) - 1 AS BIGINT) AS s_rank "
         "FROM (SELECT DISTINCT o, s FROM t)) r USING (o, s)"
     )
+    sql["e5_rank_decode"] = _with_triples("SELECT s, p, o FROM t")
     sql["dedup_embedding_cosine"] = (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
         "SELECT a.vec_id AS a, b.vec_id AS b FROM v a JOIN v b ON a.vec_id < b.vec_id "

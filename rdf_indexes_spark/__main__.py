@@ -70,6 +70,11 @@ def cmd_build(args) -> int:
         )
         if args.variant == "2to":  # the 2to variant pairs with the p_index
             perm.p_index(triples).write.mode("overwrite").parquet(os.path.join(out, "p_index"))
+        if args.variant == "pef_r":
+            # the rank-remapped POS table (pef_r_3t's compressed layout,
+            # include/types.hpp:70-77); read back via rank_remap_decode +
+            # the osp permutation
+            perm.rank_remap(triples).write.mode("overwrite").parquet(os.path.join(out, "pos_r"))
         stats = perm.compute_stats(triples)
         stats.write.mode("overwrite").parquet(os.path.join(out, "stats"))
         for role, v in vocabs.items():
@@ -216,8 +221,8 @@ def main(argv=None) -> int:
     b.add_argument(
         "--variant",
         default="5p",
-        choices=["5p", "3t", "2tp", "2to"],
-        help="index variant: which permutations to materialize (reference index_3t/2tp/2to)",
+        choices=["5p", "3t", "2tp", "2to", "pef_r"],
+        help="index variant: which permutations to materialize (reference index_3t/2tp/2to/pef_r_3t)",
     )
     b.add_argument("--partitions", type=int, default=None)
     b.set_defaults(fn=cmd_build)

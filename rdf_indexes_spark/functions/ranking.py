@@ -84,25 +84,32 @@ def dense_ids_grouped(
     order_cols: list[Column | str],
     id_col: str = "id",
     num_partitions: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """dense_ids, independently per value of ``group_col``, in ONE pass:
     range-partition by (group, order...), per-(group, partition) counts →
     driver prefix-sum per group → partition-local row_number + offset.
 
     Used to rank the three vocab roles (s/p/o) with a single shuffle +
-    a single tiny collect instead of three separate rank pipelines."""
+    a single tiny collect instead of three separate rank pipelines.
+
+    eager=True materializes the result (eager localCheckpoint — safe for
+    concurrent downstream consumers) and UNPERSISTS the two intermediate
+    caches before returning, so looping callers don't accumulate
+    vocab-scale frames in executor memory. eager=False returns lazily and
+    the intermediates stay cached (the output plan reads them)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # same sampling-pass double-compute as dense_ids: cut the input once
-    df = df.localCheckpoint(eager=True)
+    # cache the input once: the RangePartitioner's sampling pass executes
+    # the child plan and the exchange executes it AGAIN — a persist makes
+    # the second execution a cache hit (and, unlike localCheckpoint, can
+    # be dropped in the eager branch below).
+    df = df.persist()
     ranged = df.repartitionByRange(n, F.col(group_col), *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     # persist: the range shuffle is reused by the counts collect AND the
     # output join below, and partition assignment must be STABLE across
-    # the two jobs. Intentionally not unpersisted here (the output is
-    # returned lazily); the frame is vocab-sized, callers that loop should
-    # unpersist via df.sparkSession.catalog.clearCache() or use
-    # grouped_rank (which manages its own cut).
+    # the two jobs.
     ranged = ranged.persist()
     rows = (
         ranged.groupBy(group_col, "_pid").agg(F.count("*").alias("cnt")).collect()
@@ -121,12 +128,17 @@ def dense_ids_grouped(
         df.sparkSession, offsets, [(group_col, group_type), ("_pid", "int"), ("_off", "long")]
     )
     w = Window.partitionBy(group_col, "_pid").orderBy(*order_cols)
-    return (
+    out = (
         ranged.withColumn("_rn", F.row_number().over(w) - 1)
         .join(F.broadcast(off_df), [group_col, "_pid"])
         .withColumn(id_col, (F.col("_rn") + F.col("_off")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        ranged.unpersist()
+        df.unpersist()
+    return out
 
 
 def grouped_rank(

@@ -149,12 +149,13 @@ def build_vocabs_fused(canonical_mentions: DataFrame, with_ranked: bool = False)
     # EAGER cut: the three role views feed three CONCURRENT broadcast
     # builds in encode_mentions — a lazy checkpoint caches only after the
     # first partition computes, so concurrent consumers would each re-run
-    # the window+offset-join tail (the repo's eager-vs-lazy rule). The
-    # eager job is cheap: dense_ids_grouped already persisted its input
-    # shuffle.
+    # the window+offset-join tail (the repo's eager-vs-lazy rule).
+    # dense_ids_grouped(eager=True) owns the cut AND drops its two
+    # intermediate caches once the result is materialized, so looping
+    # vocab builds don't accumulate vocab-scale frames.
     ranked = dense_ids_grouped(
-        freq, "role", [F.desc("cnt"), F.asc("first_pos")], id_col="id"
-    ).localCheckpoint(eager=True)
+        freq, "role", [F.desc("cnt"), F.asc("first_pos")], id_col="id", eager=True
+    )
     vocabs = {
         role: ranked.filter(F.col("role") == role).select("term", "id", "cnt")
         for role in ("s", "p", "o")

@@ -45,6 +45,10 @@ VARIANT_PERMS: dict[str, tuple[str, ...]] = {
     "3t": ("spo", "pos", "osp"),
     "2tp": ("spo", "pos"),
     "2to": ("spo", "ops"),
+    # pef_r_3t (include/types.hpp:70-77): the 3t trio, PLUS a rank-remapped
+    # POS table (pos_r, written by the CLI next to perms5) whose subjects
+    # are OSP-relative ranks — decoded back via rank_remap_decode.
+    "pef_r": ("spo", "pos", "osp"),
 }
 
 STATS_COLS = [
@@ -435,6 +439,25 @@ def rank_remap(triples: DataFrame) -> DataFrame:
         .repartitionByRange("p", "o")
         .sortWithinPartitions("p", "o", "s_rank")
     )
+
+
+def rank_remap_decode(remapped: DataFrame, osp: DataFrame) -> DataFrame:
+    """Inverse of rank_remap — the read path of the pef_r_3t layout: the
+    reference stores POS third-level subjects as ranks and maps them back
+    through the OSP trie's per-object subject list on access
+    (sorted_array_mapper wired to the OSP trie,
+    /root/reference/include/mappers.hpp:21-45 +
+    /root/reference/include/index_3t.hpp:30-31). Relationally: recompute
+    the per-object dense subject rank over OSP's distinct (o, s) — the
+    same distributed grouped rank the encoder used — and join the
+    remapped (p, o, s_rank) rows back to (s, p, o). Exact round-trip:
+    rank_remap_decode(rank_remap(t), t) == t."""
+    from ..functions.ranking import grouped_rank
+
+    subj = grouped_rank(
+        osp.select("o", "s").dropDuplicates(["o", "s"]), "o", ["s"], id_col="s_rank"
+    )
+    return remapped.join(subj, ["o", "s_rank"]).select("s", "p", "o")
 
 
 def space_stats(spark: SparkSession, out_dir: str, num_triples: int) -> DataFrame:

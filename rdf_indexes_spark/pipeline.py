@@ -36,6 +36,61 @@ from .operators.link import candidate_edges
 from pyspark.sql import functions as F
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    return set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+
+
+def _unpersist_created_since(spark: SparkSession, before: set[int]) -> None:
+    """Drop every RDD persisted after the ``before`` snapshot (persist()s,
+    eager and lazy localCheckpoints alike). The pipelines call this on
+    exit: nothing lazy escapes them (run_pipeline_fast returns plain
+    counters; run_pipeline's Artifacts frames are parquet-backed reads),
+    so long-running sessions that loop builds hold zero leftover cache."""
+    for rid, jrdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).items():
+        if rid not in before:
+            jrdd.unpersist(False)
+
+
+def _vocab_hints(ranked: DataFrame, vocab_s: DataFrame):
+    """ONE tiny job over the materialized fused-vocab frame answers three
+    questions at once (shared by the fast and resumable paths):
+     - vocab sizes: ids are dense 0..|vocab|-1, so ALL components fit
+       int32 iff every vocab is < 2^31 terms → write-side downcast decided
+       with no extra scan of the triples;
+     - distinct s/p/o of the deduped triples == the vocab sizes (dedup
+       drops duplicate rows, never a term's last row) — no countDistinct
+       expand needed;
+     - hub subjects from the s-vocab's frequency column (mention count >=
+       triple degree, so every true triple hub is caught), saving the
+       degree-census groupBy inside the permutation write. STRICT
+       threshold int(m+3sd)+1 (near-uniform corpora must not hub the
+       whole vocab) + a top-64k cap bounding the broadcast
+       unconditionally (TakeOrderedAndProject, never a global sort).
+
+    Returns (sizes = {role: n}, hubs DataFrame[s], downcast bool)."""
+    vinfo = {
+        r["role"]: r
+        for r in ranked.groupBy("role")
+        .agg(
+            F.count("*").alias("n"),
+            F.mean("cnt").alias("m"),
+            F.stddev_pop("cnt").alias("sd"),
+        )
+        .collect()
+    }
+    sizes = {r: (int(vinfo[r]["n"]) if r in vinfo else 0) for r in ("s", "p", "o")}
+    srow = vinfo.get("s")
+    thr = int((srow["m"] or 0) + 3 * (srow["sd"] or 0)) + 1 if srow else 1
+    hubs = (
+        vocab_s.filter(F.col("cnt") >= thr)
+        .orderBy(F.desc("cnt"))
+        .limit(65536)
+        .select(F.col("id").alias("s"))
+    )
+    downcast = max(sizes.values()) < 2**31
+    return sizes, hubs, downcast
+
+
 @dataclass
 class Artifacts:
     workdir: str
@@ -78,6 +133,7 @@ def run_pipeline_fast(
     # consumed strictly sequentially stay LAZY and piggyback on their
     # first consumer's job. Net: ~10 jobs for the whole pipeline.
     n = num_partitions or spark.sparkContext.defaultParallelism
+    _cache_snapshot = _persistent_rdd_ids(spark)
     # DATA-SCALE frames (mentions, canon) cache as COLUMNAR persist(), not
     # localCheckpoint: RDD-row checkpoint storage of a 10^8-mention frame
     # fills every executor heap and GC-thrashes wide clusters (profiled at
@@ -114,50 +170,13 @@ def run_pipeline_fast(
     # triples CONCURRENTLY (separate driver threads) — the concurrent-
     # consumer rule again; the dedup shuffle would otherwise run twice.
     triples = perm.dedup_triples(encoded).localCheckpoint(eager=True)
-    # ONE tiny job over the (eager-checkpointed) ranked frame answers
-    # three questions at once:
-    #  - vocab sizes: ids are dense 0..|vocab|-1, so ALL components fit
-    #    int32 iff every vocab is < 2^31 terms → write-side downcast
-    #    decided with no extra scan of the triples;
-    #  - distinct s/p/o of the deduped triples == the vocab sizes (dedup
-    #    drops duplicate rows, never a term's last row), so the expensive
-    #    countDistinct expand the old counter path ran is unnecessary;
-    #  - hub subjects from the s-vocab's frequency column (mention count
-    #    >= triple degree, so every true triple hub is caught; threshold
-    #    mean + 3*stddev), saving the degree-census groupBy in the write.
-    vinfo = {
-        r["role"]: r
-        for r in ranked.groupBy("role")
-        .agg(
-            F.count("*").alias("n"),
-            F.mean("cnt").alias("m"),
-            F.stddev_pop("cnt").alias("sd"),
-        )
-        .collect()
-    }
-    n_s, n_p, n_o = (int(vinfo[r]["n"]) if r in vinfo else 0 for r in ("s", "p", "o"))
-    srow = vinfo.get("s")
-    # STRICT threshold (int(m+3sd)+1, matching permutations.hub_subjects):
-    # `cnt >= m+3sd` with a float threshold marks the ENTIRE vocab as hubs
-    # on near-uniform corpora (sd≈0 → thr==every count) — that hub frame is
-    # F.broadcast()-joined in write_permutations_unified, so a vocab-sized
-    # broadcast would OOM at scale. The top-k cap bounds the broadcast
-    # unconditionally (TakeOrderedAndProject: per-partition top-k + merge,
-    # never a global sort); 64k hubs x 8 salts covers any realistic head.
-    thr = int((srow["m"] or 0) + 3 * (srow["sd"] or 0)) + 1 if srow else 1
-    hubs = (
-        vocabs["s"]
-        .filter(F.col("cnt") >= thr)
-        .orderBy(F.desc("cnt"))
-        .limit(65536)
-        .select(F.col("id").alias("s"))
-    )
+    sizes, hubs, downcast = _vocab_hints(ranked, vocabs["s"])
     # overlap the write (the pipeline's largest tail block) with the
     # counter jobs: Spark's scheduler runs jobs from separate driver
     # threads concurrently; the counters touch only checkpointed frames.
     from concurrent.futures import ThreadPoolExecutor
 
-    counters: dict[str, int] = {"distinct_subjects": n_s}
+    counters: dict[str, int] = {"distinct_subjects": sizes["s"]}
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut = pool.submit(
             perm.write_permutations_unified,
@@ -165,14 +184,14 @@ def run_pipeline_fast(
             out_dir,
             num_partitions=n,
             hubs=hubs,
-            downcast=max(n_s, n_p, n_o) < 2**31,
+            downcast=downcast,
         )
         counters["mentions"] = n_mentions
         counters["triples"] = triples.count()
         fut.result()
-    mentions.unpersist()
-    canon.unpersist()
-    triples.unpersist()
+    # drop every cache/checkpoint created during the run (nothing lazy
+    # escapes: the return value is a plain dict)
+    _unpersist_created_since(spark, _cache_snapshot)
     return counters
 
 
@@ -184,6 +203,7 @@ def run_pipeline(
     input_id: str = "",
 ) -> Artifacts:
     n = num_partitions or spark.sparkContext.defaultParallelism
+    _cache_snapshot = _persistent_rdd_ids(spark)
     store = StageStore(spark, workdir, config_fingerprint=_fingerprint("v1", str(n)))
     in_fp = _fingerprint("input", input_id)
 
@@ -222,18 +242,29 @@ def run_pipeline(
 
     triples, fp_t = store.run("triples", [fp_u], lambda: perm.dedup_triples(unsorted))
 
-    # permutations + stats keyed off the triples fingerprint
+    # permutations + stats keyed off the triples fingerprint. Same plan
+    # quality as run_pipeline_fast: vocab-derived hubs + downcast hints
+    # (one tiny agg over the parquet-backed ranked stage) spare the write
+    # its degree-census shuffle and min/max probe.
     perm_dir = os.path.join(workdir, "perms")
     perm_manifest = os.path.join(perm_dir, "_manifest.json")
     fp_p = _fingerprint("perms", fp_t)
     if not (os.path.exists(perm_manifest) and json.load(open(perm_manifest)).get("fingerprint") == fp_p):
-        perm.write_permutations_unified(triples, os.path.join(perm_dir, "perms5"), num_partitions=n)
+        _, hubs, downcast = _vocab_hints(ranked, vs)
+        perm.write_permutations_unified(
+            triples,
+            os.path.join(perm_dir, "perms5"),
+            num_partitions=n,
+            hubs=hubs,
+            downcast=downcast,
+        )
         stats_df = perm.compute_stats(triples)
         stats_df.write.mode("overwrite").parquet(os.path.join(perm_dir, "stats"))
         with open(perm_manifest, "w") as f:
             json.dump({"fingerprint": fp_p, "stage": "perms"}, f)
     tables = perm.read_permutations_unified(spark, os.path.join(perm_dir, "perms5"))
     stats = spark.read.parquet(os.path.join(perm_dir, "stats"))
+    _unpersist_created_since(spark, _cache_snapshot)  # Artifacts are parquet-backed
 
     return Artifacts(
         workdir=workdir,

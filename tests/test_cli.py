@@ -149,3 +149,34 @@ def test_cli_reduced_variant_batched_queries(tmp_path):
     assert rep["queries"] == 3
     # o=0 is ex/o1 (2 triples: s1 p1 o1, s2 p2 o1); S=0?O=0 -> 1; ?P=0 O=0 -> 1
     assert rep["triples"] == 2 + 1 + 1
+
+
+def test_cli_pef_r_variant(tmp_path):
+    """--variant pef_r: the 3t trio plus the rank-remapped POS table
+    (pef_r_3t, include/types.hpp:70-77). DuckDB plays the independent
+    decode oracle: re-rank OSP's per-object subject lists and join the
+    remapped rows back — must reproduce the SPO permutation exactly."""
+    import duckdb
+
+    nt = tmp_path / "fixture.nt"
+    nt.write_text(NT)
+    idx = str(tmp_path / "idxr")
+    r = _run("build", "--input", str(nt), "--format", "nt", "--out", idx, "--variant", "pef_r")
+    assert r.returncode == 0, r.stderr[-2000:]
+    on_disk = {e for e in os.listdir(os.path.join(idx, "perms5")) if e.startswith("perm=")}
+    assert on_disk == {"perm=1", "perm=2", "perm=3"}  # spo, pos, osp
+    assert os.path.isdir(os.path.join(idx, "pos_r"))
+    con = duckdb.connect()
+    spo = con.sql(
+        f"SELECT c1 AS s, c2 AS p, c3 AS o FROM read_parquet('{idx}/perms5/perm=1/*.parquet') ORDER BY 1, 2, 3"
+    ).fetchall()
+    back = con.sql(
+        f"""
+        WITH osp AS (SELECT c1 AS o, c2 AS s FROM read_parquet('{idx}/perms5/perm=3/*.parquet')),
+        r AS (SELECT o, s, CAST(row_number() OVER (PARTITION BY o ORDER BY s) - 1 AS BIGINT) AS s_rank
+              FROM (SELECT DISTINCT o, s FROM osp)),
+        m AS (SELECT p, o, s_rank FROM read_parquet('{idx}/pos_r/*.parquet'))
+        SELECT r.s, m.p, m.o FROM m JOIN r USING (o, s_rank) ORDER BY 1, 2, 3
+        """
+    ).fetchall()
+    assert [tuple(x) for x in back] == [tuple(x) for x in spo]

@@ -113,3 +113,14 @@ def test_embedding_blocked_matches_numpy_any_block_count(spark):
     for nb in (1, 4, 7):
         got = embedding_near_dup_blocked(emb, threshold=0.35, blocks=nb).toPandas()
         assert set(zip(got.a, got.b)) == want, f"blocks={nb}"
+
+
+def test_exact_dedup_never_shuffles_text(docs):
+    """Scale contract: the raw document text must not ride ANY exchange —
+    both the groupBy and the join-back key on the 128-bit fingerprint
+    (at 100 TB, text on the shuffle wire = the whole corpus twice)."""
+    plan = D.exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    assert "_h0" in plan  # fingerprint key actually drives the plan

@@ -227,3 +227,52 @@ def test_resume_rebuilds_only_invalidated_stage(spark, transcripts, workdir, art
     pd.testing.assert_frame_equal(a, b)
     # rebuilt manifest matches the original fingerprint chain
     assert _json.loads(open(victim).read())["fingerprint"] == _json.loads(saved)["fingerprint"]
+
+
+def test_fast_and_resumable_paths_identical(spark, transcripts, workdir, monkeypatch):
+    """The resumable path must ship the fast path's plan hints: identical
+    permutation parquet, and NEITHER path may run the degree-census
+    shuffle (hub_subjects) — hubs come from the already-ranked vocab."""
+    import rdf_indexes_spark.operators.permutations as perm_mod
+    from rdf_indexes_spark.operators.permutations import read_permutations_unified
+    from rdf_indexes_spark.pipeline import run_pipeline_fast
+
+    def _census_forbidden(*a, **k):
+        raise AssertionError("degree census ran: hubs hint not passed to the writer")
+
+    monkeypatch.setattr(perm_mod, "hub_subjects", _census_forbidden)
+    fast_dir = os.path.join(workdir, "unify_fast")
+    run_pipeline_fast(spark, transcripts, fast_dir)
+    art = run_pipeline(spark, transcripts, os.path.join(workdir, "unify_res"), input_id="u1")
+    fast = read_permutations_unified(spark, fast_dir)
+    assert set(fast) == set(art.permutations)
+    for name in fast:
+        a = sorted(tuple(r) for r in fast[name].collect())
+        b = sorted(tuple(r) for r in art.permutations[name].collect())
+        assert a == b, f"permutation {name} differs between paths"
+
+
+def test_no_leftover_caches_after_pipelines(spark, transcripts, workdir):
+    """Cache hygiene: sessions that loop builds must not accumulate
+    persisted frames — both pipeline paths drop every RDD they persisted
+    (persist()s and localCheckpoints) before returning."""
+    from rdf_indexes_spark.pipeline import _persistent_rdd_ids, run_pipeline_fast
+
+    before = _persistent_rdd_ids(spark)
+    run_pipeline_fast(spark, transcripts, os.path.join(workdir, "hyg_fast"))
+    assert _persistent_rdd_ids(spark) <= before
+    run_pipeline(spark, transcripts, os.path.join(workdir, "hyg_res"), input_id="h1")
+    assert _persistent_rdd_ids(spark) <= before
+
+
+def test_rank_remap_roundtrip(artifacts):
+    """pef_r layout round-trip (include/mappers.hpp:21-45): the remapped
+    (p, o, s_rank) table + the OSP permutation reconstruct the exact
+    triple set."""
+    from rdf_indexes_spark.operators.permutations import rank_remap, rank_remap_decode
+
+    t = artifacts.triples
+    back = rank_remap_decode(rank_remap(t), artifacts.permutations["osp"])
+    a = sorted(tuple(r) for r in back.select("s", "p", "o").collect())
+    b = sorted(tuple(r) for r in t.select("s", "p", "o").collect())
+    assert a == b
