@@ -48,7 +48,10 @@ N_EXEC_LO = max(1, N_EXEC_HI // 4)              # 4x fewer executors
 SHUFFLE_PARTITIONS = CPUS                        # FIXED across levels: sized
 # by data volume, not cluster size (the scale-correct rule) — and it keeps
 # per-task overhead identical at both levels.
-TRIALS = 3
+# min-of-trials per level: the efficiency is a ratio of two minima, so
+# its run-to-run spread shrinks with trial count (measured ±0.03 at 3
+# trials on this co-tenant host); 4 is the time/variance sweet spot.
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
 
 BENCH_QUERIES = [
     "b1_term_freq",
@@ -73,6 +76,9 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "e5_rank_remap",
+    "a7_querylog_batched",
 ]
 
 
@@ -200,7 +206,9 @@ def _gated_pair(corpus_path: str, warm_path: str, reprobe_budget: list[int]) -> 
     probe value is recorded so the artifact shows the conditions."""
     while True:
         ceiling = _quick_membw_ceiling()
-        if ceiling >= ACCEPT_CEILING or reprobe_budget[0] <= 0:
+        # >1 is as dirty as <0.7: capacity cannot scale superlinearly, so a
+        # ceiling above 1 means the LO probe itself ran in a crushed window
+        if ACCEPT_CEILING <= ceiling <= 1.25 or reprobe_budget[0] <= 0:
             break
         reprobe_budget[0] -= 1
         time.sleep(10)  # wait out the noisy window
@@ -223,22 +231,32 @@ def _cpu_probe() -> dict:
     predicts only ~1.4x — the membw probe captures the difference."""
     import multiprocessing as mp
 
+    # REPEATED, best-of probes: a single 1.5s sample can land in a stolen
+    # minute (observed: membw_lo collapsing 3x between runs) and poison the
+    # ceiling in BOTH directions. Best-case capacity per (class, width) is
+    # the stable hardware property; ceilings are clamped to 1.0 because
+    # capacity cannot scale superlinearly — above 1 is measurement noise.
     out: dict[str, dict[str, int]] = {"alu": {}, "membw": {}}
-    for n in (N_EXEC_LO * EXEC_CORES, N_EXEC_HI * EXEC_CORES):
-        with mp.Pool(n) as p:
-            out["alu"][str(n)] = sum(p.map(_burn, range(n)))
-        with mp.Pool(n) as p:
-            out["membw"][str(n)] = sum(p.map(_burn_mem, range(n)))
+    for _ in range(3):
+        for n in (N_EXEC_LO * EXEC_CORES, N_EXEC_HI * EXEC_CORES):
+            with mp.Pool(n) as p:
+                alu = sum(p.map(_burn, range(n)))
+            with mp.Pool(n) as p:
+                mem = sum(p.map(_burn_mem, range(n)))
+            out["alu"][str(n)] = max(out["alu"].get(str(n), 0), alu)
+            out["membw"][str(n)] = max(out["membw"].get(str(n), 0), mem)
     ratio = N_EXEC_HI / N_EXEC_LO
     lo_c, hi_c = (str(N_EXEC_LO * EXEC_CORES), str(N_EXEC_HI * EXEC_CORES))
     return {
         "iters_lo": out["alu"][lo_c],
         "iters_hi": out["alu"][hi_c],
-        "raw_scaling_ceiling": round((out["alu"][hi_c] / out["alu"][lo_c]) / ratio, 3),
+        "raw_scaling_ceiling": round(
+            min(1.0, (out["alu"][hi_c] / out["alu"][lo_c]) / ratio), 3
+        ),
         "membw_lo": out["membw"][lo_c],
         "membw_hi": out["membw"][hi_c],
         "membw_scaling_ceiling": round(
-            (out["membw"][hi_c] / max(1, out["membw"][lo_c])) / ratio, 3
+            min(1.0, (out["membw"][hi_c] / max(1, out["membw"][lo_c])) / ratio), 3
         ),
     }
 
@@ -282,11 +300,15 @@ def _time_queries(sf_dir: str) -> dict[str, float]:
     # pandas-UDF query touch both engines' cold paths.
     for warm_name in ("b1_term_freq", "dedup_simhash"):
         qs[warm_name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+    # two full passes, min per query: co-tenant minutes inflate a single
+    # pass 5-10x; the min is the engine, the spread is the neighbor
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            el = round(time.monotonic() - t0, 3)
+            out[name] = min(out.get(name, el), el)
     spark.stop()
     return out
 
@@ -311,9 +333,18 @@ def main() -> None:
     best: dict[int, dict] = {}
     trials: dict[int, list[float]] = {N_EXEC_HI: [], N_EXEC_LO: []}
     windows: list[float] = []
+    pair_effs: list[float] = []
     for _ in range(TRIALS):
         pair = _gated_pair(corpus_path, warm_path, reprobes)
         windows.append(pair["window_ceiling"])
+        pair_effs.append(
+            round(
+                (pair["hi"]["triples"] / pair["hi"]["elapsed_sec"])
+                / (pair["lo"]["triples"] / pair["lo"]["elapsed_sec"])
+                / (N_EXEC_HI / N_EXEC_LO),
+                3,
+            )
+        )
         for n_exec, r in ((N_EXEC_HI, pair["hi"]), (N_EXEC_LO, pair["lo"])):
             trials[n_exec].append(round(r["elapsed_sec"], 3))
             if n_exec not in best or r["elapsed_sec"] < best[n_exec]["elapsed_sec"]:
@@ -331,24 +362,32 @@ def main() -> None:
     curve = []
     if os.environ.get("SPARK_GRAFT_BENCH_CURVE", "1") != "0":
         for nt in (max(10_000, n_turns // 2), n_turns, n_turns * 4):
-            if nt == n_turns:
-                c_hi, c_lo, c_win = hi, lo, min(windows)
-            else:
-                cpath = _corpus_path(nt)
-                pair = _gated_pair(cpath, warm_path, reprobes)
-                c_hi, c_lo, c_win = pair["hi"], pair["lo"], pair["window_ceiling"]
-            t_hi = c_hi["triples"] / c_hi["elapsed_sec"]
-            t_lo = c_lo["triples"] / c_lo["elapsed_sec"]
-            curve.append(
-                {
-                    "n_turns": nt,
-                    "triples": c_hi["triples"],
-                    "sec_hi": round(c_hi["elapsed_sec"], 3),
-                    "sec_lo": round(c_lo["elapsed_sec"], 3),
-                    "efficiency": round((t_hi / t_lo) / (N_EXEC_HI / N_EXEC_LO), 3),
-                    "window_ceiling": c_win,
-                }
-            )
+            try:
+                if nt == n_turns:
+                    c_hi, c_lo, c_win = hi, lo, min(windows)
+                else:
+                    # two gated pairs, min per level — a single pair gives
+                    # the off-size points systematically worse minima than
+                    # the TRIALS-pair main point
+                    cpath = _corpus_path(nt)
+                    pairs = [_gated_pair(cpath, warm_path, reprobes) for _ in range(2)]
+                    c_hi = min((p["hi"] for p in pairs), key=lambda r: r["elapsed_sec"])
+                    c_lo = min((p["lo"] for p in pairs), key=lambda r: r["elapsed_sec"])
+                    c_win = min(p["window_ceiling"] for p in pairs)
+                t_hi = c_hi["triples"] / c_hi["elapsed_sec"]
+                t_lo = c_lo["triples"] / c_lo["elapsed_sec"]
+                curve.append(
+                    {
+                        "n_turns": nt,
+                        "triples": c_hi["triples"],
+                        "sec_hi": round(c_hi["elapsed_sec"], 3),
+                        "sec_lo": round(c_lo["elapsed_sec"], 3),
+                        "efficiency": round((t_hi / t_lo) / (N_EXEC_HI / N_EXEC_LO), 3),
+                        "window_ceiling": c_win,
+                    }
+                )
+            except Exception as e:  # a curve point must never cost the artifact
+                curve.append({"n_turns": nt, "error": str(e)[:200]})
 
     queries = _time_queries(SF_DIR)
 
@@ -386,6 +425,7 @@ def main() -> None:
                     "trials": TRIALS,
                     "trials_sec_hi": trials[N_EXEC_HI],
                     "trials_sec_lo": trials[N_EXEC_LO],
+                    "trial_pair_efficiencies": pair_effs,
                     "trial_window_ceilings": windows,
                     "accept_ceiling": ACCEPT_CEILING,
                     "curve": curve,

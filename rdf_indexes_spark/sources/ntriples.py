@@ -164,10 +164,9 @@ def rdf_to_mentions(parsed: DataFrame) -> DataFrame:
     the reference's pipeline is parse → vocab → map with no entity
     resolution (scripts/process.sh) — so parsed terms ARE canonical.
 
-    The line ordinal rides in conv_id as a zero-padded string (lex order
-    == numeric order): monotonically_increasing_id values carry partition
-    bits far beyond the packed-position widths of encode._attach_pos,
-    whereas conv_id is rank-normalized there for ANY string shape."""
+    The line number rides in conv_id as a zero-padded string (lex order
+    == numeric order); conv_id is rank-normalized in encode._attach_pos,
+    so any magnitude fits the packed-position widths there."""
     return parsed.select(
         F.lpad(F.col("line_no").cast("string"), 20, "0").alias("conv_id"),
         F.lit(0).alias("turn_idx"),

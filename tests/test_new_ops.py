@@ -323,3 +323,32 @@ def test_hash_id_pipeline_uses_wide_layout(spark, transcripts, workdir):
     for name in ("spo", "pos"):
         got = tables[name].toPandas().sort_values(["s", "p", "o"]).reset_index(drop=True)
         assert got.equals(want), name
+
+
+def test_hub_detection_uniform_corpus(spark):
+    """A near-uniform degree distribution (stddev ~ 0) must NOT mark the
+    whole subject set as hubs: hub_subjects' threshold is STRICTLY above
+    the mean (int(m+3sd)+1), and the broadcast side is capped. A zipf head
+    must still be caught."""
+    from rdf_indexes_spark.operators.permutations import hub_subjects
+    from rdf_indexes_spark.pipeline import _vocab_hints
+
+    # every subject appears exactly once -> zero hubs
+    uniform = spark.range(1000).selectExpr("id as s", "0L as p", "id as o")
+    assert hub_subjects(uniform).count() == 0
+
+    # same distribution through the pipeline's vocab-derived hint path
+    ranked = spark.range(1000).selectExpr(
+        "'s' as role", "cast(id as string) as term", "id", "1L as cnt"
+    )
+    vocab_s = ranked.select("term", "id", "cnt")
+    _, hubs, downcast = _vocab_hints(ranked, vocab_s)
+    assert hubs.count() == 0
+    assert downcast is True
+
+    # a genuine hub (one subject owning 30% of triples) is still detected
+    skewed = uniform.union(
+        spark.range(500).selectExpr("999999L as s", "1L as p", "id as o")
+    )
+    got = hub_subjects(skewed)
+    assert [r["s"] for r in got.collect()] == [999999]
