@@ -187,6 +187,20 @@ def cmd_queries(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-level scan/access/find microbench (the reference's `./profile`
+    driver, benchmark/profile.cpp:40-288) — json lines per (trie, level)."""
+    from .plans.profile import profile_index
+
+    spark = _spark(args)
+    rows = profile_index(
+        spark, args.index, num_queries=args.num_queries or 1000, runs=args.runs
+    )
+    for r in rows:
+        print(json.dumps(r))
+    return 0
+
+
 def cmd_statistics(args) -> int:
     from .operators import permutations as perm
 
@@ -262,6 +276,12 @@ def main(argv=None) -> int:
     s = sub.add_parser("statistics", help="print the 7-count stats + per-permutation space")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_statistics)
+
+    p = sub.add_parser("profile", help="per-level scan/access/find microbench (json lines)")
+    p.add_argument("--index", required=True)
+    p.add_argument("-n", "--num-queries", type=int, default=1000)
+    p.add_argument("--runs", type=int, default=3)
+    p.set_defaults(fn=cmd_profile)
 
     args = ap.parse_args(argv)
     return args.fn(args)

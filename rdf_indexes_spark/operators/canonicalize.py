@@ -51,7 +51,11 @@ def _propagate(sym_id: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 25, fixed_rounds: int | None = None
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+    fixed_rounds: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """nodes(surface) + edges(a,b) → (surface, component) with component =
     lexicographic-min surface reachable from each node.
@@ -62,8 +66,41 @@ def connected_components(
     any label still moves, k was below the component diameter and the
     loop continues to the fixpoint instead of silently under-merging.
     The default (None) is the general fixpoint loop with per-round
-    lineage checkpoints — the 10^12-edge-safe path."""
+    lineage checkpoints — the 10^12-edge-safe path.
+
+    num_partitions sizes the loop's exchanges by the LINK GRAPH (callers
+    pass an edge-count-derived value), not the session default: the loop
+    is ~2 stage waves per round over graph-sized state, so surplus
+    partitions are pure task-dispatch latency repeated every round — a
+    fixed cost identical at every cluster size. The aggregations inside
+    the rounds follow spark.sql.shuffle.partitions, and every CC stage
+    executes inside this function's verification job (the k-round plan +
+    lazy checkpoints all materialize there), so the conf is scoped to
+    the function body and restored on exit — keeping ALL loop exchanges
+    at num_partitions so each round's join stays co-partitioned (a
+    mismatch would re-exchange the labels side every round)."""
     salt_k = 16
+    spark = nodes.sparkSession
+    _conf_key = "spark.sql.shuffle.partitions"
+    _old_parts = spark.conf.get(_conf_key)
+    if num_partitions:
+        spark.conf.set(_conf_key, str(num_partitions))
+    try:
+        return _connected_components_body(
+            nodes, edges, max_iter, fixed_rounds, num_partitions, salt_k
+        )
+    finally:
+        spark.conf.set(_conf_key, _old_parts)
+
+
+def _connected_components_body(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int,
+    fixed_rounds: int | None,
+    num_partitions: int | None,
+    salt_k: int,
+) -> DataFrame:
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
@@ -77,7 +114,14 @@ def connected_components(
         # (profiled: the single largest serial-floor item). One hash
         # exchange on the join key collapses it; rounds then join
         # co-partitioned sides.
-        nparts = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # partitions sized by the LINK GRAPH, not the cluster (callers pass
+        # edge-count-derived num_partitions): the loop is ~2 stage waves
+        # per round over graph-sized state, so surplus partitions are pure
+        # task-dispatch latency — a per-round fixed cost identical at
+        # every cluster size (the serial-floor shape again).
+        nparts = num_partitions or int(
+            nodes.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
         sym_id = (
             sym.unionByName(
                 nodes.select(F.col("surface").alias("src"), F.col("surface").alias("dst"))
@@ -106,7 +150,9 @@ def connected_components(
             labels = nxt  # under-converged: keep propagating to fixpoint
             rounds += 1
         return labels
-    nparts = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = num_partitions or int(
+        nodes.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     sym = sym.repartition(nparts, "dst").persist()
     labels = nodes.select(F.col("surface"), F.col("surface").alias("component")).localCheckpoint()
     for _ in range(max_iter):

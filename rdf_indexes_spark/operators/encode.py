@@ -15,53 +15,50 @@ Reference semantics reproduced exactly:
 Corpus scan order for us is the stable (conv_id, turn_idx, mention_idx)
 tuple — the input-ordering invariant makes it reproducible, unlike
 monotonically_increasing_id.
+
+First-occurrence is aggregated as ``min(struct(conv_id, turn_idx,
+mention_idx))`` — struct ordering is field-wise lexicographic, exactly
+the corpus scan order, for ANY conv_id string shape (UTF-8 binary order
+== codepoint order). A struct aggregation buffer means SortAggregate,
+which here is the CHEAP plan: the partial phase is a per-partition sort
+with NO shuffle of the raw stream, and its output is bounded by
+|vocab| x #partitions — so the exchange ships vocab-scale rows, not
+corpus-scale. (The previous design globally dense-ranked the distinct
+conv_ids and shuffle-hash-joined the rank back onto the corpus to keep
+the agg in HashAggregate; that cost a conversation-count rank job chain
+plus a full-corpus shuffle — profiled at ~2s + ~1 GB of wire per build
+against the sort's per-partition pass, and it was the pipeline's
+largest NON-scaling block.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.ranking import dense_ids
 
 _POS = ["conv_id", "turn_idx", "mention_idx"]
 
-# packed corpus-position widths: conv rank 34 bits (17B conversations),
-# turn_idx 16 bits (65k turns/conversation), mention_idx 14 bits
-# (16k mentions/turn) — documented engine limits, far above any real
-# transcript corpus shape.
-_TURN_BITS, _MENTION_BITS = 16, 14
+
+def _pos_struct() -> Column:
+    """Corpus-scan-order key: orderable struct, min() == first occurrence."""
+    return F.struct("conv_id", "turn_idx", "mention_idx")
 
 
-def _attach_pos(canonical_mentions: DataFrame) -> DataFrame:
-    """Add ``_pos``: a LONG encoding the (conv_id, turn_idx, mention_idx)
-    corpus order. Why not min(struct(...)) directly: non-primitive (and
-    string) aggregation buffers force SortAggregate — a per-partition
-    SORT of the full melted stream (~3 rows per mention), profiled as the
-    single most expensive stage of the pipeline. A packed long keeps the
-    frequency+first-occurrence aggregation in pure HashAggregate.
-
-    conv_id (arbitrary string) becomes a dense rank in string order via
-    the two-phase ranker over the DISTINCT conv ids (conversation-count-
-    sized), then a shuffle-hash join (hint: no sort-merge — the rank side
-    is always orders of magnitude smaller) attaches it back."""
-    convs = canonical_mentions.select("conv_id").distinct()
-    ranked = dense_ids(convs, [F.asc("conv_id")], id_col="_conv_rank")
-    joined = canonical_mentions.join(ranked.hint("shuffle_hash"), "conv_id")
-    # order-preserving saturation: turn/mention beyond their width clamp to
-    # the max value (ties among >65k-turn positions then break by conv only
-    # — bounded, and free: no validation job). Conv rank has 34 bits (17B
-    # conversations); past that, re-balance widths for the corpus shape.
-    turn = F.least(F.col("turn_idx").cast("long"), F.lit((1 << _TURN_BITS) - 1))
-    mention = F.least(
-        F.col("mention_idx").cast("long"), F.lit((1 << _MENTION_BITS) - 1)
+def _vocab_freq(canonical_mentions: DataFrame, role_col: str) -> DataFrame:
+    """(term, cnt, first_pos) for one role: single two-phase aggregation
+    over the mention stream — partial SortAggregate per input partition
+    (no shuffle of raw mentions; partial output <= |vocab| x #partitions),
+    one vocab-scale exchange, final aggregate. No join touches the corpus
+    (see the module docstring for why this beats the conv-rank design)."""
+    return (
+        canonical_mentions.select(
+            F.col(role_col).alias("term"), _pos_struct().alias("_pos")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"), F.min("_pos").alias("first_pos"))
     )
-    pos = (
-        F.shiftleft(F.col("_conv_rank"), _TURN_BITS + _MENTION_BITS)
-        + F.shiftleft(turn, _MENTION_BITS)
-        + mention
-    )
-    return joined.withColumn("_pos", pos).drop("_conv_rank")
 
 
 def build_vocab(
@@ -101,12 +98,7 @@ def build_vocab(
             F.count("*").alias("cnt")
         )
         return freq.select("term", F.xxhash64("term").alias("id"), "cnt")
-    freq = (
-        _attach_pos(canonical_mentions)
-        .select(F.col(role_col).alias("term"), "_pos")
-        .groupBy("term")
-        .agg(F.count("*").alias("cnt"), F.min("_pos").alias("first_pos"))
-    )
+    freq = _vocab_freq(canonical_mentions, role_col)
     ranked = dense_ids(
         freq,
         [F.desc("cnt"), F.asc("first_pos")],
@@ -132,7 +124,7 @@ def build_vocabs_fused(canonical_mentions: DataFrame, with_ranked: bool = False)
     (/root/reference/scripts/extract_vocabs.py:29-31)."""
     from ..functions.ranking import dense_ids_grouped
 
-    melted = _attach_pos(canonical_mentions).select(
+    melted = canonical_mentions.select(
         F.explode(
             F.array(
                 *[
@@ -141,7 +133,7 @@ def build_vocabs_fused(canonical_mentions: DataFrame, with_ranked: bool = False)
                 ]
             )
         ).alias("rt"),
-        "_pos",
+        _pos_struct().alias("_pos"),
     ).select("rt.role", "rt.term", "_pos")
     freq = melted.groupBy("role", "term").agg(
         F.count("*").alias("cnt"), F.min("_pos").alias("first_pos")

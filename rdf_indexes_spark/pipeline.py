@@ -156,8 +156,13 @@ def run_pipeline_fast(
     # iterated CC state is |link graph|, not |vocabulary|. fixed_rounds
     # keeps the whole canonicalization one lazy plan (zero driver
     # round-trips); the link graph is stars+short chains, diameter <= ~4.
+    # CC partitions sized by the edge count (one cheap count over the
+    # checkpointed edges), not the cluster — the loop's waves over a
+    # tiny graph at full shuffle width are pure dispatch latency.
+    cc_parts = max(8, min(n, edges.count() // 100_000 + 1))
     comps = connected_components(
-        edge_endpoints(edges), edges.select("a", "b"), fixed_rounds=4
+        edge_endpoints(edges), edges.select("a", "b"), fixed_rounds=4,
+        num_partitions=cc_parts,
     ).localCheckpoint(eager=False)  # single consumer (cmap)
     cmap = canonical_map(facts, comps).localCheckpoint()  # 2 concurrent bc builds
     # canon's consumers are strictly sequential (vocab melt job populates
@@ -212,8 +217,13 @@ def run_pipeline(
     facts = mentions.filter(F.col("pred") != SAME_AS)
 
     def _build_cmap() -> DataFrame:
-        edges = candidate_edges(mentions)
-        comps = connected_components(edge_endpoints(edges), edges.select("a", "b"))
+        # eager cut (same as the fast path): edges feed endpoints + the
+        # CC rounds, and the count sizes the CC loop's partitions
+        edges = candidate_edges(mentions).localCheckpoint()
+        cc_parts = max(8, min(n, edges.count() // 100_000 + 1))
+        comps = connected_components(
+            edge_endpoints(edges), edges.select("a", "b"), num_partitions=cc_parts
+        )
         return canonical_map(facts, comps)
 
     cmap, fp_c = store.run("canonical_map", [fp_m], _build_cmap)
@@ -223,8 +233,8 @@ def run_pipeline(
     )
 
     # ONE fused stage ranks all three role vocabularies (ids identical to
-    # per-role builds; ranks are computed per role) — the conv-id rank of
-    # encode._attach_pos is paid once instead of three times.
+    # per-role builds; ranks are computed per role) — one melt+agg pass
+    # over the mention stream instead of three.
     ranked, fp_v = store.run(
         "vocabs_ranked", [fp_cm], lambda: enc.build_vocabs_fused(canon, with_ranked=True)[1]
     )

@@ -165,8 +165,9 @@ def rdf_to_mentions(parsed: DataFrame) -> DataFrame:
     resolution (scripts/process.sh) — so parsed terms ARE canonical.
 
     The line number rides in conv_id as a zero-padded string (lex order
-    == numeric order); conv_id is rank-normalized in encode._attach_pos,
-    so any magnitude fits the packed-position widths there."""
+    == numeric order); the vocab builders order corpus positions by the
+    (conv_id, turn_idx, mention_idx) struct directly, so any string
+    shape/magnitude is fine."""
     return parsed.select(
         F.lpad(F.col("line_no").cast("string"), 20, "0").alias("conv_id"),
         F.lit(0).alias("turn_idx"),

@@ -180,3 +180,23 @@ def test_cli_pef_r_variant(tmp_path):
         """
     ).fetchall()
     assert [tuple(x) for x in back] == [tuple(x) for x in spo]
+
+
+def test_cli_profile(built_index):
+    """`profile` (the reference's benchmark/profile.cpp analog) emits one
+    json line per (trie, level) with the profile.cpp stat fields; scan /
+    access / find rates are positive, nodes_bpt finite."""
+    _, idx = built_index
+    r = _run("profile", "--index", idx, "-n", "4", "--runs", "1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(line) for line in r.stdout.splitlines() if line.startswith("{")]
+    # 5 permutations x levels 2,3
+    assert len(rows) == 10
+    perms = {r_["perm"] for r_ in rows}
+    assert perms == {"spo", "pos", "osp", "ops", "pso"}
+    for row in rows:
+        assert row["level"] in ("2", "3")
+        assert row["nodes_bpt"] >= 0
+        assert row["scan_ns_per_int"] > 0
+        assert row["access_musec_per_query"] > 0
+        assert row["find_musec_per_query"] > 0

@@ -162,26 +162,30 @@ def test_cc_fixed_rounds_converges_on_long_chain(spark):
     assert pd_fp.equals(pd_fx)
 
 
-def test_vocab_agg_stays_hash_aggregate(spark, transcripts):
-    """Regression lock: the vocabulary frequency/first-pos aggregation must
-    plan as HashAggregate. min over a struct (or any var-length buffer)
-    silently downgrades to SortAggregate — a per-partition sort of the
-    melted mention stream, the round-2 #1 cost before the packed-long fix."""
-    from rdf_indexes_spark.operators.canonicalize import (
-        canonical_map,
-        connected_components,
-        edge_endpoints,
-    )
+def test_vocab_freq_plan_no_corpus_join(spark, transcripts):
+    """Regression lock for the vocab frequency/first-pos plan: ONE
+    two-phase aggregation over the mention stream and nothing else.
+    No Join may touch the corpus (the retired design dense-ranked the
+    distinct conv_ids and shuffle-hash-joined the rank back — a rank job
+    chain plus a full-corpus shuffle, the pipeline's largest non-scaling
+    block), and no Window/global Sort either. min(struct(...)) plans as
+    two-phase SortAggregate: the partial phase is a per-partition sort
+    with NO exchange of raw mentions, and the only exchange ships
+    vocab-bounded partial rows."""
     from rdf_indexes_spark.operators.extract import extract_mentions
     from rdf_indexes_spark.operators import encode as enc
 
     mentions = extract_mentions(transcripts)
-    freq_plan_df = enc.build_vocab(mentions.withColumnRenamed("subj", "cs")
-                                   .withColumnRenamed("pred", "pred")
-                                   .withColumnRenamed("obj", "co"), "cs")
-    plan = freq_plan_df._jdf.queryExecution().executedPlan().toString()
-    assert "SortAggregate" not in plan, plan[:2000]
-    assert "ObjectHashAggregate" not in plan, plan[:2000]
+    freq = enc._vocab_freq(
+        mentions.withColumnRenamed("subj", "cs").withColumnRenamed("obj", "co"), "cs"
+    )
+    plan = freq._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    # exactly one exchange: the vocab-scale partial->final hop
+    assert plan.count("Exchange") == 1, plan[:2000]
+    # two-phase: partial agg below the exchange, final above it
+    assert plan.count("Aggregate") >= 2, plan[:2000]
 
 
 def test_empty_corpus_end_to_end(spark, workdir):
