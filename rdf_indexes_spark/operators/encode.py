@@ -160,7 +160,10 @@ def build_vocabs_fused(canonical_mentions: DataFrame, with_ranked: bool = False)
 
 
 def encode_mentions(
-    canonical_mentions: DataFrame, vocabs: dict[str, DataFrame]
+    canonical_mentions: DataFrame,
+    vocabs: dict[str, DataFrame],
+    broadcast_threshold_rows: int = 50_000_000,
+    sizes: dict[str, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (encoded_unsorted, quarantine).
 
@@ -169,12 +172,29 @@ def encode_mentions(
     quarantine holds mentions whose term missed a vocab (impossible when
     vocabs were built from the same stream; real when encoding a delta
     batch against frozen vocabs — reference drops & logs them).
-    """
-    vs = F.broadcast(vocabs["s"].select(F.col("term").alias("cs"), F.col("id").alias("s")))
-    vp = F.broadcast(vocabs["p"].select(F.col("term").alias("pred"), F.col("id").alias("p")))
-    vo = F.broadcast(vocabs["o"].select(F.col("term").alias("co"), F.col("id").alias("o")))
-    joined = (
-        canonical_mentions.join(vs, "cs", "left").join(vp, "pred", "left").join(vo, "co", "left")
+
+    Join strategy per role: broadcast (the reference's in-memory dict
+    probe, scripts/map_dataset.py:61-83) while the vocab is below
+    ``broadcast_threshold_rows``; above it — a billion-surface corpus
+    where no executor can hold the dictionary — a shuffle_hash join
+    (hash, not sort-merge: the mention stream should never sort).
+    ``sizes`` ({role: row count}) lets callers that already know the
+    vocab sizes (the pipeline's _vocab_hints) decide without a count
+    job; without it the broadcast default is kept for the small-vocab
+    roles and Spark's own threshold machinery is NOT relied upon
+    (F.broadcast is explicit either way)."""
+
+    def _dict_join(left: DataFrame, role: str, on: str, id_alias: str) -> DataFrame:
+        v = vocabs[role].select(F.col("term").alias(on), F.col("id").alias(id_alias))
+        if sizes is not None and sizes.get(role, 0) > broadcast_threshold_rows:
+            return left.join(v.hint("shuffle_hash"), on, "left")
+        return left.join(F.broadcast(v), on, "left")
+
+    joined = _dict_join(
+        _dict_join(_dict_join(canonical_mentions, "s", "cs", "s"), "p", "pred", "p"),
+        "o",
+        "co",
+        "o",
     )
     ok = joined.filter(F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull())
     quarantine = joined.filter(

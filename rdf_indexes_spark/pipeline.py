@@ -170,12 +170,14 @@ def run_pipeline_fast(
     canon = canonicalize_mentions(facts, cmap).persist()
     # one fused job chain ranks all three role vocabularies
     vocabs, ranked = enc.build_vocabs_fused(canon, with_ranked=True)
-    encoded, _ = enc.encode_mentions(canon, vocabs)
+    # hints first (one tiny agg over the checkpointed ranked frame):
+    # sizes pick the encode join strategy, hubs/downcast feed the write
+    sizes, hubs, downcast = _vocab_hints(ranked, vocabs["s"])
+    encoded, _ = enc.encode_mentions(canon, vocabs, sizes=sizes)
     # EAGER: the permutation write and the counter jobs below consume
     # triples CONCURRENTLY (separate driver threads) — the concurrent-
     # consumer rule again; the dedup shuffle would otherwise run twice.
     triples = perm.dedup_triples(encoded).localCheckpoint(eager=True)
-    sizes, hubs, downcast = _vocab_hints(ranked, vocabs["s"])
     # overlap the write (the pipeline's largest tail block) with the
     # counter jobs: Spark's scheduler runs jobs from separate driver
     # threads concurrently; the counters touch only checkpointed frames.
@@ -244,10 +246,20 @@ def run_pipeline(
     }
     vs, vp, vo = vocabs["s"], vocabs["p"], vocabs["o"]
 
+    # vocab hints memoized lazily: the agg job runs only if a stage below
+    # actually needs it (encode join strategy / write hubs+downcast) —
+    # a fully-cached resume never pays it.
+    _hints_memo: dict[str, tuple] = {}
+
+    def _hints() -> tuple:
+        if "v" not in _hints_memo:
+            _hints_memo["v"] = _vocab_hints(ranked, vs)
+        return _hints_memo["v"]
+
     unsorted, fp_u = store.run(
         "triples_unsorted",
         [fp_cm, fp_v],
-        lambda: enc.encode_mentions(canon, vocabs)[0],
+        lambda: enc.encode_mentions(canon, vocabs, sizes=_hints()[0])[0],
     )
 
     triples, fp_t = store.run("triples", [fp_u], lambda: perm.dedup_triples(unsorted))
@@ -260,7 +272,7 @@ def run_pipeline(
     perm_manifest = os.path.join(perm_dir, "_manifest.json")
     fp_p = _fingerprint("perms", fp_t)
     if not (os.path.exists(perm_manifest) and json.load(open(perm_manifest)).get("fingerprint") == fp_p):
-        _, hubs, downcast = _vocab_hints(ranked, vs)
+        _, hubs, downcast = _hints()
         perm.write_permutations_unified(
             triples,
             os.path.join(perm_dir, "perms5"),

@@ -352,3 +352,33 @@ def test_hub_detection_uniform_corpus(spark):
     )
     got = hub_subjects(skewed)
     assert [r["s"] for r in got.collect()] == [999999]
+
+
+def test_encode_join_strategy_size_gated(spark, transcripts):
+    """encode_mentions picks its dictionary-join strategy per role from
+    the vocab sizes: below the threshold a broadcast (the reference's
+    in-memory dict probe), above it a shuffle hash join — a billion-term
+    vocabulary must never be collected to the driver/executors."""
+    from rdf_indexes_spark.operators.encode import build_vocabs_fused, encode_mentions
+    from rdf_indexes_spark.operators.extract import extract_mentions
+
+    m = (
+        extract_mentions(transcripts)
+        .withColumnRenamed("subj", "cs")
+        .withColumnRenamed("obj", "co")
+    )
+    vocabs = build_vocabs_fused(m)
+    small = {"s": 10, "p": 10, "o": 10}
+    enc_small, _ = encode_mentions(m, vocabs, sizes=small)
+    plan = enc_small._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3, plan[:1500]
+
+    big = {"s": 10**10, "p": 10, "o": 10**10}  # s and o vocabs too big
+    enc_big, _ = encode_mentions(m, vocabs, sizes=big)
+    plan = enc_big._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1, plan[:1500]
+    assert plan.count("ShuffledHashJoin") == 2, plan[:1500]
+    # results identical either way
+    a = sorted(tuple(r) for r in enc_small.select("s", "p", "o").collect())
+    b = sorted(tuple(r) for r in enc_big.select("s", "p", "o").collect())
+    assert a == b
