@@ -210,6 +210,18 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_near_dup_keep(spark, sf_dir):
+    """End-to-end near-dedup: 0.8-Jaccard pairs -> distributed CC over
+    the pair graph -> keep min doc id per cluster + every unpaired doc.
+    All-pairs verify here for oracle parity; at scale pass
+    minhash_lsh_pairs as `candidates` to ngram_jaccard_pairs."""
+    from rdf_indexes_spark.operators.dedup import near_dup_keep, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return near_dup_keep(docs, pairs)
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from rdf_indexes_spark.operators.dedup import minhash_lsh_pairs
 
@@ -404,10 +416,16 @@ def _q_f1_member_position(spark, sf_dir):
     return out
 
 
+def _rank_parts(sf_dir: str) -> int:
+    """Partitions-follow-data: the derived triple set is ~2.4M rows per
+    sf unit; one ~300k-row range partition each, floor 8."""
+    return max(8, int(_sf_of(sf_dir) * 80))
+
+
 def _q_e5_rank_remap(spark, sf_dir):
     from rdf_indexes_spark.operators.permutations import rank_remap
 
-    return rank_remap(_derived_triples(spark, sf_dir))
+    return rank_remap(_derived_triples(spark, sf_dir), num_partitions=_rank_parts(sf_dir))
 
 
 def _q_e5_rank_decode(spark, sf_dir):
@@ -417,7 +435,7 @@ def _q_e5_rank_decode(spark, sf_dir):
     from rdf_indexes_spark.operators.permutations import rank_remap, rank_remap_decode
 
     t = _derived_triples(spark, sf_dir)
-    return rank_remap_decode(rank_remap(t), t)
+    return rank_remap_decode(rank_remap(t, num_partitions=_rank_parts(sf_dir)), t)
 
 
 def _q_d2_space_stats(spark, sf_dir):
@@ -462,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_broadcast_join": _q_e1,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_near_keep": _q_near_dup_keep,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "text_token_count": _q_token_count,
@@ -605,6 +624,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(len(list_intersect(a.tk, b.tk)) * 1000000.0 / len(list_distinct(list_concat(a.tk, b.tk)))) AS BIGINT) AS jacc_ppm "
             "FROM toks a JOIN toks b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.tk, b.tk)) * 1.0 / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.6"
+        ),
+        # survivor selection: connected components over the 0.8-Jaccard
+        # pair graph (recursive transitive closure in the oracle; the
+        # engine runs the distributed salted min-label CC), keep the min
+        # doc id per cluster + all unpaired docs
+        "dedup_near_keep": (
+            f"WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM toks a JOIN toks b ON a.doc_id < b.doc_id "
+            "      WHERE len(list_intersect(a.tk, b.tk)) * 1.0 / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8), "
+            "sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+            "reach(src, dst) AS (SELECT a, b FROM sym "
+            "  UNION SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a), "
+            "comp AS (SELECT src AS doc_id, least(min(dst), src) AS comp FROM reach GROUP BY src) "
+            "SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id) "
+            "WHERE c.comp IS NULL OR c.comp = d.doc_id"
         ),
         "text_token_count": (
             f"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END AS BIGINT) AS n_tokens FROM documents"

@@ -252,3 +252,38 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
     cand = l.join(r, ["band", "key"]).filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
     return cand.select("a", "b", ham).filter(F.col("hamming") <= max_hamming)
+
+
+def near_dup_keep(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor selection — the final step of a near-dedup pipeline:
+    cluster the near-duplicate PAIR graph with connected components and
+    keep exactly one document per cluster (the minimum id), plus every
+    document that appears in no pair. Returns the kept ids, one column
+    ``id_col``.
+
+    Reuses the KG engine's distributed CC operator (salted min-label,
+    operators/canonicalize.py) over the similarity graph — the same
+    scale shape as entity canonicalization: iterated state is the PAIRED
+    documents only, everything unpaired passes through via the left
+    anti-semantics below. ``pairs`` comes from any of the candidate
+    generators (minhash_lsh_pairs -> ngram_jaccard_pairs verify at
+    scale; all-pairs ngram for oracle parity)."""
+    from .canonicalize import connected_components
+
+    edges = pairs.select(F.col("a"), F.col("b"))
+    nodes = (
+        edges.select(F.col("a").alias("surface"))
+        .unionAll(edges.select(F.col("b").alias("surface")))
+        .distinct()
+    )
+    comps = connected_components(nodes, edges, fixed_rounds=4)
+    return (
+        docs.select(F.col(id_col))
+        .join(comps, docs[id_col] == comps.surface, "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col(id_col)))
+        .select(id_col)
+    )

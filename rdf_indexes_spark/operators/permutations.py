@@ -416,7 +416,7 @@ def p_index(triples: DataFrame, num_partitions: int | None = None) -> DataFrame:
     )
 
 
-def rank_remap(triples: DataFrame) -> DataFrame:
+def rank_remap(triples: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """E5: the pef_r_3t cross-permutation rank mapper
     (/root/reference/include/mappers.hpp:21-45) — replace the POS trie's
     third-level subject ids by each subject's RANK within the OSP trie's
@@ -427,18 +427,27 @@ def rank_remap(triples: DataFrame) -> DataFrame:
     + partition-local window + distributed offsets): a plain
     Window.partitionBy("o") would funnel a hub object's entire distinct-
     subject list through ONE task, the exact straggler the repo's ranking
-    helpers exist to avoid."""
+    helpers exist to avoid.
+
+    num_partitions: size by the triple volume (the repo's partitions-
+    follow-data rule); defaults to the session parallelism."""
     from ..functions.ranking import grouped_rank
 
     ranked = grouped_rank(
-        triples.select("o", "s").dropDuplicates(["o", "s"]), "o", ["s"], id_col="s_rank"
+        triples.select("o", "s").dropDuplicates(["o", "s"]),
+        "o",
+        ["s"],
+        id_col="s_rank",
+        num_partitions=num_partitions,
     )
-    return (
+    out = (
         triples.join(ranked, ["o", "s"])
         .select("p", "o", F.col("s_rank").cast("long"))
-        .repartitionByRange("p", "o")
-        .sortWithinPartitions("p", "o", "s_rank")
     )
+    n = num_partitions or int(
+        triples.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return out.repartitionByRange(n, "p", "o").sortWithinPartitions("p", "o", "s_rank")
 
 
 def rank_remap_decode(remapped: DataFrame, osp: DataFrame) -> DataFrame:

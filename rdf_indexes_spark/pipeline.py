@@ -164,7 +164,16 @@ def run_pipeline_fast(
         edge_endpoints(edges), edges.select("a", "b"), fixed_rounds=4,
         num_partitions=cc_parts,
     ).localCheckpoint(eager=False)  # single consumer (cmap)
-    cmap = canonical_map(facts, comps).localCheckpoint()  # 2 concurrent bc builds
+    # cmap's reduce stages (occ / best / reps) are all vocab- or
+    # graph-scale; run its eager checkpoint under the same data-sized
+    # partition count (map sides read the mention cache unaffected)
+    _sp_key = "spark.sql.shuffle.partitions"
+    _sp_old = spark.conf.get(_sp_key)
+    spark.conf.set(_sp_key, str(cc_parts))
+    try:
+        cmap = canonical_map(facts, comps).localCheckpoint()  # 2 concurrent bc builds
+    finally:
+        spark.conf.set(_sp_key, _sp_old)
     # canon's consumers are strictly sequential (vocab melt job populates
     # the cache, encode joins reuse it) — lazy columnar persist
     canon = canonicalize_mentions(facts, cmap).persist()

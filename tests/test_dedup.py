@@ -124,3 +124,30 @@ def test_exact_dedup_never_shuffles_text(docs):
         if "Exchange" in line:
             assert "text" not in line, line
     assert "_h0" in plan  # fingerprint key actually drives the plan
+
+
+def test_near_dup_keep_chain_clusters(spark):
+    """Survivor selection must follow TRANSITIVE near-dup closure: a~b,
+    b~c (but a!~c directly) still collapses {a,b,c} to one survivor.
+    Chains longer than the CC fixed-round count exercise the
+    verification-loop continuation. Oracle: python union-find."""
+    from rdf_indexes_spark.operators.dedup import near_dup_keep
+
+    # docs 0..19; chain 0-1-2-...-9 (one cluster), pair (12,17), rest single
+    edges = [(i, i + 1) for i in range(9)] + [(12, 17)]
+    docs = spark.range(20).selectExpr("id as doc_id")
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = sorted(r["doc_id"] for r in near_dup_keep(docs, pairs).collect())
+
+    parent = list(range(20))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]; x = parent[x]
+        return x
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    clusters = {}
+    for d in range(20):
+        clusters.setdefault(find(d), []).append(d)
+    want = sorted(min(m) for m in clusters.values())
+    assert got == want == [0] + list(range(10, 12)) + [12] + list(range(13, 17)) + list(range(18, 20))
