@@ -297,6 +297,172 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_a2_extract_oracle(spark, sf_dir):
+    """ORACLE-CHECKED mention extraction (SURVEY A2): transcript-shaped
+    text is constructed deterministically from the events table with the
+    same expression on both engines, then the REAL extractor (the
+    mapInPandas compiled-regex pass, operators/extract.py) runs against
+    DuckDB's regexp_extract_all over the identical pattern — match
+    positions, non-overlap semantics, mention_idx ordering and the
+    cue→predicate mapping are all compared value-for-value. (The
+    kg_extract_mentions entry stays rows-only: it exercises the real
+    synthesized transcript corpus, which DuckDB cannot see.)"""
+    from rdf_indexes_spark.operators.extract import extract_mentions
+
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    text = F.concat(
+        F.lit("E"), eid, F.lit(" uses B"), (F.col("event_id") % 97).cast("string"),
+        F.lit(" . E"), eid, F.lit(" ships to C"), (F.col("event_id") % 53).cast("string"),
+        F.lit(" . A"), eid, F.lit(" aka E"), eid,
+    )
+    tr = ev.select(eid.alias("conv_id"), F.lit(0).alias("turn_idx"), text.alias("text"))
+    return extract_mentions(tr)
+
+
+# SQL text-construction twins of the two layouts used by the oracle-
+# checked extraction / full-pipeline gates (see _q_a2_extract_oracle /
+# _q_kg_triples_oracle for the matching Spark expressions)
+_A2_TEXT_SQL = (
+    "concat('E', CAST(event_id AS VARCHAR), ' uses B', CAST(event_id % 97 AS VARCHAR), "
+    "' . E', CAST(event_id AS VARCHAR), ' ships to C', CAST(event_id % 53 AS VARCHAR), "
+    "' . A', CAST(event_id AS VARCHAR), ' aka E', CAST(event_id AS VARCHAR))"
+)
+_KG_TEXT_SQL = (
+    "concat('A', CAST(event_id AS VARCHAR), ' uses B', CAST(event_id % 97 AS VARCHAR), "
+    "' . A', CAST(event_id AS VARCHAR), ' aka E', CAST(event_id AS VARCHAR), "
+    "' . E', CAST(event_id AS VARCHAR), ' ships to C', CAST(event_id % 53 AS VARCHAR))"
+)
+
+
+def _kg_extract_oracle_sql(text_sql: str = _A2_TEXT_SQL) -> str:
+    import re as _re
+
+    from rdf_indexes_spark.lexicon import CUE_TO_PRED
+
+    cues = sorted(CUE_TO_PRED, key=len, reverse=True)
+    pat = (
+        "([A-Za-z][A-Za-z0-9-]*) ("
+        + "|".join(_re.escape(c) for c in cues)
+        + ") ([A-Za-z][A-Za-z0-9-]*)"
+    )
+    case = (
+        "CASE "
+        + " ".join(f"WHEN m.cue = '{c}' THEN '{p}'" for c, p in CUE_TO_PRED.items())
+        + " END"
+    )
+    return f"""
+WITH tr AS (
+  SELECT CAST(event_id AS VARCHAR) AS conv_id, CAST(0 AS INTEGER) AS turn_idx,
+         {text_sql} AS text
+  FROM events
+), g AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(text, '{pat}', 1) AS subs,
+         regexp_extract_all(text, '{pat}', 2) AS cues,
+         regexp_extract_all(text, '{pat}', 3) AS objs
+  FROM tr
+), m AS (
+  SELECT conv_id, turn_idx, CAST(i - 1 AS INTEGER) AS mention_idx,
+         subs[i] AS subj, cues[i] AS cue, objs[i] AS obj
+  FROM g, UNNEST(range(1, len(subs) + 1)) AS t(i)
+)
+SELECT conv_id, turn_idx, mention_idx, subj, {case} AS pred, obj FROM m
+"""
+
+
+def _q_kg_triples_oracle(spark, sf_dir):
+    """ORACLE-CHECKED full KG pipeline (the north-rule flagship):
+    extract → link (sameAs channel) → connected components →
+    representative selection → canonicalize → fused freq-desc/first-
+    occurrence vocab ranks → dictionary encode → dedup, over transcript
+    text constructed deterministically from the events table. The text
+    puts the ALIAS surface into fact position ("A<i> uses ... A<i> aka
+    E<i> ... E<i> ships to ..."), so the alias components {A_i, E_i} are
+    frequency-TIED and canonicalization must pick the lexicographic-min
+    representative and rewrite both facts onto it — all replayed
+    value-for-value by the SQL twin (components are 2-member by
+    construction, so the oracle's closure is a single symmetric join)."""
+    from rdf_indexes_spark.lexicon import SAME_AS
+    from rdf_indexes_spark.operators.canonicalize import (
+        canonical_map,
+        canonicalize_mentions,
+        connected_components,
+        edge_endpoints,
+    )
+    from rdf_indexes_spark.operators.encode import build_vocabs_fused, encode_mentions
+    from rdf_indexes_spark.operators.extract import extract_mentions
+    from rdf_indexes_spark.operators.link import candidate_edges
+    from rdf_indexes_spark.operators.permutations import dedup_triples
+
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    text = F.concat(
+        F.lit("A"), eid, F.lit(" uses B"), (F.col("event_id") % 97).cast("string"),
+        F.lit(" . A"), eid, F.lit(" aka E"), eid,
+        F.lit(" . E"), eid, F.lit(" ships to C"), (F.col("event_id") % 53).cast("string"),
+    )
+    tr = ev.select(eid.alias("conv_id"), F.lit(0).alias("turn_idx"), text.alias("text"))
+    mentions = extract_mentions(tr)
+    facts = mentions.filter(F.col("pred") != SAME_AS)
+    edges = candidate_edges(mentions)
+    comps = connected_components(
+        edge_endpoints(edges), edges.select("a", "b"), fixed_rounds=4
+    )
+    canon = canonicalize_mentions(facts, canonical_map(facts, comps))
+    vocabs = build_vocabs_fused(canon)
+    encoded, _ = encode_mentions(canon, vocabs)
+    return dedup_triples(encoded).select("s", "p", "o")
+
+
+def _kg_triples_oracle_sql() -> str:
+    # same extraction CTE chain, over the alias-in-facts text layout
+    a2 = _kg_extract_oracle_sql(text_sql=_KG_TEXT_SQL)
+    return f"""
+WITH mentions AS ({a2}),
+facts AS (SELECT * FROM mentions WHERE pred <> 'sameAs'),
+prf AS (SELECT surface, count(*) AS freq FROM
+        (SELECT subj AS surface FROM facts UNION ALL SELECT obj FROM facts)
+        GROUP BY surface),
+akap AS (SELECT DISTINCT subj AS a, obj AS b FROM mentions WHERE pred = 'sameAs'),
+symp AS (SELECT a, b FROM akap UNION SELECT b AS a, a AS b FROM akap),
+cmap AS (
+  SELECT s.a AS surface,
+         CASE WHEN coalesce(fb.freq, 0) > coalesce(fa.freq, 0) THEN s.b
+              WHEN coalesce(fa.freq, 0) > coalesce(fb.freq, 0) THEN s.a
+              ELSE least(s.a, s.b) END AS canonical
+  FROM symp s
+  LEFT JOIN prf fa ON fa.surface = s.a
+  LEFT JOIN prf fb ON fb.surface = s.b
+),
+canon AS (
+  SELECT f.conv_id, f.mention_idx,
+         coalesce(ms.canonical, f.subj) AS cs, f.pred,
+         coalesce(mo.canonical, f.obj) AS co
+  FROM facts f
+  LEFT JOIN cmap ms ON ms.surface = f.subj
+  LEFT JOIN cmap mo ON mo.surface = f.obj
+),
+vs AS (SELECT term, row_number() OVER (ORDER BY cnt DESC, fp) - 1 AS id FROM
+       (SELECT cs AS term, count(*) AS cnt,
+               min(conv_id || '#' || CAST(mention_idx AS VARCHAR)) AS fp
+        FROM canon GROUP BY cs)),
+vp AS (SELECT term, row_number() OVER (ORDER BY cnt DESC, fp) - 1 AS id FROM
+       (SELECT pred AS term, count(*) AS cnt,
+               min(conv_id || '#' || CAST(mention_idx AS VARCHAR)) AS fp
+        FROM canon GROUP BY pred)),
+vo AS (SELECT term, row_number() OVER (ORDER BY cnt DESC, fp) - 1 AS id FROM
+       (SELECT co AS term, count(*) AS cnt,
+               min(conv_id || '#' || CAST(mention_idx AS VARCHAR)) AS fp
+        FROM canon GROUP BY co))
+SELECT DISTINCT vs.id AS s, vp.id AS p, vo.id AS o
+FROM canon
+JOIN vs ON canon.cs = vs.term
+JOIN vp ON canon.pred = vp.term
+JOIN vo ON canon.co = vo.term
+"""
+
+
 def _q_kg_mentions(spark, sf_dir):
     """Rows-only: mention extraction over deterministically synthesized
     transcripts at the sf's scale (transcripts aren't a DuckDB view)."""
@@ -492,7 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "text_token_bpe": _q_token_bpe,
         "kg_extract_mentions": _q_kg_mentions,
+        "a2_extract_oracle": _q_a2_extract_oracle,
         "kg_triples": _q_kg_triples,
+        "kg_triples_oracle": _q_kg_triples_oracle,
         "multimodal_features": _q_multimodal,
         "e4_p_index": _q_e4_p_index,
         "d4_count_pattern": _q_d4_count_pattern,
@@ -629,6 +797,8 @@ def oracle_sql() -> dict[str, str]:
         # pair graph (recursive transitive closure in the oracle; the
         # engine runs the distributed salted min-label CC), keep the min
         # doc id per cluster + all unpaired docs
+        "a2_extract_oracle": _kg_extract_oracle_sql(),
+        "kg_triples_oracle": _kg_triples_oracle_sql(),
         "dedup_near_keep": (
             f"WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
             "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM toks a JOIN toks b ON a.doc_id < b.doc_id "
