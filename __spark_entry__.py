@@ -228,10 +228,145 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), num_hashes=32, bands=8)
 
 
+def _q_minhash_oracle(spark, sf_dir):
+    """ORACLE-CHECKED MinHash+LSH (the scale path's exact machinery —
+    numpy affine signature fold + banded bucket join — fed engine-
+    portable token ids): tokens get dense lexicographic vocab ranks, so
+    DuckDB replays signature mins and band-equality grouping value-for-
+    value (the affine family mod the Mersenne prime is plain integer
+    arithmetic; Spark's band keys hash the slice, the oracle compares the
+    slice itself — identical grouping). The single-partition rank window
+    and the vocab join are oracle-parity-only: the production path
+    (dedup_minhash_lsh) hashes tokens map-side with xxhash64, no join."""
+    from rdf_indexes_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures_from_ids,
+    )
+
+    sigs = minhash_signatures_from_ids(_portable_token_ids(spark, sf_dir), num_hashes=32)
+    return minhash_lsh_pairs(num_hashes=32, bands=8, max_bucket=1_000_000, sigs=sigs)
+
+
+def _portable_token_ids(spark, sf_dir, scramble: tuple[int, int] | None = None):
+    """(doc_id, th: array<long>) with engine-portable token ids: dense
+    lexicographic vocab ranks, optionally scrambled through one affine
+    permutation mod the Mersenne prime (so bit-level ops like SimHash see
+    dispersed bits). Oracle-parity-only plumbing — the single-partition
+    rank window and the vocab join never run in the production paths."""
+    from pyspark.sql import Window
+
+    from rdf_indexes_spark.operators.dedup import _P, tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            (F.dense_rank().over(Window.orderBy("tok")) - 1).cast("long").alias("tid"),
+        )
+    )
+    tid = F.col("tid")
+    if scramble is not None:
+        a, b = scramble
+        tid = (tid * F.lit(a) + F.lit(b)) % F.lit(_P)
+    return (
+        toks.join(vocab, "tok")
+        .select("doc_id", tid.alias("tid"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("tid").alias("th"))
+    )
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    from rdf_indexes_spark.operators.dedup import _P, _hash_params
+
+    rpb = num_hashes // bands
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_hash_params(num_hashes)))
+    return f"""
+WITH par(i, a, b) AS (VALUES {vals}),
+toks AS (SELECT DISTINCT doc_id, tok FROM
+         (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+vocab AS (SELECT tok, dense_rank() OVER (ORDER BY tok) - 1 AS tid
+          FROM (SELECT DISTINCT tok FROM toks)),
+th AS (SELECT doc_id, tid FROM toks JOIN vocab USING (tok)),
+sigs AS (SELECT doc_id, p.i, MIN((th.tid * p.a + p.b) % {_P}) AS mv
+         FROM th CROSS JOIN par p GROUP BY doc_id, p.i),
+bk AS (SELECT doc_id, i // {rpb} AS band,
+              string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS bkey
+       FROM sigs GROUP BY doc_id, i // {rpb})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bk l JOIN bk r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+"""
+
+
 def _q_simhash(spark, sf_dir):
     from rdf_indexes_spark.operators.dedup import simhash
 
     return simhash(_read(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SCRAMBLE_SEED = 11
+
+
+def _q_simhash_oracle(spark, sf_dir):
+    """ORACLE-CHECKED SimHash values (the real Arrow bit-vote packer,
+    _simhash_batches) over portable token hashes: vocab ranks scrambled
+    through one affine permutation mod 2^31-1, so bits 0..30 are
+    dispersed and DuckDB replays the per-bit vote + pack exactly (bits
+    31+ can never win a vote with 31-bit hashes, on either engine).
+    Production (dedup_simhash) uses full 64-bit xxhash64 — this entry
+    pins the packer's vote/tie/two's-complement semantics."""
+    from rdf_indexes_spark.operators.dedup import _hash_params, simhash_from_ids
+
+    scr = _hash_params(1, seed=_SIMHASH_SCRAMBLE_SEED)[0]
+    return simhash_from_ids(_portable_token_ids(spark, sf_dir, scramble=scr))
+
+
+def _q_simhash_near_oracle(spark, sf_dir):
+    """ORACLE-CHECKED SimHash near-pairs (banding + popcount verify)
+    over the same portable hashes. With 31-bit hashes the two high
+    16-bit bands are identically zero, so the band join admits every
+    pair and the popcount filter does the work — the oracle replays it
+    as all-pairs + bit_count; candidate sets provably identical."""
+    from rdf_indexes_spark.operators.dedup import (
+        _hash_params,
+        simhash_from_ids,
+        simhash_near_pairs,
+    )
+
+    scr = _hash_params(1, seed=_SIMHASH_SCRAMBLE_SEED)[0]
+    sims = simhash_from_ids(_portable_token_ids(spark, sf_dir, scramble=scr))
+    return simhash_near_pairs(sims, max_hamming=8)
+
+
+def _simhash_oracle_sql(near: bool = False, max_hamming: int = 8) -> str:
+    from rdf_indexes_spark.operators.dedup import _P, _hash_params
+
+    a, b = _hash_params(1, seed=_SIMHASH_SCRAMBLE_SEED)[0]
+    base = f"""
+WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+         (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+vocab AS (SELECT tok, dense_rank() OVER (ORDER BY tok) - 1 AS tid
+          FROM (SELECT DISTINCT tok FROM toks)),
+th AS (SELECT doc_id, (tid * {a} + {b}) % {_P} AS h FROM toks JOIN vocab USING (tok)),
+bits AS (SELECT doc_id, bp.b AS bit, SUM(2 * ((h >> bp.b) & 1) - 1) AS vote
+         FROM th CROSS JOIN (SELECT unnest(range(0, 31)) AS b) bp
+         GROUP BY doc_id, bp.b),
+sh AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+                   AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id)
+"""
+    if not near:
+        return base + "SELECT doc_id, simhash FROM sh"
+    return base + f"""
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""
 
 
 def _q_token_count(spark, sf_dir):
@@ -659,6 +794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_bpe": _q_token_bpe,
         "kg_extract_mentions": _q_kg_mentions,
         "a2_extract_oracle": _q_a2_extract_oracle,
+        "dedup_minhash_oracle": _q_minhash_oracle,
+        "dedup_simhash_oracle": _q_simhash_oracle,
+        "dedup_simhash_near_oracle": _q_simhash_near_oracle,
         "kg_triples": _q_kg_triples,
         "kg_triples_oracle": _q_kg_triples_oracle,
         "multimodal_features": _q_multimodal,
@@ -798,6 +936,9 @@ def oracle_sql() -> dict[str, str]:
         # engine runs the distributed salted min-label CC), keep the min
         # doc id per cluster + all unpaired docs
         "a2_extract_oracle": _kg_extract_oracle_sql(),
+        "dedup_minhash_oracle": _minhash_oracle_sql(),
+        "dedup_simhash_oracle": _simhash_oracle_sql(),
+        "dedup_simhash_near_oracle": _simhash_oracle_sql(near=True),
         "kg_triples_oracle": _kg_triples_oracle_sql(),
         "dedup_near_keep": (
             f"WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "

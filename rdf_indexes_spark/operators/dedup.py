@@ -71,32 +71,28 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return fp.join(groups, ["_h0", "_h1", "_len"]).select(id_col, "keep_id", "group_size")
 
 
-def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 64, id_col: str = "doc_id", text_col: str = "text"
+def minhash_signatures_from_ids(
+    toks: DataFrame, num_hashes: int = 64, id_col: str = "doc_id", ids_col: str = "th"
 ) -> DataFrame:
-    """(doc_id, sig: array<long>) MinHash over distinct word tokens.
+    """(doc_id, sig: array<long>) MinHash over precomputed token ids.
 
-    Map-side only: token hash = xxhash64 (JVM), then the num_hashes
-    affine permutations + min as ONE numpy broadcast per Arrow batch —
-    pyspark's higher-order-fn folds are interpreted, so h hashes × t
-    tokens of F.transform cost ~30x more than the (t, h) matmul-shaped
-    numpy min here. Identical output values (same affine family mod the
-    Mersenne prime).
+    ``toks`` carries (id_col, ids_col: array<long>) with every id in
+    [0, 2^32): the num_hashes affine permutations + min run as ONE numpy
+    broadcast per Arrow batch — pyspark's higher-order-fn folds are
+    interpreted, so h hashes × t tokens of F.transform cost ~30x more
+    than the (t, h) matmul-shaped numpy min here. The affine family mod
+    the Mersenne prime is plain integer arithmetic, so any engine that
+    agrees on the token ids replays the signatures exactly (the driver's
+    DuckDB oracle does, via dense-ranked vocab ids).
     """
     params = _hash_params(num_hashes)
     A = np.array([a for a, _ in params], dtype=np.int64)
     B = np.array([b for _, b in params], dtype=np.int64)
-    toks = docs.select(
-        id_col,
-        F.transform(
-            tokens_col(text_col), lambda t: F.xxhash64(t).bitwiseAND(F.lit(_MASK32))
-        ).alias("th"),
-    )
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for th in pdf["th"]:
+            for th in pdf[ids_col]:
                 h = np.asarray(th, dtype=np.int64)
                 if h.size == 0:
                     out.append((np.zeros(len(A), dtype=np.int64) + _P - 1).tolist())
@@ -109,22 +105,43 @@ def minhash_signatures(
     return toks.mapInPandas(sig_batches, schema=f"{id_col} long, sig array<long>")
 
 
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 64, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash over distinct word tokens.
+
+    Map-side only: token hash = xxhash64 (JVM, masked to 32 bits so the
+    affine fold stays overflow-free), then the signature fold of
+    minhash_signatures_from_ids. No shuffle anywhere."""
+    toks = docs.select(
+        id_col,
+        F.transform(
+            tokens_col(text_col), lambda t: F.xxhash64(t).bitwiseAND(F.lit(_MASK32))
+        ).alias("th"),
+    )
+    return minhash_signatures_from_ids(toks, num_hashes, id_col, "th")
+
+
 def minhash_lsh_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     num_hashes: int = 64,
     bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 1000,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a, b), a < b, via banded LSH.
 
     shingle→minhash→band→bucket-join. Buckets larger than ``max_bucket``
     are dropped with a log-visible marker (boilerplate black holes —
-    quadratic pair blowup at scale); exact-verify downstream.
+    quadratic pair blowup at scale); exact-verify downstream. Pass
+    ``sigs`` (doc_id, sig array<long>) to band precomputed signatures
+    (e.g. from minhash_signatures_from_ids); num_hashes must match.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col)
+    if sigs is None:
+        sigs = minhash_signatures(docs, num_hashes, id_col, text_col)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -215,6 +232,17 @@ def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": out_ids, "simhash": pd.array(out_sh, dtype="int64")})
 
 
+def simhash_from_ids(toks: DataFrame) -> DataFrame:
+    """(doc_id, simhash long) from precomputed token hashes.
+
+    ``toks`` carries (doc_id, th: array<long>); the bit-vote fold +
+    two's-complement pack run as one Arrow batch. With engine-portable
+    token hashes (e.g. affine-scrambled vocab ranks) the packed values
+    are exactly replayable by a SQL twin — the driver's DuckDB oracle
+    does this with a per-bit vote aggregation."""
+    return toks.mapInPandas(_simhash_batches, schema="doc_id long, simhash long")
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash long): 64-bit SimHash of the token set.
 
@@ -227,7 +255,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col).alias("doc_id"),
         F.transform(tokens_col(text_col), lambda t: F.xxhash64(t)).alias("th"),
     )
-    return toks.mapInPandas(_simhash_batches, schema="doc_id long, simhash long")
+    return simhash_from_ids(toks)
 
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
