@@ -55,6 +55,25 @@ def cmd_build(args) -> int:
                 role: enc.build_vocab(mentions, col, hash_ids=True, hash_fn=args.hash_fn)
                 for role, col in [("s", "cs"), ("p", "pred"), ("o", "co")]
             }
+            if args.hash_fn == "mmh3":
+                # mmh3 vocab TERMS are hash strings (byte-parity with
+                # extract_vocabs --hash), so the encode join needs the
+                # mention surfaces hashed the same way — the coherent
+                # composition of the reference's scripts (map_dataset.py's
+                # mapping loop hashes dataset terms before lookup; NB its
+                # build_vocab re-hashes an already-hashed vocab when BOTH
+                # scripts get --hash, which can never match — we pair the
+                # hashed vocab with single-hashed lookups instead).
+                from pyspark.sql.functions import pandas_udf
+
+                from .functions.mmh3_compat import hash64_unsigned_str
+
+                mm = pandas_udf(hash64_unsigned_str, "string")
+                mentions = (
+                    mentions.withColumn("cs", mm("cs"))
+                    .withColumn("pred", mm("pred"))
+                    .withColumn("co", mm("co"))
+                )
         else:
             vocabs = enc.build_vocabs_fused(mentions)
         encoded, quarantine = enc.encode_mentions(mentions, vocabs)

@@ -146,9 +146,15 @@ def _connected_components_body(
                 .count()
             )
             if changed == 0:
+                # labels' lazy checkpoint was materialized by the check
+                # job — the cached symmetrized graph is no longer needed
+                # (direct callers have no pipeline-level cache snapshot
+                # to clean up after them)
+                sym_id.unpersist()
                 return labels
             labels = nxt  # under-converged: keep propagating to fixpoint
             rounds += 1
+        sym_id.unpersist()
         return labels
     nparts = num_partitions or int(
         nodes.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -190,9 +196,21 @@ def canonical_map(mentions_facts: DataFrame, components: DataFrame) -> DataFrame
     corpus (/root/reference/scripts/extract_vocabs.py:33-56) — duplicates
     count.
     """
+    # only LINKED surfaces ever consume a frequency (lab below is
+    # components LEFT-join occ) — semi-filter the melted fact stream by
+    # the component surfaces BEFORE aggregating, so the occ exchange
+    # ships link-graph-scale rows, not one per distinct corpus surface.
+    # This keeps every exchange in this function graph-scale, matching
+    # the edge-count-derived shuffle width pipeline callers scope around
+    # it. components is link-graph-sized (same broadcast rationale as
+    # canonicalize_mentions' cmap); for billion-edge graphs Spark falls
+    # back per the session autoBroadcast threshold via the hint being
+    # best-effort.
+    surfaces = components.select("surface")
     occ = (
         mentions_facts.select(F.col("subj").alias("surface"))
         .unionAll(mentions_facts.select(F.col("obj").alias("surface")))
+        .join(F.broadcast(surfaces), "surface", "left_semi")
         .groupBy("surface")
         .agg(F.count("*").alias("freq"))
     )

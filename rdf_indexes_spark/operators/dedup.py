@@ -302,13 +302,21 @@ def near_dup_keep(
     scale; all-pairs ngram for oracle parity)."""
     from .canonicalize import connected_components
 
-    edges = pairs.select(F.col("a"), F.col("b"))
+    # eager cut: the pair graph (often an expensive LSH/verify chain) is
+    # consumed three times below (nodes union x2, CC's symmetrization) —
+    # and the count that sizes the CC shuffle width by the PAIR GRAPH
+    # (not the cluster) comes free off the cache. Same sizing rationale
+    # as the pipeline's cc_parts: the CC loop's waves over a small graph
+    # at full shuffle width are pure dispatch latency.
+    edges = pairs.select(F.col("a"), F.col("b")).localCheckpoint(eager=True)
+    sc = docs.sparkSession.sparkContext
+    cc_parts = max(8, min(sc.defaultParallelism, edges.count() // 100_000 + 1))
     nodes = (
         edges.select(F.col("a").alias("surface"))
         .unionAll(edges.select(F.col("b").alias("surface")))
         .distinct()
     )
-    comps = connected_components(nodes, edges, fixed_rounds=4)
+    comps = connected_components(nodes, edges, fixed_rounds=4, num_partitions=cc_parts)
     return (
         docs.select(F.col(id_col))
         .join(comps, docs[id_col] == comps.surface, "left")

@@ -80,27 +80,35 @@ def skew_census(triples: DataFrame, key: str = "s") -> DataFrame:
     )
 
 
+# The hub-selection POLICY, shared by every producer of a hub set (the
+# degree census here and pipeline._vocab_hints' census-free vocab path):
+# strict threshold int(mean + 3*stddev) + 1 — a near-uniform count
+# distribution (stddev≈0) must never hub the whole key set — and an
+# unconditional top-HUB_CAP cut (TakeOrderedAndProject: per-partition
+# top-k + tiny merge, never a global sort) bounding the broadcast the
+# permutation writers do with the result.
+HUB_CAP = 65536
+
+
+def hub_threshold(mean: float | None, stddev: float | None) -> int:
+    return int((mean or 0) + 3 * (stddev or 0)) + 1
+
+
+def top_hubs(df: DataFrame, cnt_col: str, threshold: int, max_hubs: int = HUB_CAP) -> DataFrame:
+    return df.filter(F.col(cnt_col) >= threshold).orderBy(F.desc(cnt_col)).limit(max_hubs)
+
+
 def hub_subjects(
-    triples: DataFrame, min_degree: int | None = None, max_hubs: int = 65536
+    triples: DataFrame, min_degree: int | None = None, max_hubs: int = HUB_CAP
 ) -> DataFrame:
     """Subjects whose triple count exceeds a degree threshold (default:
-    mean + 3x stddev of the degree distribution — cheap, robust to zipf).
-
-    The result is broadcast-joined by the permutation writers, so it is
-    capped at ``max_hubs`` rows (highest degree first) no matter how the
-    distribution shapes up: a near-uniform corpus must never turn the
-    whole subject set into a broadcast. TakeOrderedAndProject keeps the
-    cap a per-partition top-k + tiny merge, never a global sort."""
+    the shared hub_threshold policy — cheap, robust to zipf), capped by
+    top_hubs no matter how the distribution shapes up."""
     deg = triples.groupBy("s").agg(F.count("*").alias("deg"))
     if min_degree is None:
         row = deg.agg(F.mean("deg").alias("m"), F.stddev_pop("deg").alias("sd")).first()
-        min_degree = int((row["m"] or 0) + 3 * (row["sd"] or 0)) + 1
-    return (
-        deg.filter(F.col("deg") >= min_degree)
-        .orderBy(F.desc("deg"))
-        .limit(max_hubs)
-        .select("s", "deg")
-    )
+        min_degree = hub_threshold(row["m"], row["sd"])
+    return top_hubs(deg, "deg", min_degree, max_hubs).select("s", "deg")
 
 
 def write_permutations(

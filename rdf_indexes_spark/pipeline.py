@@ -62,10 +62,9 @@ def _vocab_hints(ranked: DataFrame, vocab_s: DataFrame):
        expand needed;
      - hub subjects from the s-vocab's frequency column (mention count >=
        triple degree, so every true triple hub is caught), saving the
-       degree-census groupBy inside the permutation write. STRICT
-       threshold int(m+3sd)+1 (near-uniform corpora must not hub the
-       whole vocab) + a top-64k cap bounding the broadcast
-       unconditionally (TakeOrderedAndProject, never a global sort).
+       degree-census groupBy inside the permutation write — selection via
+       the SHARED policy helpers (permutations.hub_threshold / top_hubs),
+       so this census-free path can never diverge from hub_subjects.
 
     Returns (sizes = {role: n}, hubs DataFrame[s], downcast bool)."""
     vinfo = {
@@ -80,13 +79,8 @@ def _vocab_hints(ranked: DataFrame, vocab_s: DataFrame):
     }
     sizes = {r: (int(vinfo[r]["n"]) if r in vinfo else 0) for r in ("s", "p", "o")}
     srow = vinfo.get("s")
-    thr = int((srow["m"] or 0) + 3 * (srow["sd"] or 0)) + 1 if srow else 1
-    hubs = (
-        vocab_s.filter(F.col("cnt") >= thr)
-        .orderBy(F.desc("cnt"))
-        .limit(65536)
-        .select(F.col("id").alias("s"))
-    )
+    thr = perm.hub_threshold(srow["m"], srow["sd"]) if srow else 1
+    hubs = perm.top_hubs(vocab_s, "cnt", thr).select(F.col("id").alias("s"))
     downcast = max(sizes.values()) < 2**31
     return sizes, hubs, downcast
 
@@ -164,9 +158,11 @@ def run_pipeline_fast(
         edge_endpoints(edges), edges.select("a", "b"), fixed_rounds=4,
         num_partitions=cc_parts,
     ).localCheckpoint(eager=False)  # single consumer (cmap)
-    # cmap's reduce stages (occ / best / reps) are all vocab- or
-    # graph-scale; run its eager checkpoint under the same data-sized
-    # partition count (map sides read the mention cache unaffected)
+    # cmap's reduce stages (occ / best / reps) are ALL link-graph-scale —
+    # occ semi-filters the fact stream by the component surfaces before
+    # aggregating (canonical_map) — so the edge-count-derived width is
+    # the right size for every exchange inside it; map sides read the
+    # mention cache unaffected
     _sp_key = "spark.sql.shuffle.partitions"
     _sp_old = spark.conf.get(_sp_key)
     spark.conf.set(_sp_key, str(cc_parts))

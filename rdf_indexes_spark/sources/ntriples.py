@@ -28,8 +28,6 @@ ingest must not — count them via ``with_malformed=True`` instead).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,19 +51,32 @@ def parse_rdf_lines(lines: DataFrame, fmt: str = "nq", with_malformed: bool = Fa
 
     line_no is the EXACT corpus-scan line number under the multi-file
     contract "files concatenate in NAME order" (the same contract
-    export_text / export_vocab_text write under): line_no = name-ordered
-    prefix-sum of per-file line counts + the line's ordinal within its
-    file. monotonically_increasing_id would NOT do — Spark packs file
-    splits into partitions by SIZE, so partition-ordinal order diverges
-    from name order on multi-file corpora, scrambling the reference's
-    first-occurrence frequency tie-break.
+    export_text / export_vocab_text write under): line_no = (name,
+    block-offset)-ordered prefix-sum of per-split line counts + the
+    line's ordinal within its split. monotonically_increasing_id would
+    NOT do — Spark packs file splits into partitions by SIZE, so
+    partition-ordinal order diverges from name order on multi-file
+    corpora, scrambling the reference's first-occurrence frequency
+    tie-break.
 
-    Within-file ordinals come from a per-(task, file) running counter in
-    the parse UDF: a FilePartition reads its files sequentially, so rows
-    of one file are contiguous in one task — PROVIDED no single file is
-    split across tasks. read_ntriples enforces that precondition
-    driver-side (gz is never splittable; plain text must fit
-    spark.sql.files.maxPartitionBytes).
+    Within-SPLIT ordinals come from a per-(file, block_start) running
+    counter in the parse UDF: one split is read by exactly one task, its
+    lines in byte order, and Hadoop line-reader semantics attribute each
+    line to the split containing its first byte — so keying the counter
+    by ``_metadata.file_block_start`` (not just the file) makes the
+    numbering correct even when the planner SPLITS a large plain-text
+    file across tasks (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes/parallelism)) — usually far below
+    maxPartitionBytes, so splitting is the norm, not the exception).
+    Compressed (.gz/.zst) files are one block each and take the same
+    path.
+
+    The per-split line counts intentionally come from a SECOND scan of
+    ``lines`` (no regex, count only): the alternative — persisting the
+    parsed frame to derive counts from one scan — caches a corpus-sized
+    frame during ingest, which inverts at the 100 TB target (storage
+    write+read of the whole corpus costs more than a cheap re-scan; for
+    .gz it does mean a second gunzip pass, the price of bounded memory).
     """
     import pandas as pd
 
@@ -75,7 +86,7 @@ def parse_rdf_lines(lines: DataFrame, fmt: str = "nq", with_malformed: bool = Fa
         import re as _re
 
         rx = _re.compile(pat)
-        seen: dict[str, int] = {}  # per-file running line count (this task)
+        seen: dict[tuple, int] = {}  # per-(file, block) running count (this task)
         for pdf in iterator:
             ext = pdf["value"].str.extract(rx)
             s = ext["su"] if "sb" not in ext else ext["su"].fillna(ext["sb"])
@@ -85,76 +96,58 @@ def parse_rdf_lines(lines: DataFrame, fmt: str = "nq", with_malformed: bool = Fa
                 o = o.fillna(ext["ob"])
             out = pd.DataFrame({"s": s, "p": p, "o": o})
             out["malformed"] = out["s"].isna() | out["p"].isna() | out["o"].isna()
-            fnames = pdf["_f"]
-            base = {f: seen.get(f, 0) for f in fnames.unique()}
-            out["_f"] = fnames
-            out["_i"] = fnames.groupby(fnames).cumcount() + fnames.map(base)
-            for f, cnt in fnames.value_counts().items():
-                seen[f] = base[f] + int(cnt)
+            keys = list(zip(pdf["_f"], pdf["_b"]))
+            base = {k: seen.get(k, 0) for k in set(keys)}
+            kser = pd.Series(keys, index=pdf.index)
+            out["_f"] = pdf["_f"]
+            out["_b"] = pdf["_b"]
+            out["_i"] = kser.groupby(kser).cumcount() + kser.map(base)
+            for k, cnt in kser.value_counts().items():
+                seen[k] = base[k] + int(cnt)
             yield out
 
-    parsed = lines.select("value", F.input_file_name().alias("_f")).mapInPandas(
-        parse, schema="s string, p string, o string, malformed boolean, _f string, _i long"
+    src = lines.select(
+        "value",
+        F.input_file_name().alias("_f"),
+        F.col("_metadata.file_block_start").alias("_b"),
     )
-    # name-ordered per-file offsets (the read_vocab_text pattern): the
-    # window runs over ONE row per input FILE, never data-sized.
+    parsed = src.mapInPandas(
+        parse,
+        schema="s string, p string, o string, malformed boolean, _f string, _b long, _i long",
+    )
+    # (name, block-offset)-ordered per-split offsets (the read_vocab_text
+    # pattern): the window runs over ONE row per SPLIT, never data-sized.
     from pyspark.sql import Window
 
-    counts = lines.groupBy(F.input_file_name().alias("_f")).agg(F.count("*").alias("_n"))
-    w = Window.orderBy("_f").rowsBetween(Window.unboundedPreceding, -1)
+    counts = (
+        lines.select(
+            F.input_file_name().alias("_f"),
+            F.col("_metadata.file_block_start").alias("_b"),
+        )
+        .groupBy("_f", "_b")
+        .agg(F.count("*").alias("_n"))
+    )
+    w = Window.orderBy("_f", "_b").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w), F.lit(0))).drop("_n")
     parsed = (
-        parsed.join(F.broadcast(offs), "_f")
+        parsed.join(F.broadcast(offs), ["_f", "_b"])
         .withColumn("line_no", (F.col("_off") + F.col("_i")).cast("long"))
-        .drop("_f", "_i", "_off")
+        .drop("_f", "_b", "_i", "_off")
     )
     if with_malformed:
         return parsed
     return parsed.filter(~F.col("malformed")).drop("malformed")
 
 
-# codecs Hadoop cannot split: a .gz/.zst file is always one task, so the
-# per-task line counter in parse_rdf_lines is exact for them at any size.
-_UNSPLITTABLE = (".gz", ".zst", ".snappy", ".lz4", ".deflate")
-
-_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-
-
-def _parse_bytes(v: str) -> int:
-    """Spark size-string ('32m', '128mb', '134217728') → bytes."""
-    s = str(v).strip().lower().removesuffix("b")
-    if s and s[-1] in _SIZE_SUFFIX:
-        return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
-    return int(s)
-
-
 def read_ntriples(
     spark: SparkSession, path: str, fmt: str = "nq", with_malformed: bool = False
 ) -> DataFrame:
-    """Read .nt/.nq (plain or .gz) files into (s, p, o, line_no)."""
-    lines = spark.read.text(path)
-    # line_no precondition (see parse_rdf_lines): no file may be split
-    # across tasks. Compressed files never are; a plain-text file is split
-    # iff it exceeds maxPartitionBytes — check the listing driver-side
-    # (local paths only; remote stores should ingest compressed shards).
-    max_bytes = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    for f in lines.inputFiles():
-        if f.startswith("file:") and not f.endswith(_UNSPLITTABLE):
-            local = f[len("file:"):]
-            while local.startswith("//"):
-                local = local[1:]
-            try:
-                size = os.path.getsize(local)
-            except OSError:
-                continue
-            if size > max_bytes:
-                raise ValueError(
-                    f"{f} ({size}B) exceeds spark.sql.files.maxPartitionBytes "
-                    f"({max_bytes}B) and would be split across tasks, breaking "
-                    "stable line numbering — raise maxPartitionBytes or ingest "
-                    "compressed (.gz) shards"
-                )
-    return parse_rdf_lines(lines, fmt=fmt, with_malformed=with_malformed)
+    """Read .nt/.nq (plain or .gz) files into (s, p, o, line_no).
+
+    No splittability precondition: line numbering is keyed by
+    (file, block_start), so large plain-text files split across tasks
+    number correctly (see parse_rdf_lines)."""
+    return parse_rdf_lines(spark.read.text(path), fmt=fmt, with_malformed=with_malformed)
 
 
 def rdf_to_mentions(parsed: DataFrame) -> DataFrame:

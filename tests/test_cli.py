@@ -200,3 +200,20 @@ def test_cli_profile(built_index):
         assert row["scan_ns_per_int"] > 0
         assert row["access_musec_per_query"] > 0
         assert row["find_musec_per_query"] > 0
+
+
+def test_cli_build_hash_mmh3_encodes(built_index):
+    """Regression: `build --hash --hash-fn mmh3` must actually encode —
+    the mmh3 vocab's terms are hash strings, so the encode join needs
+    the mention surfaces hashed identically; before the fix every
+    mention was quarantined and an empty index was written."""
+    d, _ = built_index
+    idx = str(d / "idx_mmh3")
+    r = _run(
+        "build", "--input", str(d / "fixture.nt"), "--format", "nt",
+        "--hash", "--hash-fn", "mmh3", "--out", idx,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "quarantined" not in r.stderr
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["num_triples"] == 4  # same dedup as the plain build

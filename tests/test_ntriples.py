@@ -139,3 +139,26 @@ def test_delta_batch_quarantine(spark, nt_path, tmp_path):
     assert len(q) == 2
     assert set(q.cs) == {"http://ex/sNEW", "http://ex/s1"}
     assert "http://ex/pNEW" in set(q.pred)
+
+
+def test_line_no_exact_across_file_splits(spark, tmp_path):
+    """A plain-text file far larger than maxPartitionBytes is SPLIT across
+    many tasks (the planner's maxSplitBytes is usually well below the
+    configured cap, so splitting is the norm at scale) — the
+    (file, block_start)-keyed numbering must still produce the exact
+    sequential corpus line_no."""
+    n = 20000
+    f = tmp_path / "big.nt"
+    f.write_text(
+        "\n".join(f"<http://ex/s{i}> <http://ex/p{i % 7}> <http://ex/o{i % 13}> ." for i in range(n))
+        + "\n"
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try:
+        assert spark.read.text(str(f)).rdd.getNumPartitions() > 4  # really split
+        rows = read_ntriples(spark, str(f), fmt="nt").orderBy("line_no").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert [r["line_no"] for r in rows] == list(range(n))
+    assert [r["s"] for r in rows] == [f"http://ex/s{i}" for i in range(n)]
