@@ -49,31 +49,41 @@ def cmd_build(args) -> int:
         from .sources.ntriples import rdf_to_mentions, read_ntriples
 
         mentions = rdf_to_mentions(read_ntriples(spark, args.input, fmt=args.format))
-        if args.hash:
+        if args.hash and args.hash_fn == "mmh3":
+            # mmh3 vocab TERMS are hash strings (byte-parity with
+            # extract_vocabs --hash), so the encode join needs the mention
+            # surfaces hashed the same way — the coherent composition of
+            # the reference's scripts (map_dataset.py's mapping loop
+            # hashes dataset terms before lookup; NB its build_vocab
+            # re-hashes an already-hashed vocab when BOTH scripts get
+            # --hash, which can never match — we pair the hashed vocab
+            # with single-hashed lookups instead). Hash ONCE, checkpoint,
+            # and build the vocabs from the hashed frame with the normal
+            # freq-desc/first-occurrence rank (build_vocab's mmh3 branch
+            # is exactly hash-then-rank, so ids are identical by
+            # construction) — the per-row-Python MurmurHash is the repo's
+            # slowest UDF and must not re-run per downstream action.
+            from pyspark.sql.functions import pandas_udf
+
+            from .functions.mmh3_compat import hash64_unsigned_str
+
+            mm = pandas_udf(hash64_unsigned_str, "string")
+            mentions = (
+                mentions.withColumn("cs", mm("cs"))
+                .withColumn("pred", mm("pred"))
+                .withColumn("co", mm("co"))
+                .localCheckpoint(eager=False)
+            )
+            vocabs = {
+                role: enc.build_vocab(mentions, col)
+                for role, col in [("s", "cs"), ("p", "pred"), ("o", "co")]
+            }
+        elif args.hash:
             mentions = mentions.localCheckpoint(eager=False)  # 3 vocab scans
             vocabs = {
                 role: enc.build_vocab(mentions, col, hash_ids=True, hash_fn=args.hash_fn)
                 for role, col in [("s", "cs"), ("p", "pred"), ("o", "co")]
             }
-            if args.hash_fn == "mmh3":
-                # mmh3 vocab TERMS are hash strings (byte-parity with
-                # extract_vocabs --hash), so the encode join needs the
-                # mention surfaces hashed the same way — the coherent
-                # composition of the reference's scripts (map_dataset.py's
-                # mapping loop hashes dataset terms before lookup; NB its
-                # build_vocab re-hashes an already-hashed vocab when BOTH
-                # scripts get --hash, which can never match — we pair the
-                # hashed vocab with single-hashed lookups instead).
-                from pyspark.sql.functions import pandas_udf
-
-                from .functions.mmh3_compat import hash64_unsigned_str
-
-                mm = pandas_udf(hash64_unsigned_str, "string")
-                mentions = (
-                    mentions.withColumn("cs", mm("cs"))
-                    .withColumn("pred", mm("pred"))
-                    .withColumn("co", mm("co"))
-                )
         else:
             vocabs = enc.build_vocabs_fused(mentions)
         encoded, quarantine = enc.encode_mentions(mentions, vocabs)

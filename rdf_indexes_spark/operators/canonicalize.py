@@ -129,33 +129,36 @@ def _connected_components_body(
             .repartition(nparts, "dst")
             .persist()  # reused every round inside the one consuming job
         )
-        labels = nodes.select(F.col("surface"), F.col("surface").alias("component"))
-        for _ in range(fixed_rounds):
-            labels = _propagate(sym_id, labels)
-        # convergence proof: one extra round must change zero labels.
-        # labels is cut so the k-round prefix computes once; the check is
-        # one count over |linked surfaces| rows.
-        labels = labels.localCheckpoint(eager=False)
-        rounds = fixed_rounds
-        while rounds < max_iter:
-            nxt = _propagate(sym_id, labels).localCheckpoint(eager=False)
-            changed = (
-                nxt.join(labels.withColumnRenamed("component", "_old"), "surface")
-                .filter(F.col("component") != F.col("_old"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                # labels' lazy checkpoint was materialized by the check
-                # job — the cached symmetrized graph is no longer needed
-                # (direct callers have no pipeline-level cache snapshot
-                # to clean up after them)
-                sym_id.unpersist()
-                return labels
-            labels = nxt  # under-converged: keep propagating to fixpoint
-            rounds += 1
-        sym_id.unpersist()
-        return labels
+        # try/finally: the cached symmetrized graph must not outlive this
+        # call on ANY path — success returns (the check job has already
+        # materialized labels' lazy checkpoint, so the result no longer
+        # needs the cache) or a failed check job (direct callers have no
+        # pipeline-level cache snapshot to clean up leaked graph-scale
+        # RDDs after a retry).
+        try:
+            labels = nodes.select(F.col("surface"), F.col("surface").alias("component"))
+            for _ in range(fixed_rounds):
+                labels = _propagate(sym_id, labels)
+            # convergence proof: one extra round must change zero labels.
+            # labels is cut so the k-round prefix computes once; the check
+            # is one count over |linked surfaces| rows.
+            labels = labels.localCheckpoint(eager=False)
+            rounds = fixed_rounds
+            while rounds < max_iter:
+                nxt = _propagate(sym_id, labels).localCheckpoint(eager=False)
+                changed = (
+                    nxt.join(labels.withColumnRenamed("component", "_old"), "surface")
+                    .filter(F.col("component") != F.col("_old"))
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    return labels
+                labels = nxt  # under-converged: keep propagating to fixpoint
+                rounds += 1
+            return labels
+        finally:
+            sym_id.unpersist()
     nparts = num_partitions or int(
         nodes.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -188,29 +191,37 @@ def _connected_components_body(
     return labels
 
 
-def canonical_map(mentions_facts: DataFrame, components: DataFrame) -> DataFrame:
+def canonical_map(
+    mentions_facts: DataFrame, components: DataFrame, broadcast_components: bool = True
+) -> DataFrame:
     """(surface, canonical): representative = most frequent surface in the
     component across subj+obj fact occurrences; ties → lexicographic min.
 
     Frequency semantics mirror the reference's vocab counting over the raw
     corpus (/root/reference/scripts/extract_vocabs.py:33-56) — duplicates
     count.
-    """
+
+    broadcast_components: the semi-filter below force-broadcasts the
+    component surfaces (an explicit hint BYPASSES autoBroadcastJoinThreshold
+    — it is not best-effort). Right for link graphs orders of magnitude
+    below the corpus; pass False for billion-edge graphs and the filter
+    becomes a shuffled left-semi join instead (same semantics, no driver
+    collect) — the same escape hatch as canonicalize_mentions'
+    broadcast_map."""
     # only LINKED surfaces ever consume a frequency (lab below is
     # components LEFT-join occ) — semi-filter the melted fact stream by
     # the component surfaces BEFORE aggregating, so the occ exchange
     # ships link-graph-scale rows, not one per distinct corpus surface.
     # This keeps every exchange in this function graph-scale, matching
     # the edge-count-derived shuffle width pipeline callers scope around
-    # it. components is link-graph-sized (same broadcast rationale as
-    # canonicalize_mentions' cmap); for billion-edge graphs Spark falls
-    # back per the session autoBroadcast threshold via the hint being
-    # best-effort.
+    # it.
     surfaces = components.select("surface")
+    if broadcast_components:
+        surfaces = F.broadcast(surfaces)
     occ = (
         mentions_facts.select(F.col("subj").alias("surface"))
         .unionAll(mentions_facts.select(F.col("obj").alias("surface")))
-        .join(F.broadcast(surfaces), "surface", "left_semi")
+        .join(surfaces, "surface", "left_semi")
         .groupBy("surface")
         .agg(F.count("*").alias("freq"))
     )

@@ -300,10 +300,10 @@ def near_dup_keep(
     anti-semantics below. ``pairs`` comes from any of the candidate
     generators (minhash_lsh_pairs -> ngram_jaccard_pairs verify at
     scale; all-pairs ngram for oracle parity)."""
-    from .canonicalize import connected_components
+    from .canonicalize import connected_components, edge_endpoints
 
     # eager cut: the pair graph (often an expensive LSH/verify chain) is
-    # consumed three times below (nodes union x2, CC's symmetrization) —
+    # consumed three times below (endpoints x2, CC's symmetrization) —
     # and the count that sizes the CC shuffle width by the PAIR GRAPH
     # (not the cluster) comes free off the cache. Same sizing rationale
     # as the pipeline's cc_parts: the CC loop's waves over a small graph
@@ -311,12 +311,9 @@ def near_dup_keep(
     edges = pairs.select(F.col("a"), F.col("b")).localCheckpoint(eager=True)
     sc = docs.sparkSession.sparkContext
     cc_parts = max(8, min(sc.defaultParallelism, edges.count() // 100_000 + 1))
-    nodes = (
-        edges.select(F.col("a").alias("surface"))
-        .unionAll(edges.select(F.col("b").alias("surface")))
-        .distinct()
+    comps = connected_components(
+        edge_endpoints(edges), edges, fixed_rounds=4, num_partitions=cc_parts
     )
-    comps = connected_components(nodes, edges, fixed_rounds=4, num_partitions=cc_parts)
     return (
         docs.select(F.col(id_col))
         .join(comps, docs[id_col] == comps.surface, "left")

@@ -61,15 +61,19 @@ def parse_rdf_lines(lines: DataFrame, fmt: str = "nq", with_malformed: bool = Fa
 
     Within-SPLIT ordinals come from a per-(file, block_start) running
     counter in the parse UDF: one split is read by exactly one task, its
-    lines in byte order, and Hadoop line-reader semantics attribute each
-    line to the split containing its first byte — so keying the counter
-    by ``_metadata.file_block_start`` (not just the file) makes the
-    numbering correct even when the planner SPLITS a large plain-text
-    file across tasks (maxSplitBytes = min(maxPartitionBytes,
-    max(openCostInBytes, totalBytes/parallelism)) — usually far below
-    maxPartitionBytes, so splitting is the norm, not the exception).
-    Compressed (.gz/.zst) files are one block each and take the same
-    path.
+    lines in byte order, and the line-reader rule (every non-first split
+    skips up to and past its first newline, reads past its end to finish
+    the last line — so a line starting exactly AT a boundary belongs to
+    the PRECEDING split) partitions the lines of a file exactly across
+    its splits. Keying the counter by ``_metadata.file_block_start``
+    (not just the file) therefore makes the numbering correct even when
+    the planner SPLITS a large plain-text file across tasks
+    (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes/parallelism)) — usually far below maxPartitionBytes, so
+    splitting is the norm, not the exception). Compressed (.gz/.zst)
+    files are one block each and take the same path. Because the
+    boundary rule lives in the reader, per-split counts MUST come from a
+    scan under the same rule (below), never from byte offsets.
 
     The per-split line counts intentionally come from a SECOND scan of
     ``lines`` (no regex, count only): the alternative — persisting the
@@ -119,20 +123,27 @@ def parse_rdf_lines(lines: DataFrame, fmt: str = "nq", with_malformed: bool = Fa
     # pattern): the window runs over ONE row per SPLIT, never data-sized.
     from pyspark.sql import Window
 
-    counts = (
-        lines.select(
-            F.input_file_name().alias("_f"),
-            F.col("_metadata.file_block_start").alias("_b"),
-        )
-        .groupBy("_f", "_b")
-        .agg(F.count("*").alias("_n"))
-    )
+    # counts scan from the SAME projected child as the parse scan (same
+    # relation, same conf → same split plan). The two scans still run as
+    # separate jobs; if the cluster's parallelism changes between them
+    # (dynamic allocation at cloud scale) split boundaries could drift,
+    # so the join is LEFT with a runtime assert_true instead of an inner
+    # join that would silently DROP rows whose (file, block) key has no
+    # offset — numbering must fail loudly, never lose triples.
+    counts = src.groupBy("_f", "_b").agg(F.count("*").alias("_n"))
     w = Window.orderBy("_f", "_b").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w), F.lit(0))).drop("_n")
     parsed = (
-        parsed.join(F.broadcast(offs), ["_f", "_b"])
+        parsed.join(F.broadcast(offs), ["_f", "_b"], "left")
+        .withColumn(
+            "_drift",
+            F.assert_true(
+                F.col("_off").isNotNull(),
+                F.lit("line_no split-plan drift: parse and count scans disagree on file splits"),
+            ),
+        )
         .withColumn("line_no", (F.col("_off") + F.col("_i")).cast("long"))
-        .drop("_f", "_b", "_i", "_off")
+        .drop("_f", "_b", "_i", "_off", "_drift")
     )
     if with_malformed:
         return parsed
