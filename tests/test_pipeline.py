@@ -280,3 +280,36 @@ def test_rank_remap_roundtrip(artifacts):
     a = sorted(tuple(r) for r in back.select("s", "p", "o").collect())
     b = sorted(tuple(r) for r in t.select("s", "p", "o").collect())
     assert a == b
+
+
+def test_canonicalize_no_broadcast_paths_identical(spark, transcripts):
+    """The billion-edge escape hatches (canonical_map's
+    broadcast_components=False semi-join and canonicalize_mentions'
+    broadcast_map=False shuffle joins) must produce byte-identical
+    results to the broadcast defaults."""
+    from rdf_indexes_spark.lexicon import SAME_AS
+    from rdf_indexes_spark.operators.canonicalize import (
+        canonical_map,
+        canonicalize_mentions,
+        connected_components,
+        edge_endpoints,
+    )
+    from pyspark.sql import functions as F
+
+    from rdf_indexes_spark.operators.extract import extract_mentions
+    from rdf_indexes_spark.operators.link import candidate_edges
+
+    mentions = extract_mentions(transcripts).localCheckpoint()
+    facts = mentions.filter(F.col("pred") != SAME_AS)
+    edges = candidate_edges(mentions).localCheckpoint()
+    comps = connected_components(
+        edge_endpoints(edges), edges.select("a", "b"), fixed_rounds=4
+    ).localCheckpoint()
+
+    cmap_bc = canonical_map(facts, comps)
+    cmap_sh = canonical_map(facts, comps, broadcast_components=False)
+    assert cmap_bc.exceptAll(cmap_sh).isEmpty() and cmap_sh.exceptAll(cmap_bc).isEmpty()
+
+    canon_bc = canonicalize_mentions(facts, cmap_bc.localCheckpoint())
+    canon_sh = canonicalize_mentions(facts, cmap_sh.localCheckpoint(), broadcast_map=False)
+    assert canon_bc.exceptAll(canon_sh).isEmpty() and canon_sh.exceptAll(canon_bc).isEmpty()
