@@ -754,6 +754,51 @@ def _q_d2_space_stats(spark, sf_dir):
     return space_stats(spark, out, n)
 
 
+_BGP_CONSTS_CACHE: dict[str, tuple[int, int, int]] = {}
+
+
+def _bgp_consts(spark, sf_dir) -> tuple[int, int, int]:
+    """Deterministic BGP constants: the two smallest predicates and the
+    min object under p1 — same scalar-subquery definitions as the oracle."""
+    if sf_dir not in _BGP_CONSTS_CACHE:
+        t = _derived_triples(spark, sf_dir)
+        p0 = int(t.agg(F.min("p")).first()[0])
+        p1 = int(t.filter(F.col("p") > p0).agg(F.min("p")).first()[0])
+        o0 = int(t.filter(F.col("p") == p1).agg(F.min("o")).first()[0])
+        _BGP_CONSTS_CACHE[sf_dir] = (p0, p1, o0)
+    return _BGP_CONSTS_CACHE[sf_dir]
+
+
+def _q_bgp_chain(spark, sf_dir):
+    """G1: two-pattern chain BGP (?x p0 ?y)(?y p1 ?z) — the conjunctive
+    query surface beyond the reference's single patterns; joins route
+    per-pattern through the permutation router."""
+    from rdf_indexes_spark.plans.bgp import bgp_join
+
+    t = _derived_triples(spark, sf_dir)
+    tables = {name: t for name in ("spo", "pos", "osp", "ops", "pso")}
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
+    return bgp_join(tables, [("?x", p0, "?y"), ("?y", p1, "?z")], project=["x", "y", "z"])
+
+
+def _q_bgp_star(spark, sf_dir):
+    """G2: star BGP (?x p0 ?y)(?x p1 o0) — the second pattern is a
+    2-bound probe, exercising bgp_join's broadcast path."""
+    from rdf_indexes_spark.plans.bgp import bgp_join
+
+    t = _derived_triples(spark, sf_dir)
+    tables = {name: t for name in ("spo", "pos", "osp", "ops", "pso")}
+    p0, p1, o0 = _bgp_consts(spark, sf_dir)
+    return bgp_join(tables, [("?x", p0, "?y"), ("?x", p1, o0)], project=["x", "y"])
+
+
+_BGP_CONST_SQL = (
+    "c AS (SELECT (SELECT min(p) FROM t) AS p0, "
+    "(SELECT min(p) FROM t WHERE p > (SELECT min(p) FROM t)) AS p1, "
+    "(SELECT min(o) FROM t WHERE p = (SELECT min(p) FROM t WHERE p > (SELECT min(p) FROM t))) AS o0)"
+)
+
+
 def _q_simhash_near(spark, sf_dir):
     from rdf_indexes_spark.operators.dedup import simhash, simhash_near_pairs
 
@@ -812,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_rank_decode": _q_e5_rank_decode,
         "d2_space_stats": _q_d2_space_stats,
         "f1_member_position": _q_f1_member_position,
+        "g1_bgp_chain": _q_bgp_chain,
+        "g2_bgp_star": _q_bgp_star,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -950,6 +997,16 @@ def oracle_sql() -> dict[str, str]:
             "comp AS (SELECT src AS doc_id, least(min(dst), src) AS comp FROM reach GROUP BY src) "
             "SELECT d.doc_id FROM documents d LEFT JOIN comp c USING (doc_id) "
             "WHERE c.comp IS NULL OR c.comp = d.doc_id"
+        ),
+        "g1_bgp_chain": (
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT a.s AS x, a.o AS y, b.o AS z FROM t a, t b, c "
+            "WHERE a.p = c.p0 AND b.p = c.p1 AND b.s = a.o"
+        ),
+        "g2_bgp_star": (
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT a.s AS x, a.o AS y FROM t a, t b, c "
+            "WHERE a.p = c.p0 AND b.p = c.p1 AND b.o = c.o0 AND b.s = a.s"
         ),
         "text_token_count": (
             f"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END AS BIGINT) AS n_tokens FROM documents"
