@@ -244,6 +244,51 @@ def cmd_statistics(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Incremental ingest: merge a delta transcript batch into an index
+    built with `build --format transcripts` (see delta.merge_delta)."""
+    from . import delta as dl
+    from .operators import permutations as perm
+
+    if not os.path.isdir(os.path.join(args.index, "vocabs_ranked")):
+        print(
+            "ingest requires an index built with --format transcripts "
+            f"(no vocabs_ranked stage under {args.index})",
+            file=sys.stderr,
+        )
+        return 2
+    spark = _spark(args)
+    transcripts = spark.read.parquet(args.input)
+    counters = dl.merge_delta(
+        spark,
+        args.index,
+        transcripts,
+        num_partitions=args.partitions,
+        extend_vocab=not args.frozen_vocab,
+        delta_id=args.input,
+    )
+    # refresh the contract locations (<index>/stats + stats.txt + vocabs)
+    stats = spark.read.parquet(os.path.join(args.index, "perms", "stats"))
+    stats.write.mode("overwrite").parquet(os.path.join(args.index, "stats"))
+    perm.export_stats_text(stats, os.path.join(args.index, "stats.txt"))
+    ranked = dl.read_vocab_ranked(spark, args.index)
+    for role in ("s", "p", "o"):
+        v = ranked.filter(ranked.role == role).select("term", "id", "cnt")
+        perm.export_vocab_text(v, os.path.join(args.index, "vocabs", f"{role}_vocab"))
+    print(json.dumps({"ingested": args.input, **counters}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Collapse appended delta generations into one sorted run."""
+    from . import delta as dl
+
+    spark = _spark(args)
+    out = dl.compact(spark, args.index, num_partitions=args.partitions)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m rdf_indexes_spark")
     ap.add_argument("--cores", type=int, default=None)
@@ -301,6 +346,22 @@ def main(argv=None) -> int:
     )
     q.add_argument("--batched", action="store_true", help="set-oriented: one job per wildcard class")
     q.set_defaults(fn=cmd_queries)
+
+    ing = sub.add_parser("ingest", help="merge a delta transcript batch into an existing index")
+    ing.add_argument("--index", required=True, help="index dir from `build --format transcripts`")
+    ing.add_argument("--input", required=True, help="delta transcripts parquet")
+    ing.add_argument(
+        "--frozen-vocab",
+        action="store_true",
+        help="drop-and-log mentions with unknown terms instead of extending the dictionaries",
+    )
+    ing.add_argument("--partitions", type=int, default=None)
+    ing.set_defaults(fn=cmd_ingest)
+
+    cp = sub.add_parser("compact", help="collapse delta generations into one sorted run")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--partitions", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("statistics", help="print the 7-count stats + per-permutation space")
     s.add_argument("--index", required=True)

@@ -195,6 +195,7 @@ def write_permutations_unified(
     hubs: DataFrame | None = None,
     downcast: bool | None = None,
     perms: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
 ) -> str:
     """All requested sorted permutations (default: five) in ONE shuffle +
     ONE write. ``perms`` materializes a reduced variant — the reference's
@@ -291,7 +292,7 @@ def write_permutations_unified(
                 F.shiftrightunsigned("k2", 32).cast("int").alias("c2"),
                 F.col("k2").bitwiseAND(mask).cast("int").alias("c3"),
             )
-            .write.mode("overwrite")
+            .write.mode(mode)
             .partitionBy("perm")
             .parquet(out_dir)
         )
@@ -317,7 +318,7 @@ def write_permutations_unified(
         tagged.repartition(5 * n, "perm", "c1", "c2", "_salt")
         .sortWithinPartitions("perm", "c1", "c2", "c3")
         .drop("_salt")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("perm")
         .parquet(out_dir)
     )

@@ -125,6 +125,31 @@ def test_cli_build_transcripts(tmp_path):
     assert qrep["queries"] == 5
     assert qrep["triples"] >= 5  # S P ? supersets each sampled triple
 
+    # ingest a delta batch, then compact; statistics must track the growth
+    import sys as _s
+
+    _s.path.insert(0, REPO)
+    from rdf_indexes_spark.session import get_spark as _gs
+    from rdf_indexes_spark.synth import generate as _gen
+
+    sp = _gs(cores=4, driver_memory="4g", app_name="cli_delta_gen")
+    delta_src = str(tmp_path / "delta.parquet")
+    sp.createDataFrame(_gen(150, seed=4).transcripts).write.parquet(delta_src)
+    sp.stop()
+    r = _run("ingest", "--index", idx, "--input", delta_src)
+    assert r.returncode == 0, r.stderr[-2000:]
+    irep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert irep["new_triples"] > 0
+    assert irep["total_triples"] == rep["num_triples"] + irep["new_triples"]
+    r = _run("compact", "--index", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("statistics", "--index", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out2 = dict(
+        line.split(": ") for line in r.stdout.splitlines() if ": " in line and "perm " not in line
+    )
+    assert int(out2["num_triples"]) == irep["total_triples"]
+
 
 def test_cli_reduced_variant_batched_queries(tmp_path):
     """A reduced 2tp index (SPO+POS only) must answer EVERY wildcard class
