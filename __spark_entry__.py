@@ -792,6 +792,34 @@ def _q_bgp_star(spark, sf_dir):
     return bgp_join(tables, [("?x", p0, "?y"), ("?x", p1, o0)], project=["x", "y"])
 
 
+def _q_sparql_chain(spark, sf_dir):
+    """G3: the string-level SPARQL front-end over DELIBERATELY misaligned
+    role id spaces (o-ids shifted by 10^7, so id-level joins match
+    NOTHING): constants resolve through the vocabs, the cross-role ?y
+    joins on TERMS, results decode to surface forms."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    t = _derived_triples(spark, sf_dir)
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
+    shift = 10_000_000
+    vocabs = {
+        "s": t.select(F.col("s").alias("id")).distinct().select(
+            F.concat(F.lit("E"), F.col("id")).alias("term"), "id"
+        ),
+        "p": t.select(F.col("p").alias("id")).distinct().select(
+            F.concat(F.lit("P"), F.col("id")).alias("term"), "id"
+        ),
+        "o": t.select((F.col("o") + shift).alias("id")).distinct().select(
+            F.concat(F.lit("E"), F.col("id") - shift).alias("term"), "id"
+        ),
+    }
+    enc = t.select("s", "p", (F.col("o") + shift).alias("o"))
+    tables = {name: enc for name in ("spo", "pos", "osp", "ops", "pso")}
+    return run_sparql(
+        f"SELECT ?x ?y ?z WHERE {{ ?x P{p0} ?y . ?y P{p1} ?z }}", tables, vocabs
+    )
+
+
 _BGP_CONST_SQL = (
     "c AS (SELECT (SELECT min(p) FROM t) AS p0, "
     "(SELECT min(p) FROM t WHERE p > (SELECT min(p) FROM t)) AS p1, "
@@ -859,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_member_position": _q_f1_member_position,
         "g1_bgp_chain": _q_bgp_chain,
         "g2_bgp_star": _q_bgp_star,
+        "g3_sparql_chain": _q_sparql_chain,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -1007,6 +1036,16 @@ def oracle_sql() -> dict[str, str]:
             f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
             "SELECT a.s AS x, a.o AS y FROM t a, t b, c "
             "WHERE a.p = c.p0 AND b.p = c.p1 AND b.o = c.o0 AND b.s = a.s"
+        ),
+        "g3_sparql_chain": (
+            # string-level twin of g1: the Spark side runs the SPARQL
+            # front-end over shifted o-ids (id joins match nothing); term
+            # semantics reduce to the raw chain with decoded surfaces
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(a.s AS VARCHAR) AS x, "
+            "'E' || CAST(a.o AS VARCHAR) AS y, "
+            "'E' || CAST(b.o AS VARCHAR) AS z FROM t a, t b, c "
+            "WHERE a.p = c.p0 AND b.p = c.p1 AND b.s = a.o"
         ),
         "text_token_count": (
             f"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END AS BIGINT) AS n_tokens FROM documents"

@@ -216,6 +216,43 @@ def cmd_queries(args) -> int:
     return 0
 
 
+def cmd_sparql(args) -> int:
+    """String-level SPARQL subset over an index built by `build`: encodes
+    the query's constants through the vocabularies, routes each pattern,
+    joins on shared variables (term semantics across the three id
+    spaces), decodes results (plans/sparql.py)."""
+    from .operators import permutations as perm
+    from .plans.sparql import parse_sparql, run_sparql
+
+    spark = _spark(args)
+    tables = perm.read_permutations_unified(spark, os.path.join(args.index, "perms5"))
+    vocabs = {
+        role: perm.read_vocab_text(
+            spark, os.path.join(args.index, "vocabs", f"{role}_vocab")
+        )
+        for role in ("s", "p", "o")
+    }
+    q = parse_sparql(args.query)
+    t0 = time.monotonic()
+    out = run_sparql(q, tables, vocabs)
+    if q.form == "ASK":
+        print(json.dumps({"ask": bool(out.first()["ask"])}))
+        return 0
+    rows = out.limit(args.max_print).collect()
+    total = len(rows) if len(rows) < args.max_print else out.count()
+    print(
+        json.dumps(
+            {
+                "vars": out.columns,
+                "rows": total,
+                "data": [list(r) for r in rows],
+                "elapsed_sec": round(time.monotonic() - t0, 3),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Per-level scan/access/find microbench (the reference's `./profile`
     driver, benchmark/profile.cpp:40-288) — json lines per (trie, level)."""
@@ -362,6 +399,12 @@ def main(argv=None) -> int:
     cp.add_argument("--index", required=True)
     cp.add_argument("--partitions", type=int, default=None)
     cp.set_defaults(fn=cmd_compact)
+
+    sq = sub.add_parser("sparql", help="string-level SPARQL subset (SELECT/ASK over a BGP)")
+    sq.add_argument("--index", required=True, help="index dir from `build`")
+    sq.add_argument("--query", required=True, help='e.g. \'SELECT ?x WHERE { ?x worksAt co1 }\'')
+    sq.add_argument("--max-print", type=int, default=100, help="max result rows to print")
+    sq.set_defaults(fn=cmd_sparql)
 
     s = sub.add_parser("statistics", help="print the 7-count stats + per-permutation space")
     s.add_argument("--index", required=True)

@@ -1,0 +1,391 @@
+"""String-level SPARQL subset: SELECT/ASK over basic graph patterns.
+
+The reference is strictly an INTEGER-triple engine — its query driver
+consumes pre-encoded id triples and leaves surface forms in the three
+vocabulary files (/root/reference/README.md:54-58, 173-214;
+scripts/map_dataset.py:36-38 loads the vocabs only to encode, never to
+query). A user of the full system therefore runs: encode the query's
+terms through the vocabularies, probe the index, decode results. This
+module packages that workflow as a small SPARQL subset so the index is
+usable at the string level end-to-end:
+
+    SELECT [DISTINCT] (?v ... | *) WHERE { s p o . s p o ... }
+        [ORDER BY ?v ...] [LIMIT n]
+    ASK WHERE { ... }
+
+Terms: ``?name`` is a variable; ``<iri>`` resolves to the IRI text
+between the brackets (the NT/NQ parser stores bracket-STRIPPED URIs as
+vocabulary terms, sources/ntriples.py — and standard SPARQL brackets
+denote the IRI itself); ``"quoted literal"`` resolves to the quoted
+content (spaces and ``\"`` escapes supported); a bare token resolves to
+itself. Constants match vocabulary terms exactly.
+
+Semantics & the three id spaces
+-------------------------------
+The reference gives subjects, predicates and objects three INDEPENDENT
+dense-id spaces (scripts/extract_vocabs.py:29-31), so an id-level join
+between an object column and a subject column (what ``plans.bgp`` does,
+by documented contract) relates UNRELATED ids. String-level SPARQL
+semantics require joining on the TERM. This layer therefore classifies
+every variable by the set of roles it occupies across the whole BGP:
+
+ - a SINGLE-ROLE variable (the common case — every predicate variable,
+   and chain variables that stay on one side) joins on the raw dense id:
+   long keys, no decode until final projection;
+ - a MULTI-ROLE variable is decoded to its term per pattern (one
+   id-keyed join against that role's vocabulary — vocab-scale dimension,
+   AQE picks broadcast vs shuffle) and patterns join on the term string.
+   Exact by construction; the id-space bridge only pays where the query
+   actually crosses roles.
+
+Constant lookups push an ``IN`` filter into each vocabulary scan and
+collect at most one id per constant — O(query) driver data, never a
+table scan. A constant absent from its vocabulary short-circuits the
+whole query to an empty result (the reference's missing-key drop
+semantics, scripts/map_dataset.py:61-83).
+
+Scale: per-pattern scans route through ``plans.router`` (permutation
+choice + pushdown + partition pruning); join order is greedy
+bound-first exactly as ``plans.bgp``; 2-bound probe patterns are
+broadcast. Final decode is one id-keyed vocab join per projected
+single-role variable.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .router import select
+
+_POS = ("s", "p", "o")
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Const:
+    text: str
+
+
+@dataclass
+class SparqlQuery:
+    form: str  # "SELECT" | "ASK"
+    variables: list[str] | None  # None = SELECT *
+    distinct: bool = False
+    patterns: list[tuple] = field(default_factory=list)
+    order_by: list[str] = field(default_factory=list)
+    limit: int | None = None
+
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<brace>[{}])
+      | (?P<dot>\.(?=\s|}|$))
+      | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<iri><[^<>\s]*>)
+      | (?P<lit>"(?:[^"\\]|\\.)*")
+      | (?P<bare>[^\s{}]+)
+    )""",
+    re.X,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    toks, i = [], 0
+    while i < len(text):
+        m = _TOKEN.match(text, i)
+        if not m:
+            break
+        i = m.end()
+        for kind in ("brace", "dot", "var", "iri", "lit", "bare"):
+            v = m.group(kind)
+            if v is not None:
+                toks.append((kind, v))
+                break
+    if text[i:].strip():
+        raise ValueError(f"cannot tokenize SPARQL near: {text[i:i+40]!r}")
+    return toks
+
+
+def _term(kind: str, v: str):
+    if kind == "var":
+        return Var(v[1:])
+    if kind == "lit":
+        return Const(re.sub(r"\\(.)", r"\1", v[1:-1]))
+    if kind == "iri":
+        return Const(v[1:-1])  # the IRI text — vocab terms are bracket-stripped
+    return Const(v)  # bare token, verbatim
+
+
+def parse_sparql(text: str) -> SparqlQuery:
+    toks = _tokenize(text)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take():
+        nonlocal pos
+        t = peek()
+        pos += 1
+        return t
+
+    def kw(word: str) -> bool:
+        k, v = peek()
+        return k == "bare" and v.upper() == word
+
+    if kw("SELECT"):
+        take()
+        q = SparqlQuery(form="SELECT", variables=[])
+        if kw("DISTINCT"):
+            take()
+            q.distinct = True
+        while True:
+            k, v = peek()
+            if k == "var":
+                take()
+                q.variables.append(v[1:])
+            elif k == "bare" and v == "*":
+                take()
+                q.variables = None
+                break
+            else:
+                break
+        if q.variables == []:
+            raise ValueError("SELECT needs at least one ?variable or *")
+    elif kw("ASK"):
+        take()
+        q = SparqlQuery(form="ASK", variables=None)
+    else:
+        raise ValueError("query must start with SELECT or ASK")
+
+    if kw("WHERE"):
+        take()
+    k, v = take()
+    if (k, v) != ("brace", "{"):
+        raise ValueError("expected '{' to open the graph pattern")
+    while True:
+        k, v = peek()
+        if (k, v) == ("brace", "}"):
+            take()
+            break
+        if k is None:
+            raise ValueError("unterminated graph pattern (missing '}')")
+        triple = []
+        for _ in range(3):
+            k, v = take()
+            if k in ("var", "iri", "lit", "bare"):
+                triple.append(_term(k, v))
+            else:
+                raise ValueError(f"expected a term, got {v!r}")
+        q.patterns.append(tuple(triple))
+        k, v = peek()
+        if k == "dot":
+            take()
+    if not q.patterns:
+        raise ValueError("empty graph pattern")
+
+    if kw("ORDER"):
+        take()
+        k, v = take()
+        if not (k == "bare" and v.upper() == "BY"):
+            raise ValueError("ORDER must be followed by BY")
+        while peek()[0] == "var":
+            q.order_by.append(take()[1][1:])
+        if not q.order_by:
+            raise ValueError("ORDER BY needs at least one ?variable")
+    if kw("LIMIT"):
+        take()
+        k, v = take()
+        if k != "bare" or not v.isdigit():
+            raise ValueError("LIMIT needs a non-negative integer")
+        q.limit = int(v)
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens after query: {toks[pos:]}")
+
+    pattern_vars = {t.name for pat in q.patterns for t in pat if isinstance(t, Var)}
+    if q.variables is None:
+        q.variables = sorted(pattern_vars) if q.form == "SELECT" else []
+    missing = [v for v in (q.variables + q.order_by) if v not in pattern_vars]
+    if missing:
+        raise ValueError(f"variables not bound in the pattern: {missing}")
+    unprojected = [v for v in q.order_by if v not in q.variables]
+    if unprojected:
+        raise ValueError(f"ORDER BY variables must be projected: {unprojected}")
+    return q
+
+
+# ------------------------------------------------------------- execution
+
+
+def _var_roles(patterns: list[tuple]) -> dict[str, set[str]]:
+    roles: dict[str, set[str]] = {}
+    for pat in patterns:
+        for role, t in zip(_POS, pat):
+            if isinstance(t, Var):
+                roles.setdefault(t.name, set()).add(role)
+    return roles
+
+
+def _resolve_constants(
+    patterns: list[tuple], vocabs: dict[str, DataFrame]
+) -> dict[tuple[str, str], int] | None:
+    """(role, term) -> id for every constant. None = some constant is not
+    in its vocabulary (query answer is empty). One pushed-down IN-filter
+    scan per role that has constants; collects O(#constants) rows."""
+    wanted: dict[str, set[str]] = {r: set() for r in _POS}
+    for pat in patterns:
+        for role, t in zip(_POS, pat):
+            if isinstance(t, Const):
+                wanted[role].add(t.text)
+    out: dict[tuple[str, str], int] = {}
+    for role, terms in wanted.items():
+        if not terms:
+            continue
+        rows = (
+            vocabs[role]
+            .filter(F.col("term").isin(list(terms)))
+            .select("term", "id")
+            .collect()
+        )
+        found = {r["term"]: int(r["id"]) for r in rows}
+        if len(found) < len(terms):
+            return None
+        for term, i in found.items():
+            out[(role, term)] = i
+    return out
+
+
+def _pattern_frame(
+    tables: dict[str, DataFrame],
+    vocabs: dict[str, DataFrame],
+    pattern: tuple,
+    const_ids: dict[tuple[str, str], int],
+    multi_role: set[str],
+) -> tuple[DataFrame, list[str]]:
+    """One pattern → routed scan → frame with one column per distinct
+    variable: raw id for single-role vars, decoded term for multi-role
+    vars (id-keyed vocab join). Repeated variables inside a pattern are
+    necessarily multi-role, so their equality filter compares terms."""
+    consts = {
+        role: const_ids[(role, t.text)]
+        for role, t in zip(_POS, pattern)
+        if isinstance(t, Const)
+    }
+    df = select(tables, **consts)
+    occ_cols: dict[str, list] = {}
+    for role, t in zip(_POS, pattern):
+        if not isinstance(t, Var):
+            continue
+        if t.name in multi_role:
+            voc = vocabs[role].select(
+                F.col("id").alias(f"_vid_{role}"), F.col("term").alias(f"_term_{role}")
+            )
+            df = df.join(voc, df[role] == voc[f"_vid_{role}"], "inner")
+            occ_cols.setdefault(t.name, []).append(F.col(f"_term_{role}"))
+        else:
+            occ_cols.setdefault(t.name, []).append(F.col(role))
+    for cols in occ_cols.values():
+        for extra in cols[1:]:  # repeated var inside the pattern
+            df = df.filter(cols[0] == extra)
+    out = [cols[0].alias(v) for v, cols in occ_cols.items()]
+    return df.select(*out), list(occ_cols)
+
+
+def _bound_count(pattern: tuple) -> int:
+    return sum(isinstance(t, Const) for t in pattern)
+
+
+def run_sparql(
+    query: str | SparqlQuery,
+    tables: dict[str, DataFrame],
+    vocabs: dict[str, DataFrame],
+) -> DataFrame:
+    """Answer a SPARQL-subset query over the permutation ``tables`` with
+    the per-role ``vocabs`` (DataFrames with columns term, id).
+
+    SELECT returns one string column per projected variable (decoded
+    surface forms). ASK returns a single-row frame ``(ask boolean)``."""
+    q = parse_sparql(query) if isinstance(query, str) else query
+    spark = next(iter(tables.values())).sparkSession
+    roles = _var_roles(q.patterns)
+    multi_role = {v for v, rs in roles.items() if len(rs) > 1}
+
+    const_ids = _resolve_constants(q.patterns, vocabs)
+    if const_ids is None:  # a constant is unknown: provably empty
+        if q.form == "ASK":
+            return spark.range(1).select(F.lit(False).alias("ask"))
+        empty = spark.range(0)
+        return empty.select(*[F.lit("").alias(v) for v in q.variables])
+
+    resolved = [
+        (_pattern_frame(tables, vocabs, p, const_ids, multi_role), _bound_count(p), i)
+        for i, p in enumerate(q.patterns)
+    ]
+    remaining = sorted(resolved, key=lambda r: (-r[1], r[2]))
+    (acc, acc_vars), acc_bound, _ = remaining.pop(0)
+    acc_vars = set(acc_vars)
+    acc_small = acc_bound >= 2
+    while remaining:
+        idx = next(
+            (i for i, ((_, vs), _, _) in enumerate(remaining) if acc_vars & set(vs)),
+            0,  # disconnected BGP: cross join
+        )
+        (df, vs), bound, _ = remaining.pop(idx)
+        shared = sorted(acc_vars & set(vs))
+        if bound >= 2:
+            df = F.broadcast(df)
+        elif acc_small:
+            acc = F.broadcast(acc)
+        acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
+        acc_small = acc_small and bound >= 2
+        acc_vars |= set(vs)
+
+    if q.form == "ASK":
+        return acc.limit(1).agg((F.count("*") > 0).alias("ask"))
+
+    # decode the projected single-role variables (multi-role are terms
+    # already); one id-keyed vocab join per variable
+    for v in q.variables:
+        if v in multi_role:
+            acc = acc.withColumn(v, F.col(v).cast("string"))
+            continue
+        role = next(iter(roles[v]))
+        voc = vocabs[role].select(
+            F.col("id").alias(f"_did_{v}"), F.col("term").alias(f"_dterm_{v}")
+        )
+        acc = (
+            acc.join(voc, acc[v] == voc[f"_did_{v}"], "inner")
+            .drop(v, f"_did_{v}")
+            .withColumnRenamed(f"_dterm_{v}", v)
+        )
+    out = acc.select(*q.variables)
+    if q.distinct:
+        out = out.dropDuplicates()
+    if q.order_by:
+        out = out.orderBy(*q.order_by)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+def decode_triples(triples: DataFrame, vocabs: dict[str, DataFrame]) -> DataFrame:
+    """Id triples → surface forms: the read-side inverse of the
+    dictionary-encode star join (operators/encode.py encode_mentions;
+    reference scripts/map_dataset.py:61-83 only ever encodes — decode is
+    what a human consumer of query results needs). Three id-keyed joins
+    against the role vocabularies."""
+    out = triples
+    for role in _POS:
+        voc = vocabs[role].select(
+            F.col("id").alias(f"_id_{role}"), F.col("term").alias(f"{role}_term")
+        )
+        out = out.join(voc, out[role] == voc[f"_id_{role}"], "inner").drop(f"_id_{role}")
+    return out.select("s_term", "p_term", "o_term")

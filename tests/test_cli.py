@@ -33,6 +33,20 @@ def _run(*argv: str, cwd: str = REPO) -> subprocess.CompletedProcess:
     )
 
 
+def _write_transcripts_parquet(path: str, n_turns: int, seed: int) -> None:
+    """Fixture transcripts via pyarrow — NOT an in-process SparkSession:
+    get_spark().stop() here would kill the suite's shared session-scoped
+    SparkContext (getOrCreate returns the same JVM context), breaking
+    every later test module."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_indexes_spark.synth import generate
+
+    table = pa.Table.from_pandas(generate(n_turns, seed=seed).transcripts, preserve_index=False)
+    pq.write_table(table, path, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+
 @pytest.fixture(scope="module")
 def built_index(tmp_path_factory):
     d = tmp_path_factory.mktemp("cli")
@@ -88,13 +102,9 @@ def test_cli_build_transcripts(tmp_path):
     import sys as _sys
 
     _sys.path.insert(0, REPO)
-    from rdf_indexes_spark.session import get_spark
-    from rdf_indexes_spark.synth import generate
 
-    spark = get_spark(cores=4, driver_memory="4g", app_name="cli_fixture_gen")
     src = str(tmp_path / "transcripts.parquet")
-    spark.createDataFrame(generate(300, seed=3).transcripts).write.parquet(src)
-    spark.stop()
+    _write_transcripts_parquet(src, 300, seed=3)
 
     # RELATIVE --out, resolved against the subprocess cwd
     r = _run("build", "--input", src, "--format", "transcripts", "--out", "idx", cwd=str(tmp_path))
@@ -126,16 +136,8 @@ def test_cli_build_transcripts(tmp_path):
     assert qrep["triples"] >= 5  # S P ? supersets each sampled triple
 
     # ingest a delta batch, then compact; statistics must track the growth
-    import sys as _s
-
-    _s.path.insert(0, REPO)
-    from rdf_indexes_spark.session import get_spark as _gs
-    from rdf_indexes_spark.synth import generate as _gen
-
-    sp = _gs(cores=4, driver_memory="4g", app_name="cli_delta_gen")
     delta_src = str(tmp_path / "delta.parquet")
-    sp.createDataFrame(_gen(150, seed=4).transcripts).write.parquet(delta_src)
-    sp.stop()
+    _write_transcripts_parquet(delta_src, 150, seed=4)
     r = _run("ingest", "--index", idx, "--input", delta_src)
     assert r.returncode == 0, r.stderr[-2000:]
     irep = json.loads(r.stdout.strip().splitlines()[-1])
@@ -225,6 +227,28 @@ def test_cli_profile(built_index):
         assert row["scan_ns_per_int"] > 0
         assert row["access_musec_per_query"] > 0
         assert row["find_musec_per_query"] > 0
+
+
+def test_cli_sparql(built_index):
+    """`sparql` over an nt-built index: constants resolve through the
+    vocab text files, patterns route through the permutation layout,
+    results decode back to surface forms."""
+    _, idx = built_index
+    r = _run(
+        "sparql", "--index", idx, "--query",
+        "SELECT ?s WHERE { ?s <http://ex/p1> <http://ex/o1> } ORDER BY ?s",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["vars"] == ["s"] and rep["rows"] == 1
+    assert rep["data"] == [["http://ex/s1"]]  # NT vocab terms are bracket-stripped
+
+    r = _run("sparql", "--index", idx, "--query", "ASK { <http://ex/s3> <http://ex/p1> <http://ex/o2> }")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["ask"] is True
+    r = _run("sparql", "--index", idx, "--query", "ASK { <http://ex/s3> <http://ex/p2> <http://ex/o2> }")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["ask"] is False
 
 
 def test_cli_build_hash_mmh3_encodes(built_index):

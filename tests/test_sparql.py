@@ -1,0 +1,178 @@
+"""SPARQL-subset front-end: parser, string-level BGP semantics (the
+three independent id spaces make raw id joins WRONG across roles — these
+tests pin the term-level contract), decode, and modifiers."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from rdf_indexes_spark.plans.sparql import (
+    Const,
+    Var,
+    decode_triples,
+    parse_sparql,
+    run_sparql,
+)
+
+# Hand-built index with DELIBERATELY misaligned role id spaces:
+# the same surface form gets different ids as subject vs object, and
+# id collisions across roles pair UNRELATED terms — so any id-level
+# cross-role join produces wrong strings.
+_VOCAB_S = [("alice", 0), ("bob", 1), ("carol", 2), ("dave", 3)]
+_VOCAB_P = [("knows", 0), ("likes", 1)]
+_VOCAB_O = [("bob", 0), ("carol", 1), ("dave", 2), ("alice", 3)]
+_TRIPLES_STR = [
+    ("alice", "knows", "bob"),
+    ("bob", "knows", "carol"),
+    ("carol", "likes", "dave"),
+    ("bob", "likes", "alice"),
+    ("dave", "knows", "dave"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    s_ids = dict(_VOCAB_S)
+    p_ids = dict(_VOCAB_P)
+    o_ids = dict(_VOCAB_O)
+    triples = [(s_ids[s], p_ids[p], o_ids[o]) for s, p, o in _TRIPLES_STR]
+    t = spark.createDataFrame(triples, "s long, p long, o long")
+    tables = {name: t for name in ("spo", "pos", "osp", "ops", "pso")}
+    vocabs = {
+        role: spark.createDataFrame(rows, "term string, id long")
+        for role, rows in (("s", _VOCAB_S), ("p", _VOCAB_P), ("o", _VOCAB_O))
+    }
+    return tables, vocabs
+
+
+# ---------------------------------------------------------------- parser
+
+
+def test_parse_select():
+    q = parse_sparql('SELECT ?x ?y WHERE { ?x <knows> ?y . ?y "likes it" ?z }')
+    assert q.form == "SELECT" and q.variables == ["x", "y"]
+    assert q.patterns[0] == (Var("x"), Const("knows"), Var("y"))
+    assert q.patterns[1] == (Var("y"), Const("likes it"), Var("z"))
+
+
+def test_parse_star_distinct_order_limit():
+    q = parse_sparql(
+        "SELECT DISTINCT * WHERE { ?b knows ?a . } ORDER BY ?a ?b LIMIT 7"
+    )
+    assert q.distinct and q.variables == ["a", "b"]
+    assert q.order_by == ["a", "b"] and q.limit == 7
+
+
+def test_parse_ask_and_escapes():
+    q = parse_sparql(r'ASK { alice knows "bo\"b" }')
+    assert q.form == "ASK" and q.patterns[0][2] == Const('bo"b')
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "WHERE { ?x ?y ?z }",  # no form
+        "SELECT WHERE { ?x ?y ?z }",  # no projection
+        "SELECT ?x WHERE { ?x knows }",  # short pattern
+        "SELECT ?x WHERE { ?x knows ?y",  # unterminated
+        "SELECT ?q WHERE { ?x knows ?y }",  # unbound projection
+        "SELECT ?x WHERE { ?x knows ?y } ORDER BY ?y",  # unprojected order
+        "SELECT ?x WHERE { ?x knows ?y } LIMIT x",  # bad limit
+        "SELECT ?x WHERE { }",  # empty BGP
+    ],
+)
+def test_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+# ------------------------------------------------------------- semantics
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_chain_crosses_roles_by_term(idx):
+    """?y is an object in p1 and a subject in p2. Term semantics: only
+    bob and carol chain. An id-level join would emit (bob, alice) —
+    carol's o-id equals bob's s-id — which must NOT appear."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?z WHERE { ?x knows ?y . ?y likes ?z }", tables, vocabs
+    )
+    assert _rows(out) == [("alice", "alice"), ("bob", "dave")]
+
+
+def test_repeated_var_in_pattern_compares_terms(idx):
+    """(?x knows ?x): only dave-knows-dave holds at the string level;
+    alice-knows-bob has s_id == o_id == 0 and must not match."""
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x WHERE { ?x knows ?x }", tables, vocabs)
+    assert _rows(out) == [("dave",)]
+
+
+def test_single_role_star_join(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?who ?other WHERE { ?who knows ?other . ?who likes alice }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob", "carol")]
+
+
+def test_predicate_variable(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?p WHERE { bob ?p ?y }", tables, vocabs)
+    assert _rows(out) == [("knows",), ("likes",)]
+
+
+def test_distinct_order_limit(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT DISTINCT ?x WHERE { ?x ?p ?y } ORDER BY ?x LIMIT 2",
+        tables,
+        vocabs,
+    )
+    assert [r["x"] for r in out.collect()] == ["alice", "bob"]
+
+
+def test_ask(idx):
+    tables, vocabs = idx
+    assert run_sparql("ASK { alice knows bob }", tables, vocabs).first()["ask"]
+    assert not run_sparql("ASK { alice likes bob }", tables, vocabs).first()["ask"]
+
+
+def test_unknown_constant_is_empty(idx):
+    """A term absent from its vocabulary proves the answer empty without
+    touching the triple tables (the reference's missing-key drop)."""
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x WHERE { ?x knows zelda9 }", tables, vocabs)
+    assert out.columns == ["x"] and out.count() == 0
+    assert not run_sparql("ASK { zelda9 knows ?x }", tables, vocabs).first()["ask"]
+
+
+def test_decode_triples(idx):
+    tables, vocabs = idx
+    out = decode_triples(tables["spo"], vocabs)
+    assert _rows(out) == sorted(_TRIPLES_STR)
+
+
+def test_matches_pandas_string_oracle(idx):
+    """The full star+chain BGP against a pandas merge over the STRING
+    triples — the string level is the ground truth the id machinery must
+    reproduce."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?a ?b ?c WHERE { ?a knows ?b . ?b likes ?c . ?a knows bob }",
+        tables,
+        vocabs,
+    )
+    df = pd.DataFrame(_TRIPLES_STR, columns=["s", "p", "o"])
+    p1 = df[df.p == "knows"].rename(columns={"s": "a", "o": "b"})[["a", "b"]]
+    p2 = df[df.p == "likes"].rename(columns={"s": "b", "o": "c"})[["b", "c"]]
+    p3 = df[(df.p == "knows") & (df.o == "bob")].rename(columns={"s": "a"})[["a"]]
+    exp = p1.merge(p2, on="b").merge(p3, on="a")
+    assert _rows(out) == sorted(map(tuple, exp[["a", "b", "c"]].values))
