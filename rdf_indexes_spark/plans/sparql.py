@@ -9,9 +9,21 @@ terms through the vocabularies, probe the index, decode results. This
 module packages that workflow as a small SPARQL subset so the index is
 usable at the string level end-to-end:
 
-    SELECT [DISTINCT] (?v ... | *) WHERE { s p o . s p o ... }
-        [ORDER BY ?v ...] [LIMIT n]
+    SELECT [DISTINCT] (?v ... | *) WHERE {
+        s p o . s p o ...
+        [OPTIONAL { s p o ... }] ...
+        [FILTER regex(?v, "pattern")] [FILTER ( ?v = term )] ...
+    } [ORDER BY ?v ...] [LIMIT n]
     ASK WHERE { ... }
+
+``OPTIONAL`` groups left-join onto the required pattern's solutions on
+their shared variables (unmatched rows keep NULLs — standard SPARQL).
+``FILTER`` supports ``regex(?v, "re")`` (Spark ``rlike`` / Java regex),
+``?v = term`` and ``?v != term``; comparisons against an unbound
+(NULL) variable remove the row, per SPARQL error semantics. Filters
+apply to the whole group. Operators and parentheses must be
+whitespace-or-punctuation separated; terms containing ``( ) ,`` need
+the quoted form.
 
 Terms: ``?name`` is a variable; ``<iri>`` resolves to the IRI text
 between the brackets (the NT/NQ parser stores bracket-STRIPPED URIs as
@@ -74,12 +86,21 @@ class Const:
     text: str
 
 
+@dataclass(frozen=True)
+class Filter:
+    kind: str  # "regex" | "eq" | "ne"
+    var: str
+    arg: str  # regex pattern or the constant's term text
+
+
 @dataclass
 class SparqlQuery:
     form: str  # "SELECT" | "ASK"
     variables: list[str] | None  # None = SELECT *
     distinct: bool = False
     patterns: list[tuple] = field(default_factory=list)
+    optionals: list[list[tuple]] = field(default_factory=list)
+    filters: list[Filter] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
 
@@ -87,11 +108,12 @@ class SparqlQuery:
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<brace>[{}])
+      | (?P<punct>[(),])
       | (?P<dot>\.(?=\s|}|$))
       | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<iri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*")
-      | (?P<bare>[^\s{}]+)
+      | (?P<bare>[^\s{}(),]+)
     )""",
     re.X,
 )
@@ -104,7 +126,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         if not m:
             break
         i = m.end()
-        for kind in ("brace", "dot", "var", "iri", "lit", "bare"):
+        for kind in ("brace", "punct", "dot", "var", "iri", "lit", "bare"):
             v = m.group(kind)
             if v is not None:
                 toks.append((kind, v))
@@ -166,18 +188,7 @@ def parse_sparql(text: str) -> SparqlQuery:
     else:
         raise ValueError("query must start with SELECT or ASK")
 
-    if kw("WHERE"):
-        take()
-    k, v = take()
-    if (k, v) != ("brace", "{"):
-        raise ValueError("expected '{' to open the graph pattern")
-    while True:
-        k, v = peek()
-        if (k, v) == ("brace", "}"):
-            take()
-            break
-        if k is None:
-            raise ValueError("unterminated graph pattern (missing '}')")
+    def triple_pattern() -> tuple:
         triple = []
         for _ in range(3):
             k, v = take()
@@ -185,10 +196,74 @@ def parse_sparql(text: str) -> SparqlQuery:
                 triple.append(_term(k, v))
             else:
                 raise ValueError(f"expected a term, got {v!r}")
-        q.patterns.append(tuple(triple))
-        k, v = peek()
-        if k == "dot":
+        return tuple(triple)
+
+    def expect(kind: str, val: str) -> None:
+        k, v = take()
+        if (k, v) != (kind, val):
+            raise ValueError(f"expected {val!r}, got {v!r}")
+
+    def filter_expr() -> Filter:
+        wrapped = peek() == ("punct", "(")
+        if wrapped:
             take()
+        k, v = take()
+        if k == "bare" and v.lower() == "regex":
+            expect("punct", "(")
+            kk, vv = take()
+            if kk != "var":
+                raise ValueError("regex() needs a ?variable first")
+            var = vv[1:]
+            expect("punct", ",")
+            kk, pat = take()
+            if kk != "lit":
+                raise ValueError('regex() needs a quoted "pattern"')
+            expect("punct", ")")
+            f = Filter("regex", var, _term("lit", pat).text)
+        elif k == "var":
+            var = v[1:]
+            kk, op = take()
+            if kk != "bare" or op not in ("=", "!="):
+                raise ValueError(f"unsupported FILTER operator {op!r}")
+            kk, vv = take()
+            if kk not in ("iri", "lit", "bare"):
+                raise ValueError(f"FILTER comparison needs a constant, got {vv!r}")
+            f = Filter("eq" if op == "=" else "ne", var, _term(kk, vv).text)
+        else:
+            raise ValueError(f"unsupported FILTER expression starting at {v!r}")
+        if wrapped:
+            expect("punct", ")")
+        return f
+
+    def group(into: list[tuple], allow_blocks: bool) -> None:
+        expect("brace", "{")
+        while True:
+            k, v = peek()
+            if (k, v) == ("brace", "}"):
+                take()
+                return
+            if k is None:
+                raise ValueError("unterminated graph pattern (missing '}')")
+            if allow_blocks and kw("OPTIONAL"):
+                take()
+                opt: list[tuple] = []
+                group(opt, allow_blocks=False)
+                if not opt:
+                    raise ValueError("empty OPTIONAL group")
+                q.optionals.append(opt)
+            elif allow_blocks and kw("FILTER"):
+                take()
+                q.filters.append(filter_expr())
+            elif kw("OPTIONAL") or kw("FILTER"):
+                raise ValueError("OPTIONAL/FILTER cannot nest inside OPTIONAL")
+            else:
+                into.append(triple_pattern())
+            if peek()[0] == "dot":
+                take()
+
+    if kw("WHERE"):
+        take()
+    group(q.patterns, allow_blocks=True)
     if not q.patterns:
         raise ValueError("empty graph pattern")
 
@@ -210,9 +285,13 @@ def parse_sparql(text: str) -> SparqlQuery:
     if pos != len(toks):
         raise ValueError(f"trailing tokens after query: {toks[pos:]}")
 
-    pattern_vars = {t.name for pat in q.patterns for t in pat if isinstance(t, Var)}
+    all_pats = q.patterns + [p for opt in q.optionals for p in opt]
+    pattern_vars = {t.name for pat in all_pats for t in pat if isinstance(t, Var)}
     if q.variables is None:
         q.variables = sorted(pattern_vars) if q.form == "SELECT" else []
+    unbound_filters = [f.var for f in q.filters if f.var not in pattern_vars]
+    if unbound_filters:
+        raise ValueError(f"FILTER variables not bound in the pattern: {unbound_filters}")
     missing = [v for v in (q.variables + q.order_by) if v not in pattern_vars]
     if missing:
         raise ValueError(f"variables not bound in the pattern: {missing}")
@@ -236,10 +315,12 @@ def _var_roles(patterns: list[tuple]) -> dict[str, set[str]]:
 
 def _resolve_constants(
     patterns: list[tuple], vocabs: dict[str, DataFrame]
-) -> dict[tuple[str, str], int] | None:
-    """(role, term) -> id for every constant. None = some constant is not
-    in its vocabulary (query answer is empty). One pushed-down IN-filter
-    scan per role that has constants; collects O(#constants) rows."""
+) -> dict[tuple[str, str], int]:
+    """(role, term) -> id for every constant that exists in its
+    vocabulary; absent constants are simply missing from the map (the
+    caller decides: required pattern -> empty answer, OPTIONAL group ->
+    unmatched). One pushed-down IN-filter scan per role that has
+    constants; collects O(#constants) rows."""
     wanted: dict[str, set[str]] = {r: set() for r in _POS}
     for pat in patterns:
         for role, t in zip(_POS, pat):
@@ -255,12 +336,18 @@ def _resolve_constants(
             .select("term", "id")
             .collect()
         )
-        found = {r["term"]: int(r["id"]) for r in rows}
-        if len(found) < len(terms):
-            return None
-        for term, i in found.items():
-            out[(role, term)] = i
+        for r in rows:
+            out[(role, r["term"])] = int(r["id"])
     return out
+
+
+def _consts_resolved(patterns: list[tuple], const_ids: dict) -> bool:
+    return all(
+        (role, t.text) in const_ids
+        for pat in patterns
+        for role, t in zip(_POS, pat)
+        if isinstance(t, Const)
+    )
 
 
 def _pattern_frame(
@@ -303,32 +390,12 @@ def _bound_count(pattern: tuple) -> int:
     return sum(isinstance(t, Const) for t in pattern)
 
 
-def run_sparql(
-    query: str | SparqlQuery,
-    tables: dict[str, DataFrame],
-    vocabs: dict[str, DataFrame],
-) -> DataFrame:
-    """Answer a SPARQL-subset query over the permutation ``tables`` with
-    the per-role ``vocabs`` (DataFrames with columns term, id).
-
-    SELECT returns one string column per projected variable (decoded
-    surface forms). ASK returns a single-row frame ``(ask boolean)``."""
-    q = parse_sparql(query) if isinstance(query, str) else query
-    spark = next(iter(tables.values())).sparkSession
-    roles = _var_roles(q.patterns)
-    multi_role = {v for v, rs in roles.items() if len(rs) > 1}
-
-    const_ids = _resolve_constants(q.patterns, vocabs)
-    if const_ids is None:  # a constant is unknown: provably empty
-        if q.form == "ASK":
-            return spark.range(1).select(F.lit(False).alias("ask"))
-        empty = spark.range(0)
-        return empty.select(*[F.lit("").alias(v) for v in q.variables])
-
-    resolved = [
-        (_pattern_frame(tables, vocabs, p, const_ids, multi_role), _bound_count(p), i)
-        for i, p in enumerate(q.patterns)
-    ]
+def _greedy_join(
+    resolved: list[tuple[tuple[DataFrame, list[str]], int, int]],
+) -> tuple[DataFrame, set[str]]:
+    """Bound-first greedy join over resolved pattern frames (most
+    constants first, each next pattern must share a variable; 2-bound
+    probe patterns are broadcast — same policy as plans.bgp)."""
     remaining = sorted(resolved, key=lambda r: (-r[1], r[2]))
     (acc, acc_vars), acc_bound, _ = remaining.pop(0)
     acc_vars = set(acc_vars)
@@ -347,6 +414,102 @@ def run_sparql(
         acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
         acc_small = acc_small and bound >= 2
         acc_vars |= set(vs)
+    return acc, acc_vars
+
+
+def _apply_filter(
+    acc: DataFrame,
+    f: Filter,
+    roles: dict[str, set[str]],
+    multi_role: set[str],
+    vocabs: dict[str, DataFrame],
+) -> DataFrame:
+    """FILTER at the right layer: a multi-role variable already carries
+    its term, so the predicate is a plain string expression; a
+    single-role variable carries an id, so the predicate is pushed into
+    the VOCABULARY dimension (matching ids resolved by one pushed-down
+    vocab scan) and applied as a left-semi join on the long id. NULLs
+    (unmatched OPTIONAL vars) never satisfy a filter — SPARQL's
+    error-on-unbound semantics."""
+    if f.var in multi_role:
+        col = F.col(f.var)
+        if f.kind == "regex":
+            return acc.filter(col.rlike(f.arg))
+        cond = col == F.lit(f.arg) if f.kind == "eq" else col != F.lit(f.arg)
+        return acc.filter(cond)
+    role = next(iter(roles[f.var]))
+    term = F.col("term")
+    if f.kind == "regex":
+        pred = term.rlike(f.arg)
+    elif f.kind == "eq":
+        pred = term == F.lit(f.arg)
+    else:
+        pred = term != F.lit(f.arg)
+    matching = vocabs[role].filter(pred).select(F.col("id").alias(f"_fid_{f.var}"))
+    return acc.join(
+        matching, acc[f.var] == matching[f"_fid_{f.var}"], "left_semi"
+    )
+
+
+def run_sparql(
+    query: str | SparqlQuery,
+    tables: dict[str, DataFrame],
+    vocabs: dict[str, DataFrame],
+) -> DataFrame:
+    """Answer a SPARQL-subset query over the permutation ``tables`` with
+    the per-role ``vocabs`` (DataFrames with columns term, id).
+
+    SELECT returns one string column per projected variable (decoded
+    surface forms; NULL where an OPTIONAL did not match). ASK returns a
+    single-row frame ``(ask boolean)``."""
+    q = parse_sparql(query) if isinstance(query, str) else query
+    spark = next(iter(tables.values())).sparkSession
+    all_pats = q.patterns + [p for opt in q.optionals for p in opt]
+    roles = _var_roles(all_pats)
+    multi_role = {v for v, rs in roles.items() if len(rs) > 1}
+
+    const_ids = _resolve_constants(all_pats, vocabs)
+    if not _consts_resolved(q.patterns, const_ids):
+        # a REQUIRED constant is unknown: provably empty
+        if q.form == "ASK":
+            return spark.range(1).select(F.lit(False).alias("ask"))
+        empty = spark.range(0)
+        return empty.select(*[F.lit("").alias(v) for v in q.variables])
+
+    resolved = [
+        (_pattern_frame(tables, vocabs, p, const_ids, multi_role), _bound_count(p), i)
+        for i, p in enumerate(q.patterns)
+    ]
+    acc, acc_vars = _greedy_join(resolved)
+
+    for opt in q.optionals:
+        opt_vars = {t.name for pat in opt for t in pat if isinstance(t, Var)}
+        new_vars = opt_vars - acc_vars
+        if not _consts_resolved(opt, const_ids):
+            # OPTIONAL with an unknown constant never matches: its new
+            # variables stay NULL on every row
+            for v in sorted(new_vars):
+                typ = "string" if v in multi_role else "long"
+                acc = acc.withColumn(v, F.lit(None).cast(typ))
+            acc_vars |= new_vars
+            continue
+        shared = sorted(acc_vars & opt_vars)
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required pattern"
+            )
+        sub_resolved = [
+            (_pattern_frame(tables, vocabs, p, const_ids, multi_role), _bound_count(p), i)
+            for i, p in enumerate(opt)
+        ]
+        sub, _ = _greedy_join(sub_resolved)
+        if all(_bound_count(p) >= 2 for p in opt):
+            sub = F.broadcast(sub)
+        acc = acc.join(sub, on=shared, how="left")
+        acc_vars |= opt_vars
+
+    for f in q.filters:
+        acc = _apply_filter(acc, f, roles, multi_role, vocabs)
 
     if q.form == "ASK":
         return acc.limit(1).agg((F.count("*") > 0).alias("ask"))
@@ -361,8 +524,8 @@ def run_sparql(
         voc = vocabs[role].select(
             F.col("id").alias(f"_did_{v}"), F.col("term").alias(f"_dterm_{v}")
         )
-        acc = (
-            acc.join(voc, acc[v] == voc[f"_did_{v}"], "inner")
+        acc = (  # LEFT join: unmatched-OPTIONAL NULL ids decode to NULL
+            acc.join(voc, acc[v] == voc[f"_did_{v}"], "left")
             .drop(v, f"_did_{v}")
             .withColumnRenamed(f"_dterm_{v}", v)
         )

@@ -160,6 +160,90 @@ def test_decode_triples(idx):
     assert _rows(out) == sorted(_TRIPLES_STR)
 
 
+def test_optional_left_joins_with_nulls(idx):
+    """OPTIONAL keeps every required solution; ?z is NULL where the
+    optional pattern has no match (only bob and carol like anyone)."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?z WHERE { ?x knows ?y . OPTIONAL { ?x likes ?z } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", None), ("bob", "alice"), ("dave", None)]
+
+
+def test_optional_unknown_constant_keeps_required(idx):
+    """An OPTIONAL whose constant is missing from the vocabulary never
+    matches — required rows survive with NULL."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?z WHERE { ?x likes ?y . OPTIONAL { ?x zzz9 ?z } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob", None), ("carol", None)]
+
+
+def test_filter_regex_on_id_var_pushes_into_vocab(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x WHERE { ?x likes ?y . FILTER regex(?x, "^b") }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob",)]
+
+
+def test_filter_eq_ne(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?y WHERE { ?x knows ?y . FILTER ( ?y != carol ) }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", "bob"), ("dave", "dave")]
+    out = run_sparql(
+        "SELECT ?x WHERE { ?x knows ?y . FILTER ( ?x = dave ) }", tables, vocabs
+    )
+    assert _rows(out) == [("dave",)]
+
+
+def test_filter_on_multi_role_var(idx):
+    """?y crosses roles (term-typed), so the filter is a plain string
+    predicate on the joined result."""
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x ?z WHERE { ?x knows ?y . ?y likes ?z . FILTER regex(?y, "^c") }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob", "dave")]
+
+
+def test_filter_drops_unmatched_optional(idx):
+    """SPARQL error-on-unbound: a FILTER over an OPTIONAL-only variable
+    removes the NULL rows."""
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x ?z WHERE { ?x knows ?y . OPTIONAL { ?x likes ?z } . '
+        'FILTER regex(?z, ".") }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob", "alice")]
+
+
+def test_parse_optional_filter_errors():
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { OPTIONAL { ?x knows ?y } }")  # no required...
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { ?x knows ?y . OPTIONAL { FILTER ( ?x = a ) } }")
+    with pytest.raises(ValueError):
+        parse_sparql('SELECT ?x WHERE { ?x knows ?y . FILTER regex(?q, "a") }')
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { ?x knows ?y . FILTER ( ?x ~ a ) }")
+
+
 def test_matches_pandas_string_oracle(idx):
     """The full star+chain BGP against a pandas merge over the STRING
     triples — the string level is the ground truth the id machinery must
