@@ -820,6 +820,19 @@ def _q_sparql_chain(spark, sf_dir):
     )
 
 
+def _q_path_closure(spark, sf_dir):
+    """G4: one-or-more property path (p0+) — distributed path-doubling
+    transitive closure over the min-predicate's edge set (single id
+    domain here, matching the integer-engine view; the term-bridged
+    variant is exercised by g3's machinery + pytest)."""
+    from rdf_indexes_spark.plans.paths import transitive_closure
+
+    t = _derived_triples(spark, sf_dir)
+    tables = {name: t for name in ("spo", "pos", "osp", "ops", "pso")}
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    return transitive_closure(tables, p0)
+
+
 _BGP_CONST_SQL = (
     "c AS (SELECT (SELECT min(p) FROM t) AS p0, "
     "(SELECT min(p) FROM t WHERE p > (SELECT min(p) FROM t)) AS p1, "
@@ -888,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_bgp_chain": _q_bgp_chain,
         "g2_bgp_star": _q_bgp_star,
         "g3_sparql_chain": _q_sparql_chain,
+        "g4_path_closure": _q_path_closure,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -1046,6 +1060,13 @@ def oracle_sql() -> dict[str, str]:
             "'E' || CAST(a.o AS VARCHAR) AS y, "
             "'E' || CAST(b.o AS VARCHAR) AS z FROM t a, t b, c "
             "WHERE a.p = c.p0 AND b.p = c.p1 AND b.s = a.o"
+        ),
+        "g4_path_closure": (
+            f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "
+            "e AS (SELECT DISTINCT t.s, t.o FROM t, c WHERE t.p = c.p0), "
+            "reach(s, o) AS (SELECT s, o FROM e "
+            "  UNION SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o) "
+            "SELECT s, o FROM reach"
         ),
         "text_token_count": (
             f"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END AS BIGINT) AS n_tokens FROM documents"

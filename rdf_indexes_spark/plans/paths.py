@@ -1,0 +1,107 @@
+"""Property paths: transitive closure over one predicate's edges
+(SPARQL 1.1 ``p+``).
+
+The reference has no multi-hop surface at all — its queries stop at one
+triple pattern (/root/reference/src/queries.cpp:95-186) and a user
+chases paths by re-probing the index per hop from the driver. Here the
+closure is a first-class distributed operator.
+
+Algorithm: path DOUBLING, not frontier BFS — each round joins the
+reachability relation with itself (R ∪ R∘R), so a graph of diameter d
+converges in ceil(log2(d)) rounds instead of d. Every round is one
+pair-scale self-join + distinct; the relation is cut with
+``localCheckpoint`` per round (iterative lineage would otherwise double
+the plan each round), and convergence is detected by a count
+fixpoint — cycles terminate because the pair set is bounded.
+
+The three independent id spaces (scripts/extract_vocabs.py:29-31) make
+hop COMPOSITION subtle: an edge ends at an object-space id, but the
+next hop starts at a subject-space id. ``bridge`` carries the o-id →
+s-id mapping for identical terms (one term join of the two vocabularies,
+vocab-scale); composition happens in subject space and the final hop
+keeps its object-space endpoint, so results stay decodable as (s-role
+start, o-role end). With ``bridge=None`` the two columns are assumed to
+share one id domain (the integer-engine view, e.g. the bench tables).
+
+Scale: rounds × (one shuffle join + one distinct) over the PAIR
+relation, which is output-sized, not corpus-sized; the per-round cut
+keeps executor lineage flat. Worst case (dense reachability) is
+quadratic in vertices — same as the answer itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .router import select
+
+
+def path_edges(tables: dict[str, DataFrame], p: int) -> DataFrame:
+    """One predicate's edge set: a routed ?P? scan projected to (s, o)."""
+    return select(tables, p=p).select("s", "o").dropDuplicates()
+
+
+def closure_pairs(
+    edges: DataFrame,
+    bridge: DataFrame | None = None,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """All (s, o) pairs connected by 1+ hops of ``edges``.
+
+    bridge: optional (o_id, s_id) frame mapping each object-space id to
+    the subject-space id of the SAME term; None = single id domain.
+    max_rounds bounds doubling at 2^max_rounds hops (default: far beyond
+    any real diameter; convergence normally stops much earlier)."""
+    edges = edges.select(F.col("s").alias("a"), F.col("o").alias("b")).dropDuplicates()
+    if bridge is not None:
+        br = bridge.select(F.col("o_id").alias("_bo"), F.col("s_id").alias("_bs"))
+        # continuable edges, re-expressed in subject space
+        comp = (
+            edges.join(br, edges["b"] == br["_bo"], "inner")
+            .select("a", F.col("_bs").alias("b"))
+            .dropDuplicates()
+        )
+    else:
+        comp = edges
+
+    # doubling over the composition-space relation
+    r = comp.localCheckpoint()
+    n = r.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        left = r.select("a", F.col("b").alias("_m"))
+        right = r.select(F.col("a").alias("_m"), "b")
+        doubled = left.join(right, "_m").select("a", "b")
+        nxt = r.unionByName(doubled).dropDuplicates().localCheckpoint()
+        n_nxt = nxt.count()
+        r.unpersist()
+        converged = n_nxt == n
+        r, n = nxt, n_nxt
+        if converged:  # count fixpoint: doubling added nothing
+            break
+
+    if bridge is None:
+        return r.select(F.col("a").alias("s"), F.col("b").alias("o"))
+    # final hop keeps its object-space endpoint: 1-hop edges, plus any
+    # composition-space path followed by one raw edge
+    multi = (
+        r.select("a", F.col("b").alias("_m"))
+        .join(edges.select(F.col("a").alias("_m"), "b"), "_m")
+        .select("a", "b")
+    )
+    out = edges.unionByName(multi).dropDuplicates()
+    r.unpersist()
+    return out.select(F.col("a").alias("s"), F.col("b").alias("o"))
+
+
+def transitive_closure(
+    tables: dict[str, DataFrame],
+    p: int,
+    bridge: DataFrame | None = None,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """``p+`` pairs over an index: (s, o) reachable via 1+ edges labeled
+    ``p``. See ``closure_pairs`` for the bridge/space contract."""
+    return closure_pairs(path_edges(tables, p), bridge=bridge, max_rounds=max_rounds)

@@ -10,11 +10,16 @@ module packages that workflow as a small SPARQL subset so the index is
 usable at the string level end-to-end:
 
     SELECT [DISTINCT] (?v ... | *) WHERE {
-        s p o . s p o ...
+        s p o . s p+ o ...
         [OPTIONAL { s p o ... }] ...
         [FILTER regex(?v, "pattern")] [FILTER ( ?v = term )] ...
     } [ORDER BY ?v ...] [LIMIT n]
     ASK WHERE { ... }
+
+``p+`` on a constant predicate is the SPARQL 1.1 one-or-more property
+path, answered by the distributed path-doubling closure in
+``plans.paths`` (hop composition bridges the object id space onto the
+subject id space by term, so multi-hop semantics are string-correct).
 
 ``OPTIONAL`` groups left-join onto the required pattern's solutions on
 their shared variables (unmatched rows keep NULLs — standard SPARQL).
@@ -83,6 +88,13 @@ class Var:
 
 @dataclass(frozen=True)
 class Const:
+    text: str
+
+
+@dataclass(frozen=True)
+class PathPlus:
+    """A ``p+`` one-or-more property path over a constant predicate."""
+
     text: str
 
 
@@ -190,12 +202,20 @@ def parse_sparql(text: str) -> SparqlQuery:
 
     def triple_pattern() -> tuple:
         triple = []
-        for _ in range(3):
+        for posi in range(3):
             k, v = take()
-            if k in ("var", "iri", "lit", "bare"):
-                triple.append(_term(k, v))
-            else:
+            if k not in ("var", "iri", "lit", "bare"):
                 raise ValueError(f"expected a term, got {v!r}")
+            t = _term(k, v)
+            if posi == 1:  # predicate: recognize the '+' path modifier
+                if k == "bare" and len(v) > 1 and v.endswith("+"):
+                    t = PathPlus(v[:-1])
+                elif peek() == ("bare", "+"):
+                    take()
+                    if isinstance(t, Var):
+                        raise ValueError("property path '+' needs a constant predicate")
+                    t = PathPlus(t.text)
+            triple.append(t)
         return tuple(triple)
 
     def expect(kind: str, val: str) -> None:
@@ -324,7 +344,7 @@ def _resolve_constants(
     wanted: dict[str, set[str]] = {r: set() for r in _POS}
     for pat in patterns:
         for role, t in zip(_POS, pat):
-            if isinstance(t, Const):
+            if isinstance(t, (Const, PathPlus)):
                 wanted[role].add(t.text)
     out: dict[tuple[str, str], int] = {}
     for role, terms in wanted.items():
@@ -346,7 +366,7 @@ def _consts_resolved(patterns: list[tuple], const_ids: dict) -> bool:
         (role, t.text) in const_ids
         for pat in patterns
         for role, t in zip(_POS, pat)
-        if isinstance(t, Const)
+        if isinstance(t, (Const, PathPlus))
     )
 
 
@@ -361,12 +381,28 @@ def _pattern_frame(
     variable: raw id for single-role vars, decoded term for multi-role
     vars (id-keyed vocab join). Repeated variables inside a pattern are
     necessarily multi-role, so their equality filter compares terms."""
-    consts = {
-        role: const_ids[(role, t.text)]
-        for role, t in zip(_POS, pattern)
-        if isinstance(t, Const)
-    }
-    df = select(tables, **consts)
+    if isinstance(pattern[1], PathPlus):
+        from .paths import transitive_closure
+
+        # o-id -> s-id bridge for identical terms: hop composition must
+        # cross the independent id spaces by TERM
+        bridge = (
+            vocabs["o"]
+            .select(F.col("id").alias("o_id"), "term")
+            .join(vocabs["s"].select(F.col("id").alias("s_id"), "term"), "term")
+            .select("o_id", "s_id")
+        )
+        df = transitive_closure(tables, const_ids[("p", pattern[1].text)], bridge=bridge)
+        for role, t in (("s", pattern[0]), ("o", pattern[2])):
+            if isinstance(t, Const):
+                df = df.filter(F.col(role) == F.lit(const_ids[(role, t.text)]))
+    else:
+        consts = {
+            role: const_ids[(role, t.text)]
+            for role, t in zip(_POS, pattern)
+            if isinstance(t, Const)
+        }
+        df = select(tables, **consts)
     occ_cols: dict[str, list] = {}
     for role, t in zip(_POS, pattern):
         if not isinstance(t, Var):

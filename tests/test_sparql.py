@@ -244,6 +244,43 @@ def test_parse_optional_filter_errors():
         parse_sparql("SELECT ?x WHERE { ?x knows ?y . FILTER ( ?x ~ a ) }")
 
 
+def test_path_plus_term_semantics(idx):
+    """knows+ composes hops by TERM across the misaligned id spaces:
+    alice→bob→carol must chain even though bob's o-id (0) and s-id (1)
+    differ. dave's self-loop must terminate."""
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x ?y WHERE { ?x knows+ ?y }", tables, vocabs)
+    assert _rows(out) == [
+        ("alice", "bob"),
+        ("alice", "carol"),
+        ("bob", "carol"),
+        ("dave", "dave"),
+    ]
+
+
+def test_path_plus_bound_subject_and_join(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?y WHERE { alice knows+ ?y }", tables, vocabs)
+    assert _rows(out) == [("bob",), ("carol",)]
+    # path endpoint feeding a further pattern (?y crosses roles again)
+    out = run_sparql(
+        "SELECT ?x ?y ?z WHERE { ?x knows+ ?y . ?y likes ?z }", tables, vocabs
+    )
+    assert _rows(out) == [
+        ("alice", "bob", "alice"),
+        ("alice", "carol", "dave"),
+        ("bob", "carol", "dave"),
+    ]
+
+
+def test_path_plus_separate_token_and_errors(idx):
+    tables, vocabs = idx
+    out = run_sparql("ASK { alice knows + carol }", tables, vocabs)
+    assert out.first()["ask"]
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { ?x ?p + ?y }")  # var predicate path
+
+
 def test_matches_pandas_string_oracle(idx):
     """The full star+chain BGP against a pandas merge over the STRING
     triples — the string level is the ground truth the id machinery must
