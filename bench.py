@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "e5_rank_remap",
     "a7_querylog_batched",
+    "g1_bgp_chain",
+    "g3_sparql_chain",
+    # g4_path_closure stays OUT of the bench set: on this table's random
+    # quasi-bipartite edge graph the closure ANSWER is ~|V|^2 — timing it
+    # measures output size, not the engine. Correctness gates at sf0.01.
 ]
 
 
@@ -286,14 +291,20 @@ def _burn_mem_quick(i):
     return _burn_mem(i, duration=0.6)
 
 
-def _time_queries(sf_dir: str) -> dict[str, float]:
+def _time_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
     from rdf_indexes_spark.session import get_spark
 
-    spark = get_spark(cores=CPUS, shuffle_partitions=max(CPUS, 8), app_name="bench_queries")
+    def fresh_session():
+        return get_spark(
+            cores=CPUS, shuffle_partitions=max(CPUS, 8), app_name="bench_queries"
+        )
+
+    spark = fresh_session()
     qs = entry_mod.queries()
     out: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # session warm-up OUTSIDE the timed loop: JIT, codegen, Arrow/python
     # worker spin-up used to be billed to whichever query ran first
     # (b1_term_freq showed 6.1s for a 600k-row groupBy). A groupBy + a
@@ -301,16 +312,29 @@ def _time_queries(sf_dir: str) -> dict[str, float]:
     for warm_name in ("b1_term_freq", "dedup_simhash"):
         qs[warm_name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # two full passes, min per query: co-tenant minutes inflate a single
-    # pass 5-10x; the min is the engine, the spread is the neighbor
+    # pass 5-10x; the min is the engine, the spread is the neighbor.
+    # A failing query is recorded, never fatal: one bad plan (or a dead
+    # JVM it leaves behind) must not cost the whole bench artifact.
     for _ in range(2):
         for name in BENCH_QUERIES:
-            t0 = time.monotonic()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            el = round(time.monotonic() - t0, 3)
-            out[name] = min(out.get(name, el), el)
+            try:
+                t0 = time.monotonic()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                el = round(time.monotonic() - t0, 3)
+                out[name] = min(out.get(name, el), el)
+            except Exception as e:  # noqa: BLE001 — record and continue
+                errors[name] = str(e)[:200]
+                try:
+                    spark.range(1).count()  # is the JVM still alive?
+                except Exception:
+                    try:
+                        spark.stop()
+                    except Exception:
+                        pass
+                    spark = fresh_session()
     spark.stop()
-    return out
+    return out, errors
 
 
 def main() -> None:
@@ -389,7 +413,7 @@ def main() -> None:
             except Exception as e:  # a curve point must never cost the artifact
                 curve.append({"n_turns": nt, "error": str(e)[:200]})
 
-    queries = _time_queries(SF_DIR)
+    queries, query_errors = _time_queries(SF_DIR)
 
     print(
         json.dumps(
@@ -398,6 +422,7 @@ def main() -> None:
                 "value": round(hi["elapsed_sec"], 3),
                 "unit": "sec",
                 "queries": queries,
+                **({"query_errors": query_errors} if query_errors else {}),
                 "sf": sf,
                 "n_turns": n_turns,
                 "mentions": hi["mentions"],

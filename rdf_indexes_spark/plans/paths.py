@@ -6,13 +6,18 @@ triple pattern (/root/reference/src/queries.cpp:95-186) and a user
 chases paths by re-probing the index per hop from the driver. Here the
 closure is a first-class distributed operator.
 
-Algorithm: path DOUBLING, not frontier BFS — each round joins the
-reachability relation with itself (R ∪ R∘R), so a graph of diameter d
-converges in ceil(log2(d)) rounds instead of d. Every round is one
-pair-scale self-join + distinct; the relation is cut with
-``localCheckpoint`` per round (iterative lineage would otherwise double
-the plan each round), and convergence is detected by a count
-fixpoint — cycles terminate because the pair set is bounded.
+Algorithm: SEMI-NAIVE path doubling, not frontier BFS — a graph of
+diameter d converges in ceil(log2(d)) rounds instead of d, and each
+round composes only the DELTA (pairs discovered last round) with the
+full relation: R∘R expands to R_prev∘R_prev (already known) plus the
+Δ terms, so Δ' = (R∘Δ ∪ Δ∘R) − R is the complete doubling step. The
+naive R∘R join is quadratic in |R| near the fixpoint (on a dense
+reachability graph it computes ~|V|·|R| intermediate rows to add
+NOTHING — measured as a driver OOM on a 1M-pair closure); the
+semi-naive form bounds every round's work by the new pairs instead.
+Each round is cut with ``localCheckpoint`` (iterative lineage would
+double the plan per round) and the loop exits when Δ is empty — cycles
+terminate because the pair set is bounded.
 
 The three independent id spaces (scripts/extract_vocabs.py:29-31) make
 hop COMPOSITION subtle: an edge ends at an object-space id, but the
@@ -65,22 +70,30 @@ def closure_pairs(
     else:
         comp = edges
 
-    # doubling over the composition-space relation
+    # semi-naive doubling over the composition-space relation:
+    # R' = R ∪ Δ',  Δ' = (R∘Δ ∪ Δ∘R) − R   (Δ∘Δ ⊆ R∘Δ since Δ ⊆ R)
     r = comp.localCheckpoint()
-    n = r.count()
+    delta = r
     for _ in range(max_rounds):
-        if n == 0:
+        if delta.isEmpty():
             break
-        left = r.select("a", F.col("b").alias("_m"))
-        right = r.select(F.col("a").alias("_m"), "b")
-        doubled = left.join(right, "_m").select("a", "b")
-        nxt = r.unionByName(doubled).dropDuplicates().localCheckpoint()
-        n_nxt = nxt.count()
+        r_mid = r.select("a", F.col("b").alias("_m"))
+        r_out = r.select(F.col("a").alias("_m"), "b")
+        d_mid = delta.select("a", F.col("b").alias("_m"))
+        d_out = delta.select(F.col("a").alias("_m"), "b")
+        grow = (
+            r_mid.join(d_out, "_m")
+            .select("a", "b")
+            .unionByName(d_mid.join(r_out, "_m").select("a", "b"))
+            .dropDuplicates()
+        )
+        new_delta = grow.join(r, ["a", "b"], "left_anti").localCheckpoint()
+        # R and Δ' are disjoint by the anti-join: plain union, no distinct
+        nxt = r.unionByName(new_delta).localCheckpoint()
         r.unpersist()
-        converged = n_nxt == n
-        r, n = nxt, n_nxt
-        if converged:  # count fixpoint: doubling added nothing
-            break
+        if delta is not r:
+            delta.unpersist()
+        r, delta = nxt, new_delta
 
     if bridge is None:
         return r.select(F.col("a").alias("s"), F.col("b").alias("o"))

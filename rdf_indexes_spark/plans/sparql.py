@@ -13,8 +13,15 @@ usable at the string level end-to-end:
         s p o . s p+ o ...
         [OPTIONAL { s p o ... }] ...
         [FILTER regex(?v, "pattern")] [FILTER ( ?v = term )] ...
+        [FILTER EXISTS { s p o ... }] [FILTER NOT EXISTS { s p o ... }] ...
     } [ORDER BY ?v ...] [LIMIT n]
     ASK WHERE { ... }
+
+``FILTER [NOT] EXISTS`` keeps (drops) solutions for which the inner
+pattern has at least one match on the shared variables — a LEFT-SEMI
+(LEFT-ANTI) join, never a row-multiplying one. Variables bound only
+inside an EXISTS group are not visible outside it. A NULL shared
+variable (unmatched OPTIONAL) never matches the inner pattern.
 
 ``p+`` on a constant predicate is the SPARQL 1.1 one-or-more property
 path, answered by the distributed path-doubling closure in
@@ -113,6 +120,7 @@ class SparqlQuery:
     patterns: list[tuple] = field(default_factory=list)
     optionals: list[list[tuple]] = field(default_factory=list)
     filters: list[Filter] = field(default_factory=list)
+    exists_filters: list[tuple[bool, list[tuple]]] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
 
@@ -273,7 +281,21 @@ def parse_sparql(text: str) -> SparqlQuery:
                 q.optionals.append(opt)
             elif allow_blocks and kw("FILTER"):
                 take()
-                q.filters.append(filter_expr())
+                if kw("NOT") or kw("EXISTS"):
+                    positive = True
+                    if kw("NOT"):
+                        take()
+                        positive = False
+                    k2, v2 = take()
+                    if not (k2 == "bare" and v2.upper() == "EXISTS"):
+                        raise ValueError("FILTER NOT must be followed by EXISTS")
+                    ex: list[tuple] = []
+                    group(ex, allow_blocks=False)
+                    if not ex:
+                        raise ValueError("empty EXISTS group")
+                    q.exists_filters.append((positive, ex))
+                else:
+                    q.filters.append(filter_expr())
             elif kw("OPTIONAL") or kw("FILTER"):
                 raise ValueError("OPTIONAL/FILTER cannot nest inside OPTIONAL")
             else:
@@ -305,6 +327,8 @@ def parse_sparql(text: str) -> SparqlQuery:
     if pos != len(toks):
         raise ValueError(f"trailing tokens after query: {toks[pos:]}")
 
+    # variables bound only inside an EXISTS group are scoped to it —
+    # not projectable, orderable, or filterable outside
     all_pats = q.patterns + [p for opt in q.optionals for p in opt]
     pattern_vars = {t.name for pat in all_pats for t in pat if isinstance(t, Var)}
     if q.variables is None:
@@ -500,17 +524,23 @@ def run_sparql(
     single-row frame ``(ask boolean)``."""
     q = parse_sparql(query) if isinstance(query, str) else query
     spark = next(iter(tables.values())).sparkSession
-    all_pats = q.patterns + [p for opt in q.optionals for p in opt]
+    all_pats = (
+        q.patterns
+        + [p for opt in q.optionals for p in opt]
+        + [p for _, ex in q.exists_filters for p in ex]
+    )
     roles = _var_roles(all_pats)
     multi_role = {v for v, rs in roles.items() if len(rs) > 1}
+
+    def provably_empty() -> DataFrame:
+        if q.form == "ASK":
+            return spark.range(1).select(F.lit(False).alias("ask"))
+        return spark.range(0).select(*[F.lit("").alias(v) for v in q.variables])
 
     const_ids = _resolve_constants(all_pats, vocabs)
     if not _consts_resolved(q.patterns, const_ids):
         # a REQUIRED constant is unknown: provably empty
-        if q.form == "ASK":
-            return spark.range(1).select(F.lit(False).alias("ask"))
-        empty = spark.range(0)
-        return empty.select(*[F.lit("").alias(v) for v in q.variables])
+        return provably_empty()
 
     resolved = [
         (_pattern_frame(tables, vocabs, p, const_ids, multi_role), _bound_count(p), i)
@@ -546,6 +576,25 @@ def run_sparql(
 
     for f in q.filters:
         acc = _apply_filter(acc, f, roles, multi_role, vocabs)
+
+    for positive, ex in q.exists_filters:
+        if not _consts_resolved(ex, const_ids):
+            if positive:  # EXISTS over an unknown constant: provably empty
+                return provably_empty()
+            continue  # NOT EXISTS over an unknown constant: always true
+        ex_resolved = [
+            (_pattern_frame(tables, vocabs, p, const_ids, multi_role), _bound_count(p), i)
+            for i, p in enumerate(ex)
+        ]
+        sub, sub_vars = _greedy_join(ex_resolved)
+        shared = sorted(acc_vars & sub_vars)
+        if not shared:
+            raise ValueError(
+                "FILTER [NOT] EXISTS group shares no variable with the outer pattern"
+            )
+        acc = acc.join(
+            sub.select(*shared), on=shared, how="left_semi" if positive else "left_anti"
+        )
 
     if q.form == "ASK":
         return acc.limit(1).agg((F.count("*") > 0).alias("ask"))

@@ -281,6 +281,62 @@ def test_path_plus_separate_token_and_errors(idx):
         parse_sparql("SELECT ?x WHERE { ?x ?p + ?y }")  # var predicate path
 
 
+def test_not_exists_anti_join(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x WHERE { ?x knows ?y . FILTER NOT EXISTS { ?x likes ?z } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice",), ("dave",)]  # bob likes alice → dropped
+
+
+def test_exists_semi_join(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?y WHERE { ?x knows ?y . FILTER EXISTS { ?x likes ?z } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob", "carol")]
+
+
+def test_exists_cross_role_shared_var(idx):
+    """The shared ?y is an object outside and a subject inside — the
+    semi/anti join must compare TERMS across the id spaces."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?y WHERE { ?x knows ?y . FILTER NOT EXISTS { ?y likes ?z } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("dave", "dave")]  # bob and carol both like someone
+
+
+def test_exists_unknown_constant(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x WHERE { ?x likes ?y . FILTER NOT EXISTS { ?x zzz9 ?z } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob",), ("carol",)]  # vacuously true
+    assert (
+        not run_sparql(
+            "ASK { ?x likes ?y . FILTER EXISTS { ?x zzz9 ?z } }", tables, vocabs
+        ).first()["ask"]
+    )
+
+
+def test_exists_scoped_vars_not_projectable(idx):
+    with pytest.raises(ValueError):
+        parse_sparql(
+            "SELECT ?z WHERE { ?x knows ?y . FILTER EXISTS { ?x likes ?z } }"
+        )
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { ?x knows ?y . FILTER NOT regex(?x, \"a\") }")
+
+
 def test_matches_pandas_string_oracle(idx):
     """The full star+chain BGP against a pandas merge over the STRING
     triples — the string level is the ground truth the id machinery must
