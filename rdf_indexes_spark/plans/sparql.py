@@ -11,11 +11,20 @@ usable at the string level end-to-end:
 
     SELECT [DISTINCT] (?v ... | *) WHERE {
         s p o . s p+ o ...
+        [{ s p o ... } UNION { s p o ... } [UNION { ... }]] ...
         [OPTIONAL { s p o ... }] ...
         [FILTER regex(?v, "pattern")] [FILTER ( ?v = term )] ...
         [FILTER EXISTS { s p o ... }] [FILTER NOT EXISTS { s p o ... }] ...
     } [ORDER BY ?v ...] [LIMIT n]
     ASK WHERE { ... }
+
+``UNION`` takes the bag union of its branches' solutions (duplicates
+kept, SPARQL multiset semantics); a variable a branch does not bind is
+NULL in that branch's rows, and the union joins the rest of the group
+on shared variables — a NULL shared variable does not join (consistent
+with this subset's unbound-never-matches FILTER rule). A branch whose
+constant is absent from its vocabulary contributes no solutions; if
+EVERY branch is absent the union is empty and so is the query.
 
 ``FILTER [NOT] EXISTS`` keeps (drops) solutions for which the inner
 pattern has at least one match on the shared variables — a LEFT-SEMI
@@ -118,6 +127,7 @@ class SparqlQuery:
     variables: list[str] | None  # None = SELECT *
     distinct: bool = False
     patterns: list[tuple] = field(default_factory=list)
+    unions: list[list[list[tuple]]] = field(default_factory=list)  # block -> branches -> patterns
     optionals: list[list[tuple]] = field(default_factory=list)
     filters: list[Filter] = field(default_factory=list)
     exists_filters: list[tuple[bool, list[tuple]]] = field(default_factory=list)
@@ -272,7 +282,25 @@ def parse_sparql(text: str) -> SparqlQuery:
                 return
             if k is None:
                 raise ValueError("unterminated graph pattern (missing '}')")
-            if allow_blocks and kw("OPTIONAL"):
+            if allow_blocks and (k, v) == ("brace", "{"):
+                # { branch } UNION { branch } [UNION { branch }]*
+                branches: list[list[tuple]] = []
+                while True:
+                    br: list[tuple] = []
+                    group(br, allow_blocks=False)
+                    if not br:
+                        raise ValueError("empty UNION branch")
+                    branches.append(br)
+                    if kw("UNION"):
+                        take()
+                        if peek() != ("brace", "{"):
+                            raise ValueError("UNION must be followed by a { group }")
+                    else:
+                        break
+                if len(branches) < 2:
+                    raise ValueError("a braced group must be a UNION of 2+ branches")
+                q.unions.append(branches)
+            elif allow_blocks and kw("OPTIONAL"):
                 take()
                 opt: list[tuple] = []
                 group(opt, allow_blocks=False)
@@ -306,7 +334,7 @@ def parse_sparql(text: str) -> SparqlQuery:
     if kw("WHERE"):
         take()
     group(q.patterns, allow_blocks=True)
-    if not q.patterns:
+    if not q.patterns and not q.unions:
         raise ValueError("empty graph pattern")
 
     if kw("ORDER"):
@@ -329,7 +357,11 @@ def parse_sparql(text: str) -> SparqlQuery:
 
     # variables bound only inside an EXISTS group are scoped to it —
     # not projectable, orderable, or filterable outside
-    all_pats = q.patterns + [p for opt in q.optionals for p in opt]
+    all_pats = (
+        q.patterns
+        + [p for u in q.unions for br in u for p in br]
+        + [p for opt in q.optionals for p in opt]
+    )
     pattern_vars = {t.name for pat in all_pats for t in pat if isinstance(t, Var)}
     if q.variables is None:
         q.variables = sorted(pattern_vars) if q.form == "SELECT" else []
@@ -526,6 +558,7 @@ def run_sparql(
     spark = next(iter(tables.values())).sparkSession
     all_pats = (
         q.patterns
+        + [p for u in q.unions for br in u for p in br]
         + [p for opt in q.optionals for p in opt]
         + [p for _, ex in q.exists_filters for p in ex]
     )
@@ -542,11 +575,46 @@ def run_sparql(
         # a REQUIRED constant is unknown: provably empty
         return provably_empty()
 
-    resolved = [
-        (_pattern_frame(tables, vocabs, p, const_ids, multi_role), _bound_count(p), i)
-        for i, p in enumerate(q.patterns)
-    ]
-    acc, acc_vars = _greedy_join(resolved)
+    if q.patterns:
+        resolved = [
+            (_pattern_frame(tables, vocabs, p, const_ids, multi_role), _bound_count(p), i)
+            for i, p in enumerate(q.patterns)
+        ]
+        acc, acc_vars = _greedy_join(resolved)
+    else:  # union-only group (the parser guarantees q.unions non-empty)
+        acc, acc_vars = None, set()
+
+    for branches in q.unions:
+        # each branch is an independent BGP; align columns (NULL of the
+        # right type where a branch does not bind a variable) and take
+        # the BAG union — duplicates kept, SPARQL multiset semantics
+        frames: list[tuple[DataFrame, set[str]]] = []
+        for br in branches:
+            if not _consts_resolved(br, const_ids):
+                continue  # unknown constant: this branch has no solutions
+            br_resolved = [
+                (_pattern_frame(tables, vocabs, p, const_ids, multi_role), _bound_count(p), i)
+                for i, p in enumerate(br)
+            ]
+            frames.append(_greedy_join(br_resolved))
+        if not frames:  # every branch had an unknown constant
+            return provably_empty()
+        u_vars: set[str] = set().union(*(vs for _, vs in frames))
+        aligned = []
+        for sub, vs in frames:
+            for v in sorted(u_vars - vs):
+                typ = "string" if v in multi_role else "long"
+                sub = sub.withColumn(v, F.lit(None).cast(typ))
+            aligned.append(sub.select(*sorted(u_vars)))
+        u = aligned[0]
+        for nxt in aligned[1:]:
+            u = u.unionByName(nxt)
+        if acc is None:
+            acc, acc_vars = u, u_vars
+        else:
+            shared = sorted(acc_vars & u_vars)
+            acc = acc.join(u, on=shared) if shared else acc.crossJoin(u)
+            acc_vars |= u_vars
 
     for opt in q.optionals:
         opt_vars = {t.name for pat in opt for t in pat if isinstance(t, Var)}

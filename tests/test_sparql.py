@@ -337,6 +337,86 @@ def test_exists_scoped_vars_not_projectable(idx):
         parse_sparql("SELECT ?x WHERE { ?x knows ?y . FILTER NOT regex(?x, \"a\") }")
 
 
+def test_union_bag_semantics(idx):
+    """UNION keeps duplicates (multiset): dave knows dave matches BOTH
+    branches of an s/o-symmetric union and must appear twice."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x WHERE { { ?x knows ?y } UNION { ?y knows ?x } } ORDER BY ?x",
+        tables,
+        vocabs,
+    )
+    rows = _rows(out)
+    assert rows.count(("dave",)) == 2
+    assert rows.count(("alice",)) == 1  # alice knows bob: left branch only
+    assert ("bob",) in rows  # bob as object of knows: right branch (?x is o-role)
+
+
+def test_union_joins_outer_pattern_cross_role(idx):
+    """The union's ?y is an object in the outer pattern and a subject in
+    branch 1 / object in branch 2 — joins must compare TERMS."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?z WHERE { ?x knows ?y . { ?y likes ?z } UNION { ?z likes ?y } }",
+        tables,
+        vocabs,
+    )
+    # ?x knows ?y: (alice,bob),(bob,carol),(dave,dave)
+    # branch1 ?y likes ?z: bob likes alice; carol likes dave
+    # branch2 ?z likes ?y: (carol likes dave → z=carol,y=dave)... y must be
+    # an o-term of likes: alice (z=bob), dave (z=carol)
+    assert sorted(_rows(out)) == [
+        ("alice", "alice"),  # y=bob likes alice (branch 1)
+        ("bob", "dave"),  # y=carol likes dave (branch 1)
+        ("dave", "carol"),  # z=carol likes y=dave (branch 2)
+    ]
+
+
+def test_union_unbound_branch_vars_are_null(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?y ?z WHERE { { ?x likes ?y } UNION { ?x knows ?z } }",
+        tables,
+        vocabs,
+    )
+    rows = [tuple(r) for r in out.collect()]  # unsortable: None mixes with str
+    assert ("bob", "alice", None) in rows  # likes branch: ?z unbound
+    assert ("alice", None, "bob") in rows  # knows branch: ?y unbound
+    assert len(rows) == 5
+
+
+def test_union_unknown_constant_branches(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x WHERE { { ?x zzz9 ?y } UNION { ?x likes ?y } }", tables, vocabs
+    )
+    assert sorted(_rows(out)) == [("bob",), ("carol",)]  # dead branch dropped
+    empty = run_sparql(
+        "SELECT ?x WHERE { { ?x zzz9 ?y } UNION { ?x zzz8 ?y } }", tables, vocabs
+    )
+    assert _rows(empty) == []  # every branch dead: provably empty
+
+
+def test_union_distinct_and_parse_errors(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT DISTINCT ?x WHERE { { ?x knows ?y } UNION { ?y knows ?x } }",
+        tables,
+        vocabs,
+    )
+    assert sorted(_rows(out)) == [(t,) for t in ["alice", "bob", "carol", "dave"]]
+    with pytest.raises(ValueError):  # braced group without UNION
+        parse_sparql("SELECT ?x WHERE { { ?x knows ?y } }")
+    with pytest.raises(ValueError):  # UNION not followed by a group
+        parse_sparql("SELECT ?x WHERE { { ?x knows ?y } UNION ?x likes ?y }")
+    with pytest.raises(ValueError):  # empty branch
+        parse_sparql("SELECT ?x WHERE { { ?x knows ?y } UNION { } }")
+    with pytest.raises(ValueError):  # OPTIONAL cannot nest in a branch
+        parse_sparql(
+            "SELECT ?x WHERE { { ?x knows ?y . OPTIONAL { ?x likes ?z } } UNION { ?x likes ?y } }"
+        )
+
+
 def test_matches_pandas_string_oracle(idx):
     """The full star+chain BGP against a pandas merge over the STRING
     triples — the string level is the ground truth the id machinery must
