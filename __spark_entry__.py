@@ -799,8 +799,18 @@ def _q_sparql_chain(spark, sf_dir):
     joins on TERMS, results decode to surface forms."""
     from rdf_indexes_spark.plans.sparql import run_sparql
 
-    t = _derived_triples(spark, sf_dir)
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
     p0, p1, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?y ?z WHERE {{ ?x P{p0} ?y . ?y P{p1} ?z }}", tables, vocabs
+    )
+
+
+def _sparql_shifted_index(spark, sf_dir):
+    """g3/g5/g6 shared setup: string vocabs over DELIBERATELY misaligned
+    role id spaces (o-ids shifted by 10^7) — any id-level cross-role
+    join matches NOTHING, so only term-correct semantics pass."""
+    t = _derived_triples(spark, sf_dir)
     shift = 10_000_000
     vocabs = {
         "s": t.select(F.col("s").alias("id")).distinct().select(
@@ -815,8 +825,37 @@ def _q_sparql_chain(spark, sf_dir):
     }
     enc = t.select("s", "p", (F.col("o") + shift).alias("o"))
     tables = {name: enc for name in ("spo", "pos", "osp", "ops", "pso")}
+    return tables, vocabs
+
+
+def _q_sparql_union(spark, sf_dir):
+    """G5: UNION over the shifted-id index — ?x and ?y each span s- and
+    o-roles ACROSS the two branches, so the bag union must align on
+    decoded terms; duplicates (a pair produced by both branches) are
+    kept, SPARQL multiset semantics (oracle: UNION ALL)."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
     return run_sparql(
-        f"SELECT ?x ?y ?z WHERE {{ ?x P{p0} ?y . ?y P{p1} ?z }}", tables, vocabs
+        f"SELECT ?x ?y WHERE {{ {{ ?x P{p0} ?y }} UNION {{ ?y P{p1} ?x }} }}",
+        tables,
+        vocabs,
+    )
+
+
+def _q_sparql_exists(spark, sf_dir):
+    """G6: FILTER NOT EXISTS over the shifted-id index — the shared ?y
+    is an object outside and a subject inside, so the anti-join must
+    compare TERMS across the independent id spaces."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?y WHERE {{ ?x P{p0} ?y . FILTER NOT EXISTS {{ ?y P{p1} ?z }} }}",
+        tables,
+        vocabs,
     )
 
 
@@ -902,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_bgp_star": _q_bgp_star,
         "g3_sparql_chain": _q_sparql_chain,
         "g4_path_closure": _q_path_closure,
+        "g5_sparql_union": _q_sparql_union,
+        "g6_sparql_exists": _q_sparql_exists,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -1060,6 +1101,22 @@ def oracle_sql() -> dict[str, str]:
             "'E' || CAST(a.o AS VARCHAR) AS y, "
             "'E' || CAST(b.o AS VARCHAR) AS z FROM t a, t b, c "
             "WHERE a.p = c.p0 AND b.p = c.p1 AND b.s = a.o"
+        ),
+        "g5_sparql_union": (
+            # bag-union twin: UNION ALL, branch roles swapped — the Spark
+            # side must align ?x/?y across s- and o-roles by TERM
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
+            "FROM t, c WHERE p = c.p0 "
+            "UNION ALL "
+            "SELECT 'E' || CAST(o AS VARCHAR) AS x, 'E' || CAST(s AS VARCHAR) AS y "
+            "FROM t, c WHERE p = c.p1"
+        ),
+        "g6_sparql_exists": (
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(a.s AS VARCHAR) AS x, 'E' || CAST(a.o AS VARCHAR) AS y "
+            "FROM t a, c WHERE a.p = c.p0 AND NOT EXISTS "
+            "(SELECT 1 FROM t b WHERE b.p = c.p1 AND b.s = a.o)"
         ),
         "g4_path_closure": (
             f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "
