@@ -6,18 +6,35 @@ triple pattern (/root/reference/src/queries.cpp:95-186) and a user
 chases paths by re-probing the index per hop from the driver. Here the
 closure is a first-class distributed operator.
 
-Algorithm: SEMI-NAIVE path doubling, not frontier BFS — a graph of
-diameter d converges in ceil(log2(d)) rounds instead of d, and each
-round composes only the DELTA (pairs discovered last round) with the
-full relation: R∘R expands to R_prev∘R_prev (already known) plus the
-Δ terms, so Δ' = (R∘Δ ∪ Δ∘R) − R is the complete doubling step. The
-naive R∘R join is quadratic in |R| near the fixpoint (on a dense
-reachability graph it computes ~|V|·|R| intermediate rows to add
-NOTHING — measured as a driver OOM on a 1M-pair closure); the
-semi-naive form bounds every round's work by the new pairs instead.
-Each round is cut with ``localCheckpoint`` (iterative lineage would
-double the plan per round) and the loop exits when Δ is empty — cycles
-terminate because the pair set is bounded.
+Algorithm: LINEAR SEMI-NAIVE iteration (the classic Datalog TC plan):
+each round composes only the DELTA (pairs discovered last round) with
+the STATIC EDGE set, Δ' = (Δ∘E) − R, converging in diameter-many
+rounds. Two earlier designs failed at scale and are deliberately NOT
+used:
+
+ - naive doubling (R' = R ∪ R∘R): near the fixpoint the self-join
+   recomputes ~|V|·|R| known pairs per round to add nothing — measured
+   as a driver OOM on a 1M-pair closure;
+ - semi-naive DOUBLING (Δ' = (R∘Δ ∪ Δ∘R) − R): log-diameter rounds,
+   but each round still joins the OUTPUT-SCALE relation R (tens of
+   millions of pairs) against a delta of similar size over the few
+   "continuable" mid-point keys — billions of skewed intermediate rows;
+   measured 70+ GB of shuffle blocks and an executor OOM on an 85k-edge
+   graph whose closure is ~20M pairs.
+
+Linear semi-naive bounds every round's intermediates by
+|Δ| × avg-out-degree — proportional to the NEW pairs actually being
+derived — and keeps the join's build side the INPUT-scale edge set,
+which is broadcast when small (≤ ``broadcast_threshold`` rows): the
+composition then runs shuffle-free; only the dedup/anti-join exchange
+remains, and it is new-pairs-sized. The trade is diameter-many rounds
+instead of log-diameter — the right trade for KG link graphs and
+reachability queries, whose diameters are small while their closures
+are dense. Each delta is cut with ``localCheckpoint`` (iterative
+lineage would otherwise grow per round); the accumulated relation R is
+a flat union of the checkpointed deltas, never re-materialized. The
+loop exits when Δ is empty — cycles terminate because the pair set is
+bounded.
 
 The three independent id spaces (scripts/extract_vocabs.py:29-31) make
 hop COMPOSITION subtle: an edge ends at an object-space id, but the
@@ -28,10 +45,11 @@ keeps its object-space endpoint, so results stay decodable as (s-role
 start, o-role end). With ``bridge=None`` the two columns are assumed to
 share one id domain (the integer-engine view, e.g. the bench tables).
 
-Scale: rounds × (one shuffle join + one distinct) over the PAIR
-relation, which is output-sized, not corpus-sized; the per-round cut
-keeps executor lineage flat. Worst case (dense reachability) is
-quadratic in vertices — same as the answer itself.
+Scale: diameter × (one composition join — broadcast and shuffle-free
+for any realistically-sized edge set — + one delta-sized distinct +
+anti-join). Worst case (dense reachability) the ANSWER is quadratic in
+vertices; the work stays proportional to the answer, never to
+answer × degree.
 """
 
 from __future__ import annotations
@@ -50,14 +68,17 @@ def path_edges(tables: dict[str, DataFrame], p: int) -> DataFrame:
 def closure_pairs(
     edges: DataFrame,
     bridge: DataFrame | None = None,
-    max_rounds: int = 20,
+    max_rounds: int = 64,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """All (s, o) pairs connected by 1+ hops of ``edges``.
 
     bridge: optional (o_id, s_id) frame mapping each object-space id to
     the subject-space id of the SAME term; None = single id domain.
-    max_rounds bounds doubling at 2^max_rounds hops (default: far beyond
-    any real diameter; convergence normally stops much earlier)."""
+    max_rounds bounds path length at max_rounds + 1 hops (default: far
+    beyond any real diameter; convergence normally stops much earlier).
+    Edge sets at or under ``broadcast_threshold`` rows are broadcast so
+    the per-round composition join is shuffle-free."""
     edges = edges.select(F.col("s").alias("a"), F.col("o").alias("b")).dropDuplicates()
     if bridge is not None:
         br = bridge.select(F.col("o_id").alias("_bo"), F.col("s_id").alias("_bs"))
@@ -70,30 +91,27 @@ def closure_pairs(
     else:
         comp = edges
 
-    # semi-naive doubling over the composition-space relation:
-    # R' = R ∪ Δ',  Δ' = (R∘Δ ∪ Δ∘R) − R   (Δ∘Δ ⊆ R∘Δ since Δ ⊆ R)
-    r = comp.localCheckpoint()
-    delta = r
+    # linear semi-naive: R' = R ∪ Δ', Δ' = (Δ∘E) − R. The static edge
+    # side is checkpointed once and (when small) broadcast — the hot
+    # composition join then never shuffles; only Δ-scale exchanges remain.
+    comp = comp.localCheckpoint()
+    comp_src = comp.select(F.col("a").alias("_m"), "b")
+    if comp.count() <= broadcast_threshold:
+        comp_src = F.broadcast(comp_src)
+    r = comp  # flat union of checkpointed deltas — never re-materialized
+    delta = comp
     for _ in range(max_rounds):
-        if delta.isEmpty():
-            break
-        r_mid = r.select("a", F.col("b").alias("_m"))
-        r_out = r.select(F.col("a").alias("_m"), "b")
-        d_mid = delta.select("a", F.col("b").alias("_m"))
-        d_out = delta.select(F.col("a").alias("_m"), "b")
         grow = (
-            r_mid.join(d_out, "_m")
+            delta.select("a", F.col("b").alias("_m"))
+            .join(comp_src, "_m")
             .select("a", "b")
-            .unionByName(d_mid.join(r_out, "_m").select("a", "b"))
             .dropDuplicates()
         )
         new_delta = grow.join(r, ["a", "b"], "left_anti").localCheckpoint()
-        # R and Δ' are disjoint by the anti-join: plain union, no distinct
-        nxt = r.unionByName(new_delta).localCheckpoint()
-        r.unpersist()
-        if delta is not r:
-            delta.unpersist()
-        r, delta = nxt, new_delta
+        if new_delta.isEmpty():
+            break
+        r = r.unionByName(new_delta)
+        delta = new_delta
 
     if bridge is None:
         return r.select(F.col("a").alias("s"), F.col("b").alias("o"))
@@ -105,7 +123,6 @@ def closure_pairs(
         .select("a", "b")
     )
     out = edges.unionByName(multi).dropDuplicates()
-    r.unpersist()
     return out.select(F.col("a").alias("s"), F.col("b").alias("o"))
 
 
@@ -113,7 +130,7 @@ def transitive_closure(
     tables: dict[str, DataFrame],
     p: int,
     bridge: DataFrame | None = None,
-    max_rounds: int = 20,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """``p+`` pairs over an index: (s, o) reachable via 1+ edges labeled
     ``p``. See ``closure_pairs`` for the bridge/space contract."""

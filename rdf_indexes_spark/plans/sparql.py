@@ -13,10 +13,25 @@ usable at the string level end-to-end:
         s p o . s p+ o ...
         [{ s p o ... } UNION { s p o ... } [UNION { ... }]] ...
         [OPTIONAL { s p o ... }] ...
+        [MINUS { s p o ... }] ...
+        [VALUES ?v { term ... }] ...
         [FILTER regex(?v, "pattern")] [FILTER ( ?v = term )] ...
         [FILTER EXISTS { s p o ... }] [FILTER NOT EXISTS { s p o ... }] ...
     } [ORDER BY ?v ...] [LIMIT n]
     ASK WHERE { ... }
+
+``MINUS`` removes solutions compatible with some inner-group solution
+on their SHARED variables — like NOT EXISTS it is a left-anti join, but
+per the SPARQL 1.1 distinction a MINUS group that shares NO variable
+with the outer pattern removes NOTHING (NOT EXISTS in that position is
+rejected by this subset), and a MINUS group whose constant is missing
+from its vocabulary also removes nothing.
+
+``VALUES ?v { t1 t2 ... }`` restricts solutions to the listed terms —
+an inner join against an inline literal table. For a single-role
+variable the terms are resolved through that role's vocabulary (absent
+terms simply match nothing); a multi-role variable compares decoded
+terms directly.
 
 ``UNION`` takes the bag union of its branches' solutions (duplicates
 kept, SPARQL multiset semantics); a variable a branch does not bind is
@@ -129,6 +144,8 @@ class SparqlQuery:
     patterns: list[tuple] = field(default_factory=list)
     unions: list[list[list[tuple]]] = field(default_factory=list)  # block -> branches -> patterns
     optionals: list[list[tuple]] = field(default_factory=list)
+    minuses: list[list[tuple]] = field(default_factory=list)
+    values: list[tuple[str, list[str]]] = field(default_factory=list)  # (var, terms)
     filters: list[Filter] = field(default_factory=list)
     exists_filters: list[tuple[bool, list[tuple]]] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
@@ -307,6 +324,29 @@ def parse_sparql(text: str) -> SparqlQuery:
                 if not opt:
                     raise ValueError("empty OPTIONAL group")
                 q.optionals.append(opt)
+            elif allow_blocks and kw("MINUS"):
+                take()
+                mns: list[tuple] = []
+                group(mns, allow_blocks=False)
+                if not mns:
+                    raise ValueError("empty MINUS group")
+                q.minuses.append(mns)
+            elif allow_blocks and kw("VALUES"):
+                take()
+                kk, vv = take()
+                if kk != "var":
+                    raise ValueError("VALUES needs a ?variable")
+                expect("brace", "{")
+                terms: list[str] = []
+                while peek() != ("brace", "}"):
+                    kk, tv = take()
+                    if kk not in ("iri", "lit", "bare") or (kk, tv) == (None, None):
+                        raise ValueError(f"VALUES needs constant terms, got {tv!r}")
+                    terms.append(_term(kk, tv).text)
+                take()  # closing }
+                if not terms:
+                    raise ValueError("empty VALUES list")
+                q.values.append((vv[1:], terms))
             elif allow_blocks and kw("FILTER"):
                 take()
                 if kw("NOT") or kw("EXISTS"):
@@ -324,8 +364,10 @@ def parse_sparql(text: str) -> SparqlQuery:
                     q.exists_filters.append((positive, ex))
                 else:
                     q.filters.append(filter_expr())
-            elif kw("OPTIONAL") or kw("FILTER"):
-                raise ValueError("OPTIONAL/FILTER cannot nest inside OPTIONAL")
+            elif kw("OPTIONAL") or kw("FILTER") or kw("MINUS") or kw("VALUES"):
+                raise ValueError(
+                    "OPTIONAL/FILTER/MINUS/VALUES cannot nest inside a sub-group"
+                )
             else:
                 into.append(triple_pattern())
             if peek()[0] == "dot":
@@ -368,6 +410,9 @@ def parse_sparql(text: str) -> SparqlQuery:
     unbound_filters = [f.var for f in q.filters if f.var not in pattern_vars]
     if unbound_filters:
         raise ValueError(f"FILTER variables not bound in the pattern: {unbound_filters}")
+    unbound_values = [v for v, _ in q.values if v not in pattern_vars]
+    if unbound_values:
+        raise ValueError(f"VALUES variables not bound in the pattern: {unbound_values}")
     missing = [v for v in (q.variables + q.order_by) if v not in pattern_vars]
     if missing:
         raise ValueError(f"variables not bound in the pattern: {missing}")
@@ -560,6 +605,7 @@ def run_sparql(
         q.patterns
         + [p for u in q.unions for br in u for p in br]
         + [p for opt in q.optionals for p in opt]
+        + [p for mns in q.minuses for p in mns]
         + [p for _, ex in q.exists_filters for p in ex]
     )
     roles = _var_roles(all_pats)
@@ -641,6 +687,37 @@ def run_sparql(
             sub = F.broadcast(sub)
         acc = acc.join(sub, on=shared, how="left")
         acc_vars |= opt_vars
+
+    for mns in q.minuses:
+        # SPARQL 1.1 MINUS: remove solutions compatible on SHARED vars.
+        # Unlike NOT EXISTS, a disjoint-domain MINUS removes nothing, and
+        # so does one whose constant is absent from its vocabulary.
+        if not _consts_resolved(mns, const_ids):
+            continue
+        m_resolved = [
+            (_pattern_frame(tables, vocabs, p, const_ids, multi_role), _bound_count(p), i)
+            for i, p in enumerate(mns)
+        ]
+        sub, sub_vars = _greedy_join(m_resolved)
+        shared = sorted(acc_vars & sub_vars)
+        if not shared:
+            continue
+        acc = acc.join(sub.select(*shared), on=shared, how="left_anti")
+
+    for var, terms in q.values:
+        # inner restriction to the listed terms: string predicate for a
+        # term-typed (multi-role) var; pushed-down vocab IN-scan + id
+        # semi-join for an id-typed var (absent terms match nothing)
+        if var in multi_role:
+            acc = acc.filter(F.col(var).isin(terms))
+        else:
+            role = next(iter(roles[var]))
+            matching = vocabs[role].filter(F.col("term").isin(terms)).select(
+                F.col("id").alias(f"_vval_{var}")
+            )
+            acc = acc.join(
+                matching, acc[var] == matching[f"_vval_{var}"], "left_semi"
+            )
 
     for f in q.filters:
         acc = _apply_filter(acc, f, roles, multi_role, vocabs)

@@ -56,14 +56,17 @@ def test_cycle_terminates_and_is_complete(spark):
 
 
 def test_max_rounds_caps_depth(spark):
-    # a 9-node chain needs ceil(log2(8)) = 3 doubling rounds for full
-    # closure; max_rounds=0 leaves only the raw edges
+    # linear semi-naive: round k adds paths of length k+1, so a 9-node
+    # chain (8 hops) closes at max_rounds=7; max_rounds=0 leaves only
+    # the raw edges, max_rounds=2 paths of length <= 3
     chain = [(i, i + 1) for i in range(8)]
     df = spark.createDataFrame(chain, "s long, o long")
     got0 = {(r["s"], r["o"]) for r in closure_pairs(df, max_rounds=0).collect()}
     assert got0 == set(chain)
-    got3 = {(r["s"], r["o"]) for r in closure_pairs(df, max_rounds=3).collect()}
-    assert got3 == _bfs_closure(chain)
+    got2 = {(r["s"], r["o"]) for r in closure_pairs(df, max_rounds=2).collect()}
+    assert got2 == {(a, b) for a in range(9) for b in range(a + 1, min(a + 4, 9))}
+    got7 = {(r["s"], r["o"]) for r in closure_pairs(df, max_rounds=7).collect()}
+    assert got7 == _bfs_closure(chain)
 
 
 def test_bridge_crosses_id_spaces(spark):

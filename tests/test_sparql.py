@@ -417,6 +417,81 @@ def test_union_distinct_and_parse_errors(idx):
         )
 
 
+def test_minus_anti_join(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x WHERE { ?x knows ?y . MINUS { ?x likes ?z } }", tables, vocabs
+    )
+    assert _rows(out) == [("alice",), ("dave",)]  # same as NOT EXISTS here
+
+
+def test_minus_disjoint_domain_removes_nothing(idx):
+    """The SPARQL 1.1 MINUS/NOT-EXISTS split: a MINUS sharing no variable
+    with the outer pattern removes NOTHING; NOT EXISTS there is rejected
+    by this subset."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x WHERE { ?x knows ?y . MINUS { ?a likes ?b } }", tables, vocabs
+    )
+    assert sorted(_rows(out)) == [("alice",), ("bob",), ("dave",)]
+    with pytest.raises(ValueError):
+        run_sparql(
+            "SELECT ?x WHERE { ?x knows ?y . FILTER NOT EXISTS { ?a likes ?b } }",
+            tables,
+            vocabs,
+        )
+
+
+def test_minus_unknown_constant_and_cross_role(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x WHERE { ?x knows ?y . MINUS { ?x zzz9 ?z } }", tables, vocabs
+    )
+    assert sorted(_rows(out)) == [("alice",), ("bob",), ("dave",)]  # removes nothing
+    out2 = run_sparql(  # shared ?y: o-role outside, s-role inside — term join
+        "SELECT ?x ?y WHERE { ?x knows ?y . MINUS { ?y likes ?z } }", tables, vocabs
+    )
+    assert _rows(out2) == [("dave", "dave")]
+
+
+def test_values_restriction(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x ?y WHERE { ?x knows ?y . VALUES ?x { alice "dave" } }',
+        tables,
+        vocabs,
+    )
+    assert sorted(_rows(out)) == [("alice", "bob"), ("dave", "dave")]
+    out2 = run_sparql(  # multi-role var: term-level restriction
+        "SELECT ?x ?y WHERE { ?x knows ?y . { ?y likes ?z } UNION { ?z likes ?y } . "
+        "VALUES ?y { bob } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out2) == [("alice", "bob")]
+    out3 = run_sparql(  # absent term matches nothing
+        "SELECT ?x WHERE { ?x knows ?y . VALUES ?x { zzz9 } }", tables, vocabs
+    )
+    assert _rows(out3) == []
+
+
+def test_minus_values_parse_errors(idx):
+    with pytest.raises(ValueError):  # empty MINUS
+        parse_sparql("SELECT ?x WHERE { ?x knows ?y . MINUS { } }")
+    with pytest.raises(ValueError):  # empty VALUES
+        parse_sparql("SELECT ?x WHERE { ?x knows ?y . VALUES ?x { } }")
+    with pytest.raises(ValueError):  # VALUES needs a variable
+        parse_sparql("SELECT ?x WHERE { ?x knows ?y . VALUES alice { bob } }")
+    with pytest.raises(ValueError):  # VALUES var must be bound
+        parse_sparql("SELECT ?x WHERE { ?x knows ?y . VALUES ?q { bob } }")
+    with pytest.raises(ValueError):  # MINUS cannot nest inside OPTIONAL
+        parse_sparql(
+            "SELECT ?x WHERE { ?x knows ?y . OPTIONAL { ?x likes ?z . MINUS { ?x knows ?w } } }"
+        )
+    with pytest.raises(ValueError):  # MINUS-scoped vars not projectable
+        parse_sparql("SELECT ?z WHERE { ?x knows ?y . MINUS { ?x likes ?z } }")
+
+
 def test_matches_pandas_string_oracle(idx):
     """The full star+chain BGP against a pandas merge over the STRING
     triples — the string level is the ground truth the id machinery must
