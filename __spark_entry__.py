@@ -859,6 +859,80 @@ def _q_sparql_exists(spark, sf_dir):
     )
 
 
+def _q_sparql_minus(spark, sf_dir):
+    """G7: SPARQL 1.1 MINUS over the shifted-id index — the first MINUS
+    shares ?y (an object outside, a subject inside: term-level anti-join
+    across the independent id spaces); the second shares NO variable, so
+    per the MINUS/NOT-EXISTS distinction it removes NOTHING (an engine
+    that compiles MINUS as NOT EXISTS would empty the result)."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?y WHERE {{ ?x P{p0} ?y . "
+        f"MINUS {{ ?y P{p1} ?z }} MINUS {{ ?a P{p1} ?b }} }}",
+        tables,
+        vocabs,
+    )
+
+
+def _q_sparql_values(spark, sf_dir):
+    """G8: VALUES inline restriction — one listed term resolves through
+    the s-vocab (pushed-down IN-scan + id semi-join), the other is absent
+    from the vocabulary and must match nothing (not error)."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    t = _derived_triples(spark, sf_dir)
+    s0 = int(t.filter(F.col("p") == p0).agg(F.min("s")).first()[0])
+    return run_sparql(
+        f"SELECT ?x ?y WHERE {{ ?x P{p0} ?y . VALUES ?x {{ E{s0} ENOSUCHTERM }} }}",
+        tables,
+        vocabs,
+    )
+
+
+def _q_sparql_path_seq(spark, sf_dir):
+    """G9: sequence property path P0/P1 over the shifted-id index — hop
+    composition runs in the unified node space (object ids bridge onto
+    subject ids by term), so the result equals the term-level chain."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?z WHERE {{ ?x P{p0}/P{p1} ?z }}", tables, vocabs
+    )
+
+
+def _q_sparql_path_alt_inv(spark, sf_dir):
+    """G10: alternation of an INVERSE step with a forward step — bag
+    semantics (SPARQL multiset alternation, oracle UNION ALL); the
+    inverse leg exercises uid displacement for object-only terms."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?y WHERE {{ ?x ^P{p0}|P{p1} ?y }}", tables, vocabs
+    )
+
+
+def _q_sparql_path_star(spark, sf_dir):
+    """G11: zero-or-more path P0* — the p0 closure UNION the zero-length
+    identity over EVERY graph term (SPARQL 1.1 zero-length semantics),
+    duplicate-free."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?y WHERE {{ ?x P{p0}* ?y }}", tables, vocabs
+    )
+
+
 def _q_path_closure(spark, sf_dir):
     """G4: one-or-more property path (p0+) — distributed path-doubling
     transitive closure over the min-predicate's edge set (single id
@@ -943,6 +1017,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_path_closure": _q_path_closure,
         "g5_sparql_union": _q_sparql_union,
         "g6_sparql_exists": _q_sparql_exists,
+        "g7_sparql_minus": _q_sparql_minus,
+        "g8_sparql_values": _q_sparql_values,
+        "g9_sparql_path_seq": _q_sparql_path_seq,
+        "g10_sparql_path_alt_inv": _q_sparql_path_alt_inv,
+        "g11_sparql_path_star": _q_sparql_path_star,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -1117,6 +1196,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'E' || CAST(a.s AS VARCHAR) AS x, 'E' || CAST(a.o AS VARCHAR) AS y "
             "FROM t a, c WHERE a.p = c.p0 AND NOT EXISTS "
             "(SELECT 1 FROM t b WHERE b.p = c.p1 AND b.s = a.o)"
+        ),
+        "g7_sparql_minus": (
+            # shared-?y MINUS == NOT EXISTS on the shared var; the
+            # disjoint-domain MINUS contributes NOTHING to the SQL twin
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(a.s AS VARCHAR) AS x, 'E' || CAST(a.o AS VARCHAR) AS y "
+            "FROM t a, c WHERE a.p = c.p0 AND NOT EXISTS "
+            "(SELECT 1 FROM t b WHERE b.p = c.p1 AND b.s = a.o)"
+        ),
+        "g8_sparql_values": (
+            # the absent VALUES term matches nothing; the present one is
+            # exactly min(s) under p0
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
+            "FROM t, c WHERE p = c.p0 AND s = (SELECT min(s) FROM t, c WHERE p = c.p0)"
+        ),
+        "g9_sparql_path_seq": (
+            # sequence path == the term-level chain, bag semantics (the
+            # join's multiset IS the path multiset)
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(a.s AS VARCHAR) AS x, 'E' || CAST(b.o AS VARCHAR) AS z "
+            "FROM t a, t b, c WHERE a.p = c.p0 AND b.p = c.p1 AND b.s = a.o"
+        ),
+        "g10_sparql_path_alt_inv": (
+            # ^P0 | P1: bag union (UNION ALL), inverse leg swaps roles
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(o AS VARCHAR) AS x, 'E' || CAST(s AS VARCHAR) AS y "
+            "FROM t, c WHERE p = c.p0 "
+            "UNION ALL "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
+            "FROM t, c WHERE p = c.p1"
+        ),
+        "g11_sparql_path_star": (
+            # P0* = closure(P0) ∪ zero-length identity over EVERY graph
+            # term, duplicate-free (recursive-CTE UNION dedups both)
+            f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "
+            "e AS (SELECT DISTINCT t.s, t.o FROM t, c WHERE t.p = c.p0), "
+            "reach(s, o) AS (SELECT s, o FROM e "
+            "  UNION SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o), "
+            "nodes AS (SELECT DISTINCT s AS n FROM t UNION SELECT DISTINCT o FROM t) "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y FROM reach "
+            "UNION SELECT 'E' || CAST(n AS VARCHAR) AS x, 'E' || CAST(n AS VARCHAR) AS y FROM nodes"
         ),
         "g4_path_closure": (
             f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "

@@ -135,3 +135,148 @@ def transitive_closure(
     """``p+`` pairs over an index: (s, o) reachable via 1+ edges labeled
     ``p``. See ``closure_pairs`` for the bridge/space contract."""
     return closure_pairs(path_edges(tables, p), bridge=bridge, max_rounds=max_rounds)
+
+
+# ------------------------------------------------- path-expression algebra
+#
+# SPARQL 1.1 property paths beyond bare ``p+``: inverse (^), sequence
+# (/), alternation (|), and the +/*/? modifiers, over arbitrary nesting.
+# The reference engine has no path surface at all (its driver answers
+# single patterns, /root/reference/src/queries.cpp:95-186) — this is the
+# multi-hop layer a KG user otherwise re-implements with driver loops.
+#
+# Id spaces: subjects and objects carry INDEPENDENT dense ids
+# (scripts/extract_vocabs.py:29-31), but path composition and inversion
+# need ONE node domain. Every relation here is therefore evaluated over
+# a UNIFIED node id ("uid"): a term that has a subject id keeps it; a
+# term that exists only as an object gets its object id displaced by
+# UID_OFFSET (subject ids are dense ranks < 2^31 by the store's packing
+# invariant, so the ranges cannot collide). The o->uid map is one
+# vocab-scale dimension join per atomic step (AQE picks broadcast vs
+# shuffle); subjects need no join at all (uid == s-id by construction).
+#
+# Multiset semantics follow the SPARQL 1.1 spec: ^ / | preserve bags
+# (a pair reachable through both branches of an alternation is two
+# solutions); the arbitrary-length operators + * ? are duplicate-free.
+# Zero-length paths (* and ?) match every term of the graph, computed
+# as the distinct uid set of the full triple table — only paid when a
+# query actually uses * or ?.
+
+UID_OFFSET = 1 << 32
+
+
+def unified_maps(vocabs: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
+    """(omap, decode) for the unified node space.
+
+    omap: (o_id, uid) — every object id's unified id (the term's s-id
+    when the term is also a subject, else o_id + UID_OFFSET).
+    decode: (uid, term) — bijective, s-vocab ids first."""
+    s = vocabs["s"].select(F.col("id").alias("s_id"), "term")
+    o = vocabs["o"].select(F.col("id").alias("o_id"), "term")
+    omap = o.join(s, "term", "left").select(
+        "o_id", F.coalesce("s_id", F.col("o_id") + F.lit(UID_OFFSET)).alias("uid")
+    )
+    only_o = o.join(s, "term", "left_anti").select(
+        (F.col("o_id") + F.lit(UID_OFFSET)).alias("uid"), "term"
+    )
+    decode = s.select(F.col("s_id").alias("uid"), "term").unionByName(only_o)
+    return omap, decode
+
+
+def _empty_rel(spark) -> DataFrame:
+    return spark.range(0).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    )
+
+
+def atom_rel(
+    tables: dict[str, DataFrame], p_id: int | None, omap: DataFrame | None
+) -> DataFrame:
+    """One predicate's edges as a unified-space relation (a, b).
+
+    p_id None (the predicate term is absent from the p-vocabulary) is an
+    EMPTY relation — not an error: under alternation or * the rest of
+    the path may still produce solutions (contrast the whole-query drop
+    for absent constants in required patterns, plans/sparql.py)."""
+    spark = next(iter(tables.values())).sparkSession
+    if p_id is None:
+        return _empty_rel(spark)
+    e = select(tables, p=p_id).select("s", "o")
+    if omap is None:
+        return e.select(F.col("s").alias("a"), F.col("o").alias("b"))
+    return e.join(omap, e["o"] == omap["o_id"]).select(
+        F.col("s").alias("a"), F.col("uid").alias("b")
+    )
+
+
+def graph_nodes(tables: dict[str, DataFrame], omap: DataFrame | None) -> DataFrame:
+    """All graph terms as unified ids — the zero-length-path domain
+    (SPARQL 1.1: a zero-length path matches every term IN the graph).
+    One distinct over the corpus per * / ? query; cut so repeated
+    consumers (star = closure ∪ identity) do not rescan."""
+    t = next(iter(tables.values())).select("s", "p", "o")
+    subs = t.select(F.col("s").alias("uid"))
+    if omap is None:
+        objs = t.select(F.col("o").alias("uid"))
+    else:
+        objs = t.join(omap, t["o"] == omap["o_id"]).select("uid")
+    return subs.unionByName(objs).dropDuplicates().localCheckpoint(eager=False)
+
+
+def eval_path(
+    node: tuple,
+    tables: dict[str, DataFrame],
+    pmap: dict[str, int | None],
+    omap: DataFrame | None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Evaluate a parsed path AST to a unified-space pair relation (a, b).
+
+    ``node`` is nested tuples: ('atom', text) | ('inv', n) |
+    ('seq', (n1, n2, ...)) | ('alt', (n1, ...)) | ('plus'|'star'|'opt', n).
+    ``pmap`` maps atom text -> predicate id (None = absent from vocab).
+    ``omap`` None means a single shared id domain (integer-engine view).
+
+    Scale shape: atoms are routed pushed-down scans + one vocab-dim map
+    join; seq is an equi-join per step (shuffle on the mid uid, skew
+    handled upstream by the store's hub salting on read); alt is a bag
+    union (no shuffle); + is the linear semi-naive closure (see
+    closure_pairs); * / ? add the one-off graph-terms distinct."""
+    op = node[0]
+    if op == "atom":
+        return atom_rel(tables, pmap.get(node[1]), omap)
+    if op == "inv":
+        r = eval_path(node[1], tables, pmap, omap, max_rounds)
+        return r.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    if op == "seq":
+        acc = eval_path(node[1][0], tables, pmap, omap, max_rounds)
+        for sub in node[1][1:]:
+            nxt = eval_path(sub, tables, pmap, omap, max_rounds).select(
+                F.col("a").alias("_m"), F.col("b").alias("_b")
+            )
+            acc = acc.join(nxt, acc["b"] == nxt["_m"]).select(
+                "a", F.col("_b").alias("b")
+            )
+        return acc
+    if op == "alt":
+        branches = [eval_path(sub, tables, pmap, omap, max_rounds) for sub in node[1]]
+        acc = branches[0]
+        for b in branches[1:]:
+            acc = acc.unionByName(b)  # bag: SPARQL multiset alternation
+        return acc
+    if op == "plus":
+        inner = eval_path(node[1], tables, pmap, omap, max_rounds)
+        return closure_pairs(
+            inner.select(F.col("a").alias("s"), F.col("b").alias("o")),
+            max_rounds=max_rounds,
+        ).select(F.col("s").alias("a"), F.col("o").alias("b"))
+    if op in ("star", "opt"):
+        ident = graph_nodes(tables, omap).select(
+            F.col("uid").alias("a"), F.col("uid").alias("b")
+        )
+        if op == "star":
+            inner = eval_path(("plus", node[1]), tables, pmap, omap, max_rounds)
+        else:
+            inner = eval_path(node[1], tables, pmap, omap, max_rounds)
+        return inner.unionByName(ident).dropDuplicates()
+    raise ValueError(f"unknown path op {op!r}")

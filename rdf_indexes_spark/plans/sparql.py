@@ -10,7 +10,9 @@ module packages that workflow as a small SPARQL subset so the index is
 usable at the string level end-to-end:
 
     SELECT [DISTINCT] (?v ... | *) WHERE {
-        s p o . s p+ o ...
+        s path o . ...          path := seq ('|' seq)*
+                                seq  := step ('/' step)*
+                                step := '^'? (p | '(' path ')') ('+'|'*'|'?')?
         [{ s p o ... } UNION { s p o ... } [UNION { ... }]] ...
         [OPTIONAL { s p o ... }] ...
         [MINUS { s p o ... }] ...
@@ -48,9 +50,25 @@ inside an EXISTS group are not visible outside it. A NULL shared
 variable (unmatched OPTIONAL) never matches the inner pattern.
 
 ``p+`` on a constant predicate is the SPARQL 1.1 one-or-more property
-path, answered by the distributed path-doubling closure in
-``plans.paths`` (hop composition bridges the object id space onto the
-subject id space by term, so multi-hop semantics are string-correct).
+path, answered by the distributed semi-naive closure in ``plans.paths``
+(hop composition bridges the object id space onto the subject id space
+by term, so multi-hop semantics are string-correct).
+
+Composite property paths — inverse ``^p``, sequence ``p1/p2``,
+alternation ``p1|p2``, the ``+``/``*``/``?`` modifiers, and
+parenthesized nesting — are evaluated by ``plans.paths.eval_path`` over
+a UNIFIED node id space (a term's subject id, or its displaced object
+id when the term is object-only), so inversion and composition are
+exact across the independent role id spaces. Endpoint variables of a
+composite path come back as decoded TERMS and join the rest of the
+group at the string level. Per SPARQL 1.1 multiset semantics ``^ / |``
+preserve bags while ``+ * ?`` are duplicate-free; zero-length paths
+(``*``/``?``) match every term of the graph. A path ATOM absent from
+the predicate vocabulary is an empty edge relation (the path may still
+match through an alternation), unlike an absent constant in a required
+pattern, which empties the query. Path operator characters split bare
+tokens, so a bare TERM containing ``/ | ^ + * ?`` needs the ``<iri>``
+or quoted form (same rule as ``( ) ,``).
 
 ``OPTIONAL`` groups left-join onto the required pattern's solutions on
 their shared variables (unmatched rows keep NULLs — standard SPARQL).
@@ -130,6 +148,33 @@ class PathPlus:
 
 
 @dataclass(frozen=True)
+class PathExpr:
+    """A composite SPARQL 1.1 property path at the predicate position.
+
+    ``node`` is a nested-tuple AST: ('atom', text) | ('inv', n) |
+    ('seq', (n...,)) | ('alt', (n...,)) | ('plus'|'star'|'opt', n) —
+    evaluated by plans.paths.eval_path over the unified node id space.
+    The bare one-or-more ``p+`` stays the dedicated PathPlus fast path."""
+
+    node: tuple
+
+    def atoms(self) -> list[str]:
+        out: list[str] = []
+
+        def walk(n: tuple) -> None:
+            if n[0] == "atom":
+                out.append(n[1])
+            elif n[0] in ("seq", "alt"):
+                for sub in n[1]:
+                    walk(sub)
+            else:
+                walk(n[1])
+
+        walk(self.node)
+        return out
+
+
+@dataclass(frozen=True)
 class Filter:
     kind: str  # "regex" | "eq" | "ne"
     var: str
@@ -160,7 +205,8 @@ _TOKEN = re.compile(
       | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<iri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*")
-      | (?P<bare>[^\s{}(),]+)
+      | (?P<pathop>[/|^+*?])
+      | (?P<bare>[^\s{}(),/|^+*?]+)
     )""",
     re.X,
 )
@@ -173,7 +219,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         if not m:
             break
         i = m.end()
-        for kind in ("brace", "punct", "dot", "var", "iri", "lit", "bare"):
+        for kind in ("brace", "punct", "dot", "var", "iri", "lit", "pathop", "bare"):
             v = m.group(kind)
             if v is not None:
                 toks.append((kind, v))
@@ -221,7 +267,7 @@ def parse_sparql(text: str) -> SparqlQuery:
             if k == "var":
                 take()
                 q.variables.append(v[1:])
-            elif k == "bare" and v == "*":
+            elif v == "*" and k in ("bare", "pathop"):
                 take()
                 q.variables = None
                 break
@@ -235,22 +281,67 @@ def parse_sparql(text: str) -> SparqlQuery:
     else:
         raise ValueError("query must start with SELECT or ASK")
 
+    def path_step() -> tuple:
+        inv = False
+        if peek() == ("pathop", "^"):
+            take()
+            inv = True
+        k, v = peek()
+        if (k, v) == ("punct", "("):
+            take()
+            node = path_alt()
+            expect("punct", ")")
+        elif k in ("iri", "lit", "bare"):
+            take()
+            node = ("atom", _term(k, v).text)
+        elif k == "var":
+            raise ValueError("property paths need constant predicates")
+        else:
+            raise ValueError(f"expected a path element, got {v!r}")
+        k, v = peek()
+        if k == "pathop" and v in "+*?":
+            take()
+            node = ({"+": "plus", "*": "star", "?": "opt"}[v], node)
+        if inv:
+            node = ("inv", node)
+        return node
+
+    def path_seq() -> tuple:
+        parts = [path_step()]
+        while peek() == ("pathop", "/"):
+            take()
+            parts.append(path_step())
+        return parts[0] if len(parts) == 1 else ("seq", tuple(parts))
+
+    def path_alt() -> tuple:
+        parts = [path_seq()]
+        while peek() == ("pathop", "|"):
+            take()
+            parts.append(path_seq())
+        return parts[0] if len(parts) == 1 else ("alt", tuple(parts))
+
+    def predicate_term():
+        k, v = peek()
+        if k == "var":  # a plain ?p variable — no path machinery
+            take()
+            return Var(v[1:])
+        node = path_alt()
+        if node[0] == "atom":  # plain constant predicate
+            return Const(node[1])
+        if node[0] == "plus" and node[1][0] == "atom":  # bare p+ fast path
+            return PathPlus(node[1][1])
+        return PathExpr(node)
+
     def triple_pattern() -> tuple:
         triple = []
         for posi in range(3):
+            if posi == 1:
+                triple.append(predicate_term())
+                continue
             k, v = take()
             if k not in ("var", "iri", "lit", "bare"):
                 raise ValueError(f"expected a term, got {v!r}")
-            t = _term(k, v)
-            if posi == 1:  # predicate: recognize the '+' path modifier
-                if k == "bare" and len(v) > 1 and v.endswith("+"):
-                    t = PathPlus(v[:-1])
-                elif peek() == ("bare", "+"):
-                    take()
-                    if isinstance(t, Var):
-                        raise ValueError("property path '+' needs a constant predicate")
-                    t = PathPlus(t.text)
-            triple.append(t)
+            triple.append(_term(k, v))
         return tuple(triple)
 
     def expect(kind: str, val: str) -> None:
@@ -447,6 +538,16 @@ def _resolve_constants(
         for role, t in zip(_POS, pat):
             if isinstance(t, (Const, PathPlus)):
                 wanted[role].add(t.text)
+            elif isinstance(t, PathExpr):
+                wanted["p"].update(t.atoms())
+        if isinstance(pat[1], PathExpr):
+            # path endpoints live in the UNIFIED node space: a constant
+            # there may resolve through EITHER role's vocabulary (e.g. the
+            # start of an inverse path is an object-only term)
+            for t in (pat[0], pat[2]):
+                if isinstance(t, Const):
+                    wanted["s"].add(t.text)
+                    wanted["o"].add(t.text)
     out: dict[tuple[str, str], int] = {}
     for role, terms in wanted.items():
         if not terms:
@@ -463,12 +564,64 @@ def _resolve_constants(
 
 
 def _consts_resolved(patterns: list[tuple], const_ids: dict) -> bool:
-    return all(
-        (role, t.text) in const_ids
-        for pat in patterns
-        for role, t in zip(_POS, pat)
-        if isinstance(t, (Const, PathPlus))
-    )
+    """True when every REQUIRED constant resolved. A PathExpr pattern's
+    endpoint constants resolve in EITHER role vocabulary (unified node
+    space); its predicate atoms are never required — an absent atom is
+    an empty edge relation, and an alternation or * around it may still
+    produce solutions (plans/paths.atom_rel)."""
+    for pat in patterns:
+        path = isinstance(pat[1], PathExpr)
+        for role, t in zip(_POS, pat):
+            if not isinstance(t, (Const, PathPlus)):
+                continue
+            if path and role in ("s", "o"):
+                if ("s", t.text) not in const_ids and ("o", t.text) not in const_ids:
+                    return False
+            elif (role, t.text) not in const_ids:
+                return False
+    return True
+
+
+def _path_pattern_frame(
+    tables: dict[str, DataFrame],
+    vocabs: dict[str, DataFrame],
+    pattern: tuple,
+    const_ids: dict[tuple[str, str], int],
+) -> tuple[DataFrame, list[str]]:
+    """A composite property-path pattern → (frame, vars).
+
+    The path relation is evaluated in the UNIFIED node space
+    (plans/paths.eval_path); endpoint constants resolve to their unified
+    id (subject id when the term is a subject, else displaced object
+    id); endpoint variables decode to TERMS via the unified decode map —
+    the caller classifies them multi-role, so every downstream join
+    compares terms, which is exact across the independent id spaces."""
+    from .paths import UID_OFFSET, eval_path, unified_maps
+
+    expr: PathExpr = pattern[1]
+    omap, decode = unified_maps(vocabs)
+    pmap = {a: const_ids.get(("p", a)) for a in expr.atoms()}
+    rel = eval_path(expr.node, tables, pmap, omap)
+
+    def const_uid(term: str) -> int:
+        if ("s", term) in const_ids:
+            return const_ids[("s", term)]
+        return const_ids[("o", term)] + UID_OFFSET
+
+    occ_cols: dict[str, list] = {}
+    for col, t in (("a", pattern[0]), ("b", pattern[2])):
+        if isinstance(t, Const):
+            rel = rel.filter(F.col(col) == F.lit(const_uid(t.text)))
+        else:
+            occ_cols.setdefault(t.name, []).append(F.col(col))
+    for cols in occ_cols.values():
+        for extra in cols[1:]:  # same var both ends: uid equality == term equality
+            rel = rel.filter(cols[0] == extra)
+    for v, cols in occ_cols.items():
+        d = decode.select(F.col("uid").alias(f"_puid_{v}"), F.col("term").alias(f"_pterm_{v}"))
+        rel = rel.join(d, cols[0] == d[f"_puid_{v}"], "inner")
+    out = [F.col(f"_pterm_{v}").alias(v) for v in occ_cols]
+    return rel.select(*out), list(occ_cols)
 
 
 def _pattern_frame(
@@ -482,6 +635,8 @@ def _pattern_frame(
     variable: raw id for single-role vars, decoded term for multi-role
     vars (id-keyed vocab join). Repeated variables inside a pattern are
     necessarily multi-role, so their equality filter compares terms."""
+    if isinstance(pattern[1], PathExpr):
+        return _path_pattern_frame(tables, vocabs, pattern, const_ids)
     if isinstance(pattern[1], PathPlus):
         from .paths import transitive_closure
 
@@ -610,6 +765,14 @@ def run_sparql(
     )
     roles = _var_roles(all_pats)
     multi_role = {v for v, rs in roles.items() if len(rs) > 1}
+    # composite-path endpoint variables live in the unified node space and
+    # come back DECODED (terms): force term-typed joins everywhere they
+    # appear, same as genuinely multi-role variables
+    for pat in all_pats:
+        if isinstance(pat[1], PathExpr):
+            for t in (pat[0], pat[2]):
+                if isinstance(t, Var):
+                    multi_role.add(t.name)
 
     def provably_empty() -> DataFrame:
         if q.form == "ASK":

@@ -508,3 +508,113 @@ def test_matches_pandas_string_oracle(idx):
     p3 = df[(df.p == "knows") & (df.o == "bob")].rename(columns={"s": "a"})[["a"]]
     exp = p1.merge(p2, on="b").merge(p3, on="a")
     assert _rows(out) == sorted(map(tuple, exp[["a", "b", "c"]].values))
+
+
+# -------------------------------------------------- composite property paths
+
+
+def test_parse_path_expressions():
+    from rdf_indexes_spark.plans.sparql import PathExpr, PathPlus
+
+    q = parse_sparql("SELECT ?x ?y WHERE { ?x knows/likes ?y }")
+    assert q.patterns[0][1] == PathExpr(("seq", (("atom", "knows"), ("atom", "likes"))))
+    # precedence: / binds tighter than |
+    q = parse_sparql("SELECT ?x ?y WHERE { ?x a/b|c ?y }")
+    assert q.patterns[0][1] == PathExpr(
+        ("alt", (("seq", (("atom", "a"), ("atom", "b"))), ("atom", "c")))
+    )
+    # ^ applies to the modified step; bare p+ stays the PathPlus fast path
+    q = parse_sparql("SELECT ?x ?y WHERE { ?x ^knows+ ?y }")
+    assert q.patterns[0][1] == PathExpr(("inv", ("plus", ("atom", "knows"))))
+    assert parse_sparql("SELECT ?x ?y WHERE { ?x knows+ ?y }").patterns[0][1] == PathPlus("knows")
+    q = parse_sparql("SELECT ?x ?y WHERE { ?x (knows|likes)* ?y }")
+    assert q.patterns[0][1] == PathExpr(("star", ("alt", (("atom", "knows"), ("atom", "likes")))))
+    with pytest.raises(ValueError):  # variable inside a path
+        parse_sparql("SELECT ?x ?y WHERE { ?x knows/?p ?y }")
+
+
+def test_path_sequence(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x ?y WHERE { ?x knows/likes ?y }", tables, vocabs)
+    assert _rows(out) == [("alice", "alice"), ("bob", "dave")]
+    # bound start
+    out = run_sparql("SELECT ?y WHERE { alice knows/knows ?y }", tables, vocabs)
+    assert _rows(out) == [("carol",)]
+
+
+def test_path_inverse(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x ?y WHERE { ?x ^knows ?y }", tables, vocabs)
+    assert _rows(out) == [("bob", "alice"), ("carol", "bob"), ("dave", "dave")]
+
+
+def test_path_alternation_is_bag(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x ?y WHERE { ?x knows|likes ?y }", tables, vocabs)
+    assert len(_rows(out)) == 5  # all edges, both predicates
+    # duplicate branches keep duplicates (SPARQL multiset alternation)
+    out = run_sparql("SELECT ?x ?y WHERE { ?x knows|knows ?y }", tables, vocabs)
+    assert len(_rows(out)) == 6
+    assert len(set(_rows(out))) == 3
+
+
+def test_path_alt_closure(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x ?y WHERE { ?x (knows|likes)+ ?y }", tables, vocabs)
+    got = set(_rows(out))
+    # BFS over the union graph
+    edges = {("alice", "bob"), ("bob", "carol"), ("carol", "dave"), ("bob", "alice"), ("dave", "dave")}
+    exp = set()
+    for start in ("alice", "bob", "carol", "dave"):
+        seen, frontier = set(), {start}
+        while frontier:
+            frontier = {o for (s, o) in edges if s in frontier} - seen
+            seen |= frontier
+        exp |= {(start, x) for x in seen}
+    assert got == exp and len(_rows(out)) == len(got)  # closure is duplicate-free
+
+
+def test_path_star_and_opt(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x ?y WHERE { ?x knows* ?y }", tables, vocabs)
+    ident = {(t, t) for t in ("alice", "bob", "carol", "dave")}
+    assert set(_rows(out)) == ident | {("alice", "bob"), ("bob", "carol"), ("alice", "carol"), ("dave", "dave")}
+    out = run_sparql("SELECT ?x ?y WHERE { ?x likes? ?y }", tables, vocabs)
+    assert set(_rows(out)) == ident | {("carol", "dave"), ("bob", "alice")}
+
+
+def test_path_absent_atom_is_empty_not_fatal(idx):
+    tables, vocabs = idx
+    # alternation with one absent branch still answers through the other
+    out = run_sparql("SELECT ?x ?y WHERE { ?x knows|nosuch ?y }", tables, vocabs)
+    assert len(_rows(out)) == 3
+    # a wholly absent path is empty, not an error
+    out = run_sparql("SELECT ?x ?y WHERE { ?x nosuch/knows ?y }", tables, vocabs)
+    assert _rows(out) == []
+
+
+def test_path_joins_patterns_by_term(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?y ?z WHERE { ?x knows/likes ?y . ?y knows ?z }", tables, vocabs
+    )
+    assert _rows(out) == [("alice", "alice", "bob"), ("bob", "dave", "dave")]
+
+
+def test_path_object_only_term_unified_space(spark):
+    """A term that exists ONLY in the object vocabulary must be a valid
+    path endpoint (displaced unified id): start an inverse path there."""
+    t = spark.createDataFrame([(0, 0, 0), (1, 0, 1)], "s long, p long, o long")
+    tables = {name: t for name in ("spo", "pos", "osp", "ops", "pso")}
+    vocabs = {
+        "s": spark.createDataFrame([("alice", 0), ("bob", 1)], "term string, id long"),
+        "p": spark.createDataFrame([("knows", 0)], "term string, id long"),
+        "o": spark.createDataFrame([("zed", 0), ("alice", 1)], "term string, id long"),
+    }
+    out = run_sparql("SELECT ?y WHERE { zed ^knows ?y }", tables, vocabs)
+    assert _rows(out) == [("alice",)]
+    # and the forward direction decodes the displaced id back to its term
+    out = run_sparql("SELECT ?y WHERE { alice knows ?y }", tables, vocabs)
+    assert _rows(out) == [("zed",)]
+    out = run_sparql("SELECT ?x ?y WHERE { ?x knows/^knows ?y }", tables, vocabs)
+    assert ("alice", "alice") in set(_rows(out))
