@@ -933,6 +933,95 @@ def _q_sparql_path_star(spark, sf_dir):
     )
 
 
+def _q_sparql_group_count(spark, sf_dir):
+    """G12: SPARQL 1.1 aggregates — per-predicate COUNT(*) and
+    COUNT(DISTINCT ?x) over the shifted-id index; group keys decode to
+    terms before the hash aggregate (map-side partials free)."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    return run_sparql(
+        "SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?x) AS ?nd) "
+        "WHERE { ?x ?p ?y } GROUP BY ?p",
+        tables,
+        vocabs,
+    )
+
+
+def _q_sparql_min_max(spark, sf_dir):
+    """G13: MIN/MAX aggregate over DECODED surface forms — 'E9' > 'E10'
+    in codepoint order, so aggregating raw ids (or decoding after the
+    aggregate) would hash-mismatch the oracle."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    return run_sparql(
+        "SELECT ?p (MIN(?y) AS ?lo) (MAX(?y) AS ?hi) WHERE { ?x ?p ?y } "
+        "GROUP BY ?p",
+        tables,
+        vocabs,
+    )
+
+
+def _q_sparql_having(spark, sf_dir):
+    """G14: HAVING over a COUNT alias — post-aggregation numeric filter;
+    the threshold is the same total//10 scalar the oracle derives."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    thr = _derived_triples(spark, sf_dir).count() // 10
+    return run_sparql(
+        f"SELECT ?p (COUNT(*) AS ?n) WHERE {{ ?x ?p ?y }} GROUP BY ?p "
+        f"HAVING ( ?n > {thr} )",
+        tables,
+        vocabs,
+    )
+
+
+def _q_sparql_group_concat(spark, sf_dir):
+    """G15: GROUP_CONCAT in pinned codepoint order (string_agg ORDER BY
+    twin) — per-subject concatenation of decoded object terms."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f'SELECT ?x (GROUP_CONCAT(?y ; SEPARATOR = ",") AS ?g) '
+        f"WHERE {{ ?x P{p0} ?y }} GROUP BY ?x",
+        tables,
+        vocabs,
+    )
+
+
+def _q_sparql_nps(spark, sf_dir):
+    """G16: negated property set !(P0|P1) — every edge whose predicate
+    is neither, bag semantics, endpoints decoded through the unified
+    node space."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?y WHERE {{ ?x !(P{p0}|P{p1}) ?y }}", tables, vocabs
+    )
+
+
+def _q_sparql_paging(spark, sf_dir):
+    """G17: DESC/ASC mixed ORDER BY + OFFSET/LIMIT paging — the (x desc,
+    y asc) key is unique over the distinct pair set, so both engines pick
+    the identical slice."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?y WHERE {{ ?x P{p0} ?y }} "
+        "ORDER BY DESC(?x) ?y OFFSET 10 LIMIT 100",
+        tables,
+        vocabs,
+    )
+
+
 def _q_path_closure(spark, sf_dir):
     """G4: one-or-more property path (p0+) — distributed path-doubling
     transitive closure over the min-predicate's edge set (single id
@@ -1022,6 +1111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g9_sparql_path_seq": _q_sparql_path_seq,
         "g10_sparql_path_alt_inv": _q_sparql_path_alt_inv,
         "g11_sparql_path_star": _q_sparql_path_star,
+        "g12_sparql_group_count": _q_sparql_group_count,
+        "g13_sparql_min_max": _q_sparql_min_max,
+        "g14_sparql_having": _q_sparql_having,
+        "g15_sparql_group_concat": _q_sparql_group_concat,
+        "g16_sparql_nps": _q_sparql_nps,
+        "g17_sparql_paging": _q_sparql_paging,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -1238,6 +1333,49 @@ def oracle_sql() -> dict[str, str]:
             "nodes AS (SELECT DISTINCT s AS n FROM t UNION SELECT DISTINCT o FROM t) "
             "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y FROM reach "
             "UNION SELECT 'E' || CAST(n AS VARCHAR) AS x, 'E' || CAST(n AS VARCHAR) AS y FROM nodes"
+        ),
+        "g12_sparql_group_count": (
+            # aggregate group keys are DECODED terms; COUNT(*) vs
+            # COUNT(DISTINCT subject-term) per predicate
+            f"WITH t AS ({_TRIPLES_SQL}) "
+            "SELECT 'P' || CAST(p AS VARCHAR) AS p, COUNT(*) AS n, "
+            "COUNT(DISTINCT 'E' || CAST(s AS VARCHAR)) AS nd FROM t GROUP BY p"
+        ),
+        "g13_sparql_min_max": (
+            # MIN/MAX over surface forms: 'E' || id compares by codepoint,
+            # not by id magnitude
+            f"WITH t AS ({_TRIPLES_SQL}) "
+            "SELECT 'P' || CAST(p AS VARCHAR) AS p, "
+            "MIN('E' || CAST(o AS VARCHAR)) AS lo, "
+            "MAX('E' || CAST(o AS VARCHAR)) AS hi FROM t GROUP BY p"
+        ),
+        "g14_sparql_having": (
+            f"WITH t AS ({_TRIPLES_SQL}) "
+            "SELECT 'P' || CAST(p AS VARCHAR) AS p, COUNT(*) AS n FROM t "
+            "GROUP BY p HAVING COUNT(*) > (SELECT COUNT(*) // 10 FROM t)"
+        ),
+        "g15_sparql_group_concat": (
+            # GROUP_CONCAT pins codepoint order — string_agg ORDER BY the
+            # same decoded term
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, "
+            "string_agg('E' || CAST(o AS VARCHAR), ',' "
+            "ORDER BY 'E' || CAST(o AS VARCHAR)) AS g "
+            "FROM t, c WHERE p = c.p0 GROUP BY s"
+        ),
+        "g16_sparql_nps": (
+            # negated property set: all edges whose predicate is neither
+            # p0 nor p1 (bag: each distinct triple once)
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
+            "FROM t, c WHERE p != c.p0 AND p != c.p1"
+        ),
+        "g17_sparql_paging": (
+            # unique (x DESC, y) sort key -> both engines slice identically
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT * FROM (SELECT 'E' || CAST(s AS VARCHAR) AS x, "
+            "'E' || CAST(o AS VARCHAR) AS y FROM t, c WHERE p = c.p0) "
+            "ORDER BY x DESC, y LIMIT 100 OFFSET 10"
         ),
         "g4_path_closure": (
             f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "a7_querylog_batched",
     "g1_bgp_chain",
     "g3_sparql_chain",
+    "g9_sparql_path_seq",
     # g4_path_closure stays OUT of the bench set: on this table's random
     # quasi-bipartite edge graph the closure ANSWER is ~|V|^2 — timing it
     # measures output size, not the engine. Correctness gates at sf0.01.

@@ -209,6 +209,26 @@ def atom_rel(
     )
 
 
+def nps_rel(
+    tables: dict[str, DataFrame],
+    excluded_ids: list[int],
+    omap: DataFrame | None,
+) -> DataFrame:
+    """Negated property set ``!(p1|...|pn)``: every edge whose predicate
+    is NOT in the set (SPARQL 1.1 §9.1, forward direction). Atoms absent
+    from the p-vocabulary exclude nothing (no triple carries them). One
+    full scan with the NOT-IN predicate pushed to the reader; bag
+    semantics — each matching triple is one solution, like atom_rel."""
+    t = next(iter(tables.values())).select("s", "p", "o")
+    if excluded_ids:
+        t = t.filter(~F.col("p").isin(excluded_ids))
+    if omap is None:
+        return t.select(F.col("s").alias("a"), F.col("o").alias("b"))
+    return t.join(omap, t["o"] == omap["o_id"]).select(
+        F.col("s").alias("a"), F.col("uid").alias("b")
+    )
+
+
 def graph_nodes(tables: dict[str, DataFrame], omap: DataFrame | None) -> DataFrame:
     """All graph terms as unified ids — the zero-length-path domain
     (SPARQL 1.1: a zero-length path matches every term IN the graph).
@@ -232,8 +252,9 @@ def eval_path(
 ) -> DataFrame:
     """Evaluate a parsed path AST to a unified-space pair relation (a, b).
 
-    ``node`` is nested tuples: ('atom', text) | ('inv', n) |
-    ('seq', (n1, n2, ...)) | ('alt', (n1, ...)) | ('plus'|'star'|'opt', n).
+    ``node`` is nested tuples: ('atom', text) | ('nps', (text, ...)) |
+    ('inv', n) | ('seq', (n1, n2, ...)) | ('alt', (n1, ...)) |
+    ('plus'|'star'|'opt', n).
     ``pmap`` maps atom text -> predicate id (None = absent from vocab).
     ``omap`` None means a single shared id domain (integer-engine view).
 
@@ -245,6 +266,9 @@ def eval_path(
     op = node[0]
     if op == "atom":
         return atom_rel(tables, pmap.get(node[1]), omap)
+    if op == "nps":
+        excluded = [pmap[a] for a in node[1] if pmap.get(a) is not None]
+        return nps_rel(tables, excluded, omap)
     if op == "inv":
         r = eval_path(node[1], tables, pmap, omap, max_rounds)
         return r.select(F.col("b").alias("a"), F.col("a").alias("b"))

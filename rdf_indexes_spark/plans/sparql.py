@@ -12,15 +12,41 @@ usable at the string level end-to-end:
     SELECT [DISTINCT] (?v ... | *) WHERE {
         s path o . ...          path := seq ('|' seq)*
                                 seq  := step ('/' step)*
-                                step := '^'? (p | '(' path ')') ('+'|'*'|'?')?
+                                step := '^'? (p | '(' path ')'
+                                              | '!' p | '!' '(' p|p|... ')')
+                                        ('+'|'*'|'?')?
         [{ s p o ... } UNION { s p o ... } [UNION { ... }]] ...
         [OPTIONAL { s p o ... }] ...
         [MINUS { s p o ... }] ...
         [VALUES ?v { term ... }] ...
         [FILTER regex(?v, "pattern")] [FILTER ( ?v = term )] ...
         [FILTER EXISTS { s p o ... }] [FILTER NOT EXISTS { s p o ... }] ...
-    } [ORDER BY ?v ...] [LIMIT n]
+    } [GROUP BY ?v ...] [HAVING ( ?a op const ) ...]
+      [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
     ASK WHERE { ... }
+
+Projection items may be aggregates — ``(COUNT(*) AS ?c)``,
+``(COUNT([DISTINCT] ?v) AS ?c)``, ``(MIN(?v) AS ?m)``, ``(MAX(?v) AS
+?m)``, ``(SAMPLE(?v) AS ?x)``, ``(GROUP_CONCAT([DISTINCT] ?v ;
+SEPARATOR = "s") AS ?g)`` — grouped by ``GROUP BY`` keys (no GROUP BY
+= one implicit group; an implicit-group aggregate over an empty
+pattern yields ONE row with COUNT 0 and unbound MIN/MAX, per SPARQL
+1.1 §11.1). With grouping, every projected non-aggregate variable
+must be a group key. ``COUNT ?v`` counts bound values only; MIN/MAX
+compare decoded SURFACE FORMS (codepoint string order), never
+internal ids. Where the spec leaves a choice open this subset pins a
+DETERMINISTIC one: SAMPLE returns the codepoint-minimum value and
+GROUP_CONCAT concatenates in codepoint order (all-NULL group → NULL,
+the SQL ``string_agg`` convention). ``HAVING`` conditions compare an
+aggregate alias or group key against a constant (`=` `!=` `>` `>=`
+`<` `<=`; numeric for COUNT aliases, codepoint order otherwise) and
+AND together. Aggregation is a plain hash aggregate over the solution
+frame — map-side partial aggregation and AQE sizing come free.
+
+``!p`` / ``!(p1|p2|...)`` is the SPARQL 1.1 negated property set
+(forward direction only — no ``^`` inside the set): every edge whose
+predicate is NOT listed, one NOT-IN-filtered scan. Set members absent
+from the p-vocabulary exclude nothing.
 
 ``MINUS`` removes solutions compatible with some inner-group solution
 on their SHARED variables — like NOT EXISTS it is a left-anti join, but
@@ -164,6 +190,8 @@ class PathExpr:
         def walk(n: tuple) -> None:
             if n[0] == "atom":
                 out.append(n[1])
+            elif n[0] == "nps":
+                out.extend(n[1])
             elif n[0] in ("seq", "alt"):
                 for sub in n[1]:
                     walk(sub)
@@ -193,20 +221,28 @@ class SparqlQuery:
     values: list[tuple[str, list[str]]] = field(default_factory=list)  # (var, terms)
     filters: list[Filter] = field(default_factory=list)
     exists_filters: list[tuple[bool, list[tuple]]] = field(default_factory=list)
-    order_by: list[str] = field(default_factory=list)
+    # (fn, arg var | None for COUNT(*), distinct, alias) per aggregate in
+    # the SELECT list; aliases appear in ``variables`` at their position
+    aggregates: list[tuple[str, str | None, bool, str]] = field(default_factory=list)
+    gc_separators: dict[str, str] = field(default_factory=dict)  # alias -> sep
+    group_by: list[str] = field(default_factory=list)
+    having: list[tuple[str, str, str]] = field(default_factory=list)  # (var, op, value)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
+    offset: int | None = None
 
 
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<brace>[{}])
-      | (?P<punct>[(),])
+      | (?P<punct>[(),;])
       | (?P<dot>\.(?=\s|}|$))
       | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<iri><[^<>\s]*>)
       | (?P<lit>"(?:[^"\\]|\\.)*")
-      | (?P<pathop>[/|^+*?])
-      | (?P<bare>[^\s{}(),/|^+*?]+)
+      | (?P<neq>!=)
+      | (?P<pathop>[/|^+*?!])
+      | (?P<bare>[^\s{}(),;/|^+*?!]+)
     )""",
     re.X,
 )
@@ -219,10 +255,10 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         if not m:
             break
         i = m.end()
-        for kind in ("brace", "punct", "dot", "var", "iri", "lit", "pathop", "bare"):
+        for kind in ("brace", "punct", "dot", "var", "iri", "lit", "neq", "pathop", "bare"):
             v = m.group(kind)
             if v is not None:
-                toks.append((kind, v))
+                toks.append(("bare", v) if kind == "neq" else (kind, v))
                 break
     if text[i:].strip():
         raise ValueError(f"cannot tokenize SPARQL near: {text[i:i+40]!r}")
@@ -256,6 +292,64 @@ def parse_sparql(text: str) -> SparqlQuery:
         k, v = peek()
         return k == "bare" and v.upper() == word
 
+    def expect(kind: str, val: str) -> None:
+        k, v = take()
+        if (k, v) != (kind, val):
+            raise ValueError(f"expected {val!r}, got {v!r}")
+
+    def agg_item(q: SparqlQuery) -> None:
+        # ( FN ( * | [DISTINCT] ?v [; SEPARATOR "sep"] ) AS ?alias )
+        k, v = take()
+        fn = v.upper() if k == "bare" else None
+        if fn not in ("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"):
+            raise ValueError(
+                f"unsupported aggregate {v!r} (COUNT/MIN/MAX/SAMPLE/GROUP_CONCAT)"
+            )
+        expect("punct", "(")
+        distinct = False
+        k, v = peek()
+        if k == "bare" and v.upper() == "DISTINCT":
+            take()
+            distinct = True
+            k, v = peek()
+        if v == "*" and k in ("bare", "pathop"):
+            if fn != "COUNT":
+                raise ValueError(f"{fn}(*) is not meaningful")
+            take()
+            arg = None
+        elif k == "var":
+            take()
+            arg = v[1:]
+        else:
+            raise ValueError(f"aggregate needs * or a ?variable, got {v!r}")
+        sep = " "  # the SPARQL 1.1 default separator
+        if peek() == ("punct", ";"):
+            if fn != "GROUP_CONCAT":
+                raise ValueError("only GROUP_CONCAT takes a ; SEPARATOR clause")
+            take()
+            k, v = take()
+            if not (k == "bare" and v.upper() == "SEPARATOR"):
+                raise ValueError("expected SEPARATOR after ';'")
+            k, v = take()
+            if k != "bare" or v != "=":
+                raise ValueError("SEPARATOR needs '=' then a quoted string")
+            k, v = take()
+            if k != "lit":
+                raise ValueError('SEPARATOR needs a quoted "string"')
+            sep = _term("lit", v).text
+        expect("punct", ")")
+        k, v = take()
+        if not (k == "bare" and v.upper() == "AS"):
+            raise ValueError("aggregate needs 'AS ?alias'")
+        k, v = take()
+        if k != "var":
+            raise ValueError("aggregate alias must be a ?variable")
+        expect("punct", ")")
+        q.aggregates.append((fn, arg, distinct, v[1:]))
+        if fn == "GROUP_CONCAT":
+            q.gc_separators[v[1:]] = sep
+        q.variables.append(v[1:])
+
     if kw("SELECT"):
         take()
         q = SparqlQuery(form="SELECT", variables=[])
@@ -267,19 +361,52 @@ def parse_sparql(text: str) -> SparqlQuery:
             if k == "var":
                 take()
                 q.variables.append(v[1:])
+            elif (k, v) == ("punct", "("):
+                take()
+                agg_item(q)
             elif v == "*" and k in ("bare", "pathop"):
                 take()
+                if q.aggregates:
+                    raise ValueError("SELECT * cannot be mixed with aggregates")
                 q.variables = None
                 break
             else:
                 break
         if q.variables == []:
             raise ValueError("SELECT needs at least one ?variable or *")
+        if q.aggregates and q.distinct:
+            raise ValueError("SELECT DISTINCT with aggregates is not supported")
     elif kw("ASK"):
         take()
         q = SparqlQuery(form="ASK", variables=None)
     else:
         raise ValueError("query must start with SELECT or ASK")
+
+    def nps_set() -> tuple:
+        # !atom or !( atom | atom | ... ) — negated property set
+        # (SPARQL 1.1 §9.1, forward direction only; no ^ inside the set)
+        k, v = peek()
+        if (k, v) == ("punct", "("):
+            take()
+            atoms = []
+            while True:
+                k, v = take()
+                if k not in ("iri", "lit", "bare"):
+                    raise ValueError(
+                        f"negated property sets take constant predicates, got {v!r}"
+                    )
+                atoms.append(_term(k, v).text)
+                k, v = peek()
+                if (k, v) == ("pathop", "|"):
+                    take()
+                    continue
+                expect("punct", ")")
+                break
+            return ("nps", tuple(atoms))
+        if k in ("iri", "lit", "bare"):
+            take()
+            return ("nps", (_term(k, v).text,))
+        raise ValueError(f"'!' needs a predicate or (set), got {v!r}")
 
     def path_step() -> tuple:
         inv = False
@@ -287,6 +414,16 @@ def parse_sparql(text: str) -> SparqlQuery:
             take()
             inv = True
         k, v = peek()
+        if (k, v) == ("pathop", "!"):
+            take()
+            node = nps_set()
+            k, v = peek()
+            if k == "pathop" and v in "+*?":
+                take()
+                node = ({"+": "plus", "*": "star", "?": "opt"}[v], node)
+            if inv:
+                node = ("inv", node)
+            return node
         if (k, v) == ("punct", "("):
             take()
             node = path_alt()
@@ -343,11 +480,6 @@ def parse_sparql(text: str) -> SparqlQuery:
                 raise ValueError(f"expected a term, got {v!r}")
             triple.append(_term(k, v))
         return tuple(triple)
-
-    def expect(kind: str, val: str) -> None:
-        k, v = take()
-        if (k, v) != (kind, val):
-            raise ValueError(f"expected {val!r}, got {v!r}")
 
     def filter_expr() -> Filter:
         wrapped = peek() == ("punct", "(")
@@ -470,21 +602,69 @@ def parse_sparql(text: str) -> SparqlQuery:
     if not q.patterns and not q.unions:
         raise ValueError("empty graph pattern")
 
+    if kw("GROUP"):
+        take()
+        k, v = take()
+        if not (k == "bare" and v.upper() == "BY"):
+            raise ValueError("GROUP must be followed by BY")
+        while peek()[0] == "var":
+            q.group_by.append(take()[1][1:])
+        if not q.group_by:
+            raise ValueError("GROUP BY needs at least one ?variable")
+    while kw("HAVING") or (q.having and peek() == ("punct", "(")):
+        # HAVING (?a op value) [(?a op value)]... — conditions over
+        # aggregate aliases (or group keys), ANDed
+        if kw("HAVING"):
+            take()
+        expect("punct", "(")
+        k, v = take()
+        if k != "var":
+            raise ValueError("HAVING needs a ?variable comparison")
+        hv = v[1:]
+        k, op = take()
+        if k != "bare" or op not in ("=", "!=", ">", ">=", "<", "<="):
+            raise ValueError(f"unsupported HAVING operator {op!r}")
+        k, val = take()
+        if k not in ("iri", "lit", "bare"):
+            raise ValueError(f"HAVING comparison needs a constant, got {val!r}")
+        q.having.append((hv, op, _term(k, val).text))
+        expect("punct", ")")
     if kw("ORDER"):
         take()
         k, v = take()
         if not (k == "bare" and v.upper() == "BY"):
             raise ValueError("ORDER must be followed by BY")
-        while peek()[0] == "var":
-            q.order_by.append(take()[1][1:])
+        while True:
+            k, v = peek()
+            if k == "var":
+                take()
+                q.order_by.append((v[1:], False))
+            elif k == "bare" and v.upper() in ("ASC", "DESC"):
+                take()
+                desc = v.upper() == "DESC"
+                expect("punct", "(")
+                k, v = take()
+                if k != "var":
+                    raise ValueError("ASC/DESC need a (?variable)")
+                expect("punct", ")")
+                q.order_by.append((v[1:], desc))
+            else:
+                break
         if not q.order_by:
             raise ValueError("ORDER BY needs at least one ?variable")
-    if kw("LIMIT"):
-        take()
-        k, v = take()
-        if k != "bare" or not v.isdigit():
-            raise ValueError("LIMIT needs a non-negative integer")
-        q.limit = int(v)
+    for _ in range(2):  # LIMIT / OFFSET, either order
+        if kw("LIMIT") and q.limit is None:
+            take()
+            k, v = take()
+            if k != "bare" or not v.isdigit():
+                raise ValueError("LIMIT needs a non-negative integer")
+            q.limit = int(v)
+        elif kw("OFFSET") and q.offset is None:
+            take()
+            k, v = take()
+            if k != "bare" or not v.isdigit():
+                raise ValueError("OFFSET needs a non-negative integer")
+            q.offset = int(v)
     if pos != len(toks):
         raise ValueError(f"trailing tokens after query: {toks[pos:]}")
 
@@ -504,10 +684,49 @@ def parse_sparql(text: str) -> SparqlQuery:
     unbound_values = [v for v, _ in q.values if v not in pattern_vars]
     if unbound_values:
         raise ValueError(f"VALUES variables not bound in the pattern: {unbound_values}")
-    missing = [v for v in (q.variables + q.order_by) if v not in pattern_vars]
+    agg_aliases = [alias for *_, alias in q.aggregates]
+    if len(set(agg_aliases)) != len(agg_aliases):
+        raise ValueError("duplicate aggregate aliases")
+    clash = [a for a in agg_aliases if a in pattern_vars]
+    if clash:
+        raise ValueError(f"aggregate aliases shadow pattern variables: {clash}")
+    bad_args = [a for _, a, _, _ in q.aggregates if a is not None and a not in pattern_vars]
+    if bad_args:
+        raise ValueError(f"aggregate arguments not bound in the pattern: {bad_args}")
+    unknown_gb = [v for v in q.group_by if v not in pattern_vars]
+    if unknown_gb:
+        raise ValueError(f"GROUP BY variables not bound in the pattern: {unknown_gb}")
+    if q.aggregates or q.group_by:
+        # SPARQL 1.1 §11.4: with grouping, every projected non-aggregate
+        # variable must be a group key (no group_by = one implicit group)
+        stray = [v for v in q.variables if v not in agg_aliases and v not in q.group_by]
+        if stray:
+            raise ValueError(f"projected variables must be GROUP BY keys: {stray}")
+    if q.having and not (q.aggregates or q.group_by):
+        raise ValueError("HAVING requires aggregates or GROUP BY")
+    bad_having = [
+        hv for hv, _, _ in q.having
+        if hv not in agg_aliases and hv not in q.group_by
+    ]
+    if bad_having:
+        raise ValueError(
+            f"HAVING variables must be aggregate aliases or group keys: {bad_having}"
+        )
+    count_aliases = {alias for fn, _, _, alias in q.aggregates if fn == "COUNT"}
+    bad_num = [
+        val for hv, _, val in q.having
+        if hv in count_aliases and not val.lstrip("-").isdigit()
+    ]
+    if bad_num:
+        raise ValueError(f"HAVING against a COUNT needs integer constants: {bad_num}")
+    order_names = [n for n, _ in q.order_by]
+    missing = [
+        v for v in (q.variables + order_names)
+        if v not in pattern_vars and v not in agg_aliases
+    ]
     if missing:
         raise ValueError(f"variables not bound in the pattern: {missing}")
-    unprojected = [v for v in q.order_by if v not in q.variables]
+    unprojected = [v for v in order_names if v not in q.variables]
     if unprojected:
         raise ValueError(f"ORDER BY variables must be projected: {unprojected}")
     return q
@@ -777,7 +996,16 @@ def run_sparql(
     def provably_empty() -> DataFrame:
         if q.form == "ASK":
             return spark.range(1).select(F.lit(False).alias("ask"))
-        return spark.range(0).select(*[F.lit("").alias(v) for v in q.variables])
+        agg_cols = {
+            alias: (F.lit(0).cast("long") if fn == "COUNT" else F.lit(None).cast("string"))
+            for fn, _, _, alias in q.aggregates
+        }
+        cols = [agg_cols.get(v, F.lit(None).cast("string")).alias(v) for v in q.variables]
+        # an implicit-group aggregate over an empty pattern is ONE row
+        # (COUNT = 0, MIN/MAX unbound) — SPARQL 1.1 §11.1 / SQL semantics;
+        # with GROUP BY there are zero groups, hence zero rows
+        n = 1 if (q.aggregates and not q.group_by) else 0
+        return spark.range(n).select(*cols)
 
     const_ids = _resolve_constants(all_pats, vocabs)
     if not _consts_resolved(q.patterns, const_ids):
@@ -907,9 +1135,19 @@ def run_sparql(
     if q.form == "ASK":
         return acc.limit(1).agg((F.count("*") > 0).alias("ask"))
 
-    # decode the projected single-role variables (multi-role are terms
-    # already); one id-keyed vocab join per variable
-    for v in q.variables:
+    # decode single-role variables to terms (multi-role are terms
+    # already); one id-keyed vocab join per variable. With aggregates,
+    # decode only what the aggregation consumes (group keys + arguments)
+    # — MIN/MAX then compare SURFACE FORMS, the SPARQL string order, not
+    # frequency-rank ids.
+    agg_aliases = {alias for *_, alias in q.aggregates}
+    if q.aggregates or q.group_by:
+        to_decode = sorted(
+            set(q.group_by) | {a for _, a, _, _ in q.aggregates if a is not None}
+        )
+    else:
+        to_decode = q.variables
+    for v in to_decode:
         if v in multi_role:
             acc = acc.withColumn(v, F.col(v).cast("string"))
             continue
@@ -922,11 +1160,65 @@ def run_sparql(
             .drop(v, f"_did_{v}")
             .withColumnRenamed(f"_dterm_{v}", v)
         )
+    if q.aggregates:
+        # partial (map-side) aggregation comes free from HashAggregate;
+        # COUNT ?v counts BOUND values only (F.count skips NULL, the
+        # SPARQL unbound rule), COUNT(*) counts rows
+        aggs = []
+        for fn, arg, distinct, alias in q.aggregates:
+            if fn == "COUNT":
+                if arg is None:
+                    e = F.count(F.lit(1))
+                elif distinct:
+                    e = F.count_distinct(F.col(arg))
+                else:
+                    e = F.count(F.col(arg))
+            elif fn == "MIN":
+                e = F.min(F.col(arg))
+            elif fn == "MAX":
+                e = F.max(F.col(arg))
+            elif fn == "SAMPLE":
+                # SPARQL leaves the choice arbitrary; pin MIN so results
+                # are deterministic and oracle-replayable
+                e = F.min(F.col(arg))
+            else:  # GROUP_CONCAT — pin codepoint order (spec leaves the
+                # concatenation order unspecified); all-NULL group -> NULL
+                # (the SQL string_agg convention, not the spec's "")
+                vals = F.collect_set(F.col(arg)) if distinct else F.collect_list(F.col(arg))
+                vals = F.array_sort(vals)
+                e = F.when(
+                    F.size(vals) > 0,
+                    F.array_join(vals, q.gc_separators.get(alias, " ")),
+                )
+            aggs.append(e.alias(alias))
+        acc = acc.groupBy(*q.group_by).agg(*aggs) if q.group_by else acc.agg(*aggs)
+    elif q.group_by:
+        # GROUP BY with no aggregate: one solution per group (SPARQL
+        # sample semantics degenerate to the keys themselves here, since
+        # only group keys are projectable)
+        acc = acc.select(*q.group_by).dropDuplicates()
+    # HAVING: post-aggregation filter; COUNT aliases compare numerically,
+    # everything else (group keys, MIN/MAX/SAMPLE/GROUP_CONCAT results)
+    # as strings. NULL aggregates fail every comparison (SPARQL unbound).
+    count_aliases = {alias for fn, _, _, alias in q.aggregates if fn == "COUNT"}
+    _OPS = {
+        "=": lambda c, x: c == x,
+        "!=": lambda c, x: c != x,
+        ">": lambda c, x: c > x,
+        ">=": lambda c, x: c >= x,
+        "<": lambda c, x: c < x,
+        "<=": lambda c, x: c <= x,
+    }
+    for hv, op, val in q.having:
+        lit = F.lit(int(val)) if hv in count_aliases else F.lit(val)
+        acc = acc.filter(_OPS[op](F.col(hv), lit))
     out = acc.select(*q.variables)
     if q.distinct:
         out = out.dropDuplicates()
     if q.order_by:
-        out = out.orderBy(*q.order_by)
+        out = out.orderBy(*[F.col(n).desc() if d else F.col(n).asc() for n, d in q.order_by])
+    if q.offset:
+        out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

@@ -61,7 +61,7 @@ def test_parse_star_distinct_order_limit():
         "SELECT DISTINCT * WHERE { ?b knows ?a . } ORDER BY ?a ?b LIMIT 7"
     )
     assert q.distinct and q.variables == ["a", "b"]
-    assert q.order_by == ["a", "b"] and q.limit == 7
+    assert q.order_by == [("a", False), ("b", False)] and q.limit == 7
 
 
 def test_parse_ask_and_escapes():
@@ -618,3 +618,273 @@ def test_path_object_only_term_unified_space(spark):
     assert _rows(out) == [("zed",)]
     out = run_sparql("SELECT ?x ?y WHERE { ?x knows/^knows ?y }", tables, vocabs)
     assert ("alice", "alice") in set(_rows(out))
+
+
+# ------------------------------------------------------------ aggregates
+
+
+def test_parse_aggregates():
+    q = parse_sparql(
+        "SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?d) (MIN(?o) AS ?lo) "
+        "WHERE { ?s ?p ?o } GROUP BY ?p"
+    )
+    assert q.variables == ["p", "n", "d", "lo"]
+    assert q.aggregates == [
+        ("COUNT", None, False, "n"),
+        ("COUNT", "s", True, "d"),
+        ("MIN", "o", False, "lo"),
+    ]
+    assert q.group_by == ["p"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT (COUNT(*) ?n) WHERE { ?s ?p ?o }",  # missing AS
+        "SELECT (SUM(?s) AS ?n) WHERE { ?s ?p ?o }",  # unsupported fn
+        "SELECT (MIN(*) AS ?n) WHERE { ?s ?p ?o }",  # MIN(*) meaningless
+        "SELECT DISTINCT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }",  # DISTINCT+agg
+        "SELECT (COUNT(*) AS ?n) * WHERE { ?s ?p ?o }",  # * after agg
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }",  # ?s not grouped
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?q",  # unknown key
+        "SELECT (COUNT(*) AS ?s) WHERE { ?s ?p ?o }",  # alias shadows var
+        "SELECT (COUNT(*) AS ?n) (MAX(?o) AS ?n) WHERE { ?s ?p ?o }",  # dup alias
+        "SELECT (COUNT(?q) AS ?n) WHERE { ?s ?p ?o }",  # unbound agg arg
+        "SELECT ?s WHERE { ?s ?p ?o } GROUP BY",  # empty GROUP BY
+    ],
+)
+def test_parse_aggregate_errors(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_count_star_implicit_group(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }", tables, vocabs)
+    assert _rows(out) == [(5,)]
+
+
+def test_group_by_count(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY ?p",
+        tables,
+        vocabs,
+    )
+    assert [tuple(r) for r in out.collect()] == [("knows", 3), ("likes", 2)]
+
+
+def test_count_distinct(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s knows ?o }", tables, vocabs
+    )
+    assert _rows(out) == [(3,)]  # alice, bob, dave
+
+
+def test_min_max_compare_terms_not_ids(idx):
+    """likes-objects are dave (o-id 2) and alice (o-id 3): id order would
+    put dave first, STRING order puts alice first — MIN/MAX must act on
+    decoded surface forms."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?p (MIN(?o) AS ?lo) (MAX(?o) AS ?hi) WHERE { ?s ?p ?o } "
+        "GROUP BY ?p ORDER BY ?p",
+        tables,
+        vocabs,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("knows", "bob", "dave"),
+        ("likes", "alice", "dave"),
+    ]
+
+
+def test_count_var_skips_unbound_optional(idx):
+    """COUNT ?z counts BOUND values: dave's knows-target has no likes
+    edge, so its group counts 0 (the row itself survives)."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x (COUNT(?z) AS ?n) WHERE { ?x knows ?y . "
+        "OPTIONAL { ?y likes ?z } } GROUP BY ?x ORDER BY ?x",
+        tables,
+        vocabs,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("alice", 1),
+        ("bob", 1),
+        ("dave", 0),
+    ]
+
+
+def test_count_distinct_multi_role_var(idx):
+    """?y crosses roles (object then subject): the DISTINCT set is over
+    TERMS — bob and carol chain, dave does not."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT (COUNT(DISTINCT ?y) AS ?n) WHERE { ?x knows ?y . ?y likes ?z }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [(2,)]
+
+
+def test_aggregate_over_empty_pattern(idx):
+    """Unknown constant: implicit group -> ONE row with COUNT 0 and
+    unbound MIN (SPARQL 1.1 / SQL semantics); GROUP BY -> zero rows."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT (COUNT(*) AS ?n) (MIN(?o) AS ?lo) WHERE { ?s frobnicates ?o }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [(0, None)]
+    out = run_sparql(
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s frobnicates ?o } GROUP BY ?s",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == []
+
+
+def test_group_by_without_aggregates_is_distinct(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p", tables, vocabs)
+    assert _rows(out) == [("knows",), ("likes",)]
+
+
+def test_aggregate_order_by_alias_and_limit(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+        "ORDER BY ?n LIMIT 1",
+        tables,
+        vocabs,
+    )
+    assert [tuple(r) for r in out.collect()] == [("likes", 2)]
+
+
+# ------------------------- negated property sets, HAVING, modifiers
+
+
+def test_negated_property_set(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x ?y WHERE { ?x !knows ?y }", tables, vocabs)
+    assert _rows(out) == [("bob", "alice"), ("carol", "dave")]
+
+
+def test_negated_property_set_multi(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x ?y WHERE { ?x !(knows|likes) ?y }", tables, vocabs)
+    assert _rows(out) == []
+    # absent atoms exclude nothing: all 5 edges survive
+    out = run_sparql("SELECT ?x ?y WHERE { ?x !(nosuch) ?y }", tables, vocabs)
+    assert len(_rows(out)) == 5
+
+
+def test_negated_property_set_closure(idx):
+    """!likes+ == knows+: alice->bob->carol composes."""
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x ?y WHERE { ?x !likes+ ?y }", tables, vocabs)
+    assert _rows(out) == [
+        ("alice", "bob"),
+        ("alice", "carol"),
+        ("bob", "carol"),
+        ("dave", "dave"),
+    ]
+
+
+def test_negated_property_set_inverse(idx):
+    tables, vocabs = idx
+    out = run_sparql("SELECT ?x ?y WHERE { ?x ^!knows ?y }", tables, vocabs)
+    assert _rows(out) == [("alice", "bob"), ("dave", "carol")]
+
+
+def test_having_on_count(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+        "HAVING ( ?n > 2 )",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("knows", 3)]
+
+
+def test_having_on_group_key_and_multiple(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+        "HAVING ( ?p != knows ) ( ?n >= 2 )",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("likes", 2)]
+
+
+def test_order_desc_offset_limit(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x WHERE { ?x knows ?y } ORDER BY DESC(?x) OFFSET 1 LIMIT 1",
+        tables,
+        vocabs,
+    )
+    assert [tuple(r) for r in out.collect()] == [("bob",)]
+    # LIMIT before OFFSET parses too
+    out = run_sparql(
+        "SELECT ?x WHERE { ?x knows ?y } ORDER BY ASC(?x) LIMIT 2 OFFSET 2",
+        tables,
+        vocabs,
+    )
+    assert [tuple(r) for r in out.collect()] == [("dave",)]
+
+
+def test_sample_is_deterministic_min(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?p (SAMPLE(?o) AS ?x) WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY ?p",
+        tables,
+        vocabs,
+    )
+    assert [tuple(r) for r in out.collect()] == [("knows", "bob"), ("likes", "alice")]
+
+
+def test_group_concat(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?p (GROUP_CONCAT(?o ; SEPARATOR = ",") AS ?g) '
+        "WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY ?p",
+        tables,
+        vocabs,
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("knows", "bob,carol,dave"),
+        ("likes", "alice,dave"),
+    ]
+
+
+def test_group_concat_distinct_default_sep(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT (GROUP_CONCAT(DISTINCT ?p) AS ?g) WHERE { ?s ?p ?o }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("knows likes",)]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT ?x WHERE { ?x knows ?y } HAVING ( ?x = alice )",  # no grouping
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } HAVING ( ?q > 1 )",  # unknown
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } HAVING ( ?n > abc )",  # non-int
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } HAVING ( ?n ~ 1 )",  # bad op
+        'SELECT (COUNT(?s ; SEPARATOR = ",") AS ?n) WHERE { ?s ?p ?o }',  # sep on COUNT
+        "SELECT ?x ?y WHERE { ?x !?p ?y }",  # NPS needs constants
+        "SELECT ?x WHERE { ?x knows ?y } OFFSET x",  # bad offset
+        "SELECT ?x WHERE { ?x knows ?y } ORDER BY DESC ?x",  # DESC needs parens
+    ],
+)
+def test_parse_modifier_errors(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
