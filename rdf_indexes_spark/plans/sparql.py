@@ -1137,29 +1137,38 @@ def run_sparql(
 
     # decode single-role variables to terms (multi-role are terms
     # already); one id-keyed vocab join per variable. With aggregates,
-    # decode only what the aggregation consumes (group keys + arguments)
-    # — MIN/MAX then compare SURFACE FORMS, the SPARQL string order, not
-    # frequency-rank ids.
+    # decode BEFORE the shuffle only what must compare as a surface form
+    # — MIN/MAX/SAMPLE/GROUP_CONCAT arguments (SPARQL string order, not
+    # frequency-rank id order). COUNT arguments never decode (id ↔ term
+    # is bijective within a role, so the [distinct] count is identical),
+    # and GROUP KEYS stay ids through the aggregation and decode AFTER
+    # it — the wide exchange then carries longs, and the vocab join
+    # touches group-cardinality rows, not solution-cardinality ones.
     agg_aliases = {alias for *_, alias in q.aggregates}
     if q.aggregates or q.group_by:
         to_decode = sorted(
-            set(q.group_by) | {a for _, a, _, _ in q.aggregates if a is not None}
+            {a for fn, a, _, _ in q.aggregates if a is not None and fn != "COUNT"}
         )
+        post_decode = [v for v in q.group_by if v not in multi_role]
     else:
         to_decode = q.variables
-    for v in to_decode:
+        post_decode = []
+
+    def decode_var(df: DataFrame, v: str) -> DataFrame:
         if v in multi_role:
-            acc = acc.withColumn(v, F.col(v).cast("string"))
-            continue
+            return df.withColumn(v, F.col(v).cast("string"))
         role = next(iter(roles[v]))
         voc = vocabs[role].select(
             F.col("id").alias(f"_did_{v}"), F.col("term").alias(f"_dterm_{v}")
         )
-        acc = (  # LEFT join: unmatched-OPTIONAL NULL ids decode to NULL
-            acc.join(voc, acc[v] == voc[f"_did_{v}"], "left")
+        return (  # LEFT join: unmatched-OPTIONAL NULL ids decode to NULL
+            df.join(voc, df[v] == voc[f"_did_{v}"], "left")
             .drop(v, f"_did_{v}")
             .withColumnRenamed(f"_dterm_{v}", v)
         )
+
+    for v in to_decode:
+        acc = decode_var(acc, v)
     if q.aggregates:
         # partial (map-side) aggregation comes free from HashAggregate;
         # COUNT ?v counts BOUND values only (F.count skips NULL, the
@@ -1192,11 +1201,15 @@ def run_sparql(
                 )
             aggs.append(e.alias(alias))
         acc = acc.groupBy(*q.group_by).agg(*aggs) if q.group_by else acc.agg(*aggs)
+        for v in post_decode:  # group keys: id -> term on grouped rows
+            acc = decode_var(acc, v)
     elif q.group_by:
         # GROUP BY with no aggregate: one solution per group (SPARQL
         # sample semantics degenerate to the keys themselves here, since
-        # only group keys are projectable)
+        # only group keys are projectable); dedup on ids, decode after
         acc = acc.select(*q.group_by).dropDuplicates()
+        for v in post_decode:
+            acc = decode_var(acc, v)
     # HAVING: post-aggregation filter; COUNT aliases compare numerically,
     # everything else (group keys, MIN/MAX/SAMPLE/GROUP_CONCAT results)
     # as strings. NULL aggregates fail every comparison (SPARQL unbound).
