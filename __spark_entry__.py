@@ -1022,6 +1022,22 @@ def _q_sparql_paging(spark, sf_dir):
     )
 
 
+def _q_sparql_construct(spark, sf_dir):
+    """G18: CONSTRUCT — instantiate two template triples (one reversed,
+    both with minted predicates) per term-level chain solution; the
+    result graph is a duplicate-free (s, p, o) string frame."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"CONSTRUCT {{ ?x linked ?z . ?z linkedBy ?x }} "
+        f"WHERE {{ ?x P{p0} ?y . ?y P{p1} ?z }}",
+        tables,
+        vocabs,
+    )
+
+
 def _q_path_closure(spark, sf_dir):
     """G4: one-or-more property path (p0+) — distributed path-doubling
     transitive closure over the min-predicate's edge set (single id
@@ -1117,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g15_sparql_group_concat": _q_sparql_group_concat,
         "g16_sparql_nps": _q_sparql_nps,
         "g17_sparql_paging": _q_sparql_paging,
+        "g18_sparql_construct": _q_sparql_construct,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -1376,6 +1393,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (SELECT 'E' || CAST(s AS VARCHAR) AS x, "
             "'E' || CAST(o AS VARCHAR) AS y FROM t, c WHERE p = c.p0) "
             "ORDER BY x DESC, y LIMIT 100 OFFSET 10"
+        ),
+        "g18_sparql_construct": (
+            # CONSTRUCT graph = dedup'd union of the two instantiated
+            # templates over the term-level chain solutions
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "
+            "sol AS (SELECT a.s AS x, b.o AS z FROM t a, t b, c "
+            "WHERE a.p = c.p0 AND b.p = c.p1 AND b.s = a.o) "
+            "SELECT 'E' || CAST(x AS VARCHAR) AS s, 'linked' AS p, "
+            "'E' || CAST(z AS VARCHAR) AS o FROM sol "
+            "UNION "
+            "SELECT 'E' || CAST(z AS VARCHAR) AS s, 'linkedBy' AS p, "
+            "'E' || CAST(x AS VARCHAR) AS o FROM sol"
         ),
         "g4_path_closure": (
             f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "

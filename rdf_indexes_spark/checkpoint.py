@@ -1,10 +1,13 @@
 """Stage checkpointing with lineage + counters (north-rule resumability).
 
 Each pipeline stage writes its output Parquet plus a ``_manifest.json``:
-stage name, row count, output partition count, schema, the fingerprint of
-its inputs, and a content fingerprint. A rerun skips any stage whose
-manifest exists and whose input fingerprint chain still matches — so a
-job killed after stage k resumes at stage k+1 with byte-identical output.
+stage name, row count, output partition count, PER-PARTITION row and
+byte counts keyed by part file (the north rule's per-partition lineage —
+a resumed run can attribute a corrupt or short partition to its exact
+file), schema, the fingerprint of its inputs, and a content fingerprint.
+A rerun skips any stage whose manifest exists and whose input
+fingerprint chain still matches — so a job killed after stage k resumes
+at stage k+1 with byte-identical output.
 
 The reference gets the same property for free from its file-per-script
 design (process.sh reruns only missing files); we reproduce it for a
@@ -73,14 +76,33 @@ class StageStore:
         df = build()
         df.write.mode("overwrite").parquet(d)
         out = self.spark.read.parquet(d)
-        rows = out.count()
+        # per-PARTITION lineage: one grouped count over the written files
+        # (same single scan a bare count() costs) keyed by source file, so
+        # a resumed run can audit exactly which partition produced what
+        # and a corrupt/short file is attributable, not just detectable.
+        from pyspark.sql import functions as F
+
+        per_file = {
+            os.path.basename(r["f"]): int(r["count"])
+            for r in out.groupBy(F.input_file_name().alias("f")).count().collect()
+        }
+        rows = sum(per_file.values())
         elapsed = time.monotonic() - t0
+        file_bytes = {
+            name: os.path.getsize(os.path.join(d, name))
+            for name in sorted(os.listdir(d))
+            if name.endswith(".parquet")
+        }
+        cap = 4096  # keep manifests readable for very wide stages
         manifest = {
             "stage": stage,
             "fingerprint": fp,
             "inputs": inputs,
             "rows": rows,
             "partitions": out.rdd.getNumPartitions(),
+            "files": len(file_bytes),
+            "partition_rows": dict(sorted(per_file.items())[:cap]),
+            "partition_bytes": dict(list(file_bytes.items())[:cap]),
             "schema": out.schema.simpleString(),
             "elapsed_sec": round(elapsed, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

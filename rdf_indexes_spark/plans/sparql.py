@@ -24,6 +24,15 @@ usable at the string level end-to-end:
     } [GROUP BY ?v ...] [HAVING ( ?a op const ) ...]
       [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
     ASK WHERE { ... }
+    CONSTRUCT { s p o . ... } WHERE { ... }
+
+``CONSTRUCT`` instantiates every template triple per solution and
+returns the resulting GRAPH — a duplicate-free (s, p, o) frame of
+surface forms. Template constants are free output terms (no
+vocabulary presence needed — CONSTRUCT mints new predicates/IRIs);
+a solution with an unbound (OPTIONAL-null) template variable
+generates nothing for that triple (SPARQL 1.1 §16.2). Solution
+modifiers are not supported on CONSTRUCT in this subset.
 
 Projection items may be aggregates — ``(COUNT(*) AS ?c)``,
 ``(COUNT([DISTINCT] ?v) AS ?c)``, ``(MIN(?v) AS ?m)``, ``(MAX(?v) AS
@@ -211,8 +220,9 @@ class Filter:
 
 @dataclass
 class SparqlQuery:
-    form: str  # "SELECT" | "ASK"
+    form: str  # "SELECT" | "ASK" | "CONSTRUCT"
     variables: list[str] | None  # None = SELECT *
+    template: list[tuple] = field(default_factory=list)  # CONSTRUCT triples
     distinct: bool = False
     patterns: list[tuple] = field(default_factory=list)
     unions: list[list[list[tuple]]] = field(default_factory=list)  # block -> branches -> patterns
@@ -379,8 +389,32 @@ def parse_sparql(text: str) -> SparqlQuery:
     elif kw("ASK"):
         take()
         q = SparqlQuery(form="ASK", variables=None)
+    elif kw("CONSTRUCT"):
+        # CONSTRUCT { tmpl triples } WHERE { ... } — the graph-building
+        # form: each solution instantiates every template triple; the
+        # result is a SET of (s, p, o) surface-form triples
+        take()
+        q = SparqlQuery(form="CONSTRUCT", variables=None)
+        expect("brace", "{")
+        while peek() != ("brace", "}"):
+            if peek()[0] is None:
+                raise ValueError("unterminated CONSTRUCT template")
+            triple = []
+            for _ in range(3):
+                k, v = take()
+                if k not in ("var", "iri", "lit", "bare"):
+                    raise ValueError(
+                        f"CONSTRUCT templates take plain terms, got {v!r}"
+                    )
+                triple.append(_term(k, v))
+            q.template.append(tuple(triple))
+            if peek()[0] == "dot":
+                take()
+        take()  # closing }
+        if not q.template:
+            raise ValueError("empty CONSTRUCT template")
     else:
-        raise ValueError("query must start with SELECT or ASK")
+        raise ValueError("query must start with SELECT, ASK or CONSTRUCT")
 
     def nps_set() -> tuple:
         # !atom or !( atom | atom | ... ) — negated property set
@@ -676,6 +710,14 @@ def parse_sparql(text: str) -> SparqlQuery:
         + [p for opt in q.optionals for p in opt]
     )
     pattern_vars = {t.name for pat in all_pats for t in pat if isinstance(t, Var)}
+    if q.form == "CONSTRUCT":
+        if q.group_by or q.having or q.order_by or q.limit is not None or q.offset is not None:
+            raise ValueError("CONSTRUCT takes no solution modifiers in this subset")
+        tvars = sorted({t.name for pat in q.template for t in pat if isinstance(t, Var)})
+        missing_t = [v for v in tvars if v not in pattern_vars]
+        if missing_t:
+            raise ValueError(f"template variables not bound in the pattern: {missing_t}")
+        q.variables = tvars
     if q.variables is None:
         q.variables = sorted(pattern_vars) if q.form == "SELECT" else []
     unbound_filters = [f.var for f in q.filters if f.var not in pattern_vars]
@@ -972,7 +1014,8 @@ def run_sparql(
 
     SELECT returns one string column per projected variable (decoded
     surface forms; NULL where an OPTIONAL did not match). ASK returns a
-    single-row frame ``(ask boolean)``."""
+    single-row frame ``(ask boolean)``. CONSTRUCT returns the built
+    graph as a duplicate-free ``(s, p, o)`` string frame."""
     q = parse_sparql(query) if isinstance(query, str) else query
     spark = next(iter(tables.values())).sparkSession
     all_pats = (
@@ -996,6 +1039,10 @@ def run_sparql(
     def provably_empty() -> DataFrame:
         if q.form == "ASK":
             return spark.range(1).select(F.lit(False).alias("ask"))
+        if q.form == "CONSTRUCT":
+            return spark.range(0).select(
+                *[F.lit(None).cast("string").alias(c) for c in _POS]
+            )
         agg_cols = {
             alias: (F.lit(0).cast("long") if fn == "COUNT" else F.lit(None).cast("string"))
             for fn, _, _, alias in q.aggregates
@@ -1169,6 +1216,26 @@ def run_sparql(
 
     for v in to_decode:
         acc = decode_var(acc, v)
+    if q.form == "CONSTRUCT":
+        # one projection of the solution frame per template triple —
+        # constants are free literals (they need no vocabulary presence:
+        # CONSTRUCT mints output terms); a solution with an unbound
+        # template variable generates nothing for that triple (SPARQL
+        # 1.1 §16.2); the result graph is a SET
+        frames = []
+        for pat in q.template:
+            cols = [
+                (F.lit(t.text) if isinstance(t, Const) else F.col(t.name)).alias(c)
+                for c, t in zip(_POS, pat)
+            ]
+            tf = acc.select(*cols).filter(
+                F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+            )
+            frames.append(tf)
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_)
+        return out.dropDuplicates()
     if q.aggregates:
         # partial (map-side) aggregation comes free from HashAggregate;
         # COUNT ?v counts BOUND values only (F.count skips NULL, the

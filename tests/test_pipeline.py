@@ -230,7 +230,15 @@ def test_resume_rebuilds_only_invalidated_stage(spark, transcripts, workdir, art
     b = _sorted_pdf(art3.triples, ["s", "p", "o"], ["s", "p", "o"])
     pd.testing.assert_frame_equal(a, b)
     # rebuilt manifest matches the original fingerprint chain
-    assert _json.loads(open(victim).read())["fingerprint"] == _json.loads(saved)["fingerprint"]
+    rebuilt = _json.loads(open(victim).read())
+    assert rebuilt["fingerprint"] == _json.loads(saved)["fingerprint"]
+    # per-partition lineage: file-keyed row counts sum to the stage rows,
+    # and every counted file exists with its recorded byte size
+    assert sum(rebuilt["partition_rows"].values()) == rebuilt["rows"] > 0
+    for name, nbytes in rebuilt["partition_bytes"].items():
+        path = os.path.join(pipe, "canonical_mentions", name)
+        assert os.path.getsize(path) == nbytes
+    assert set(rebuilt["partition_rows"]) <= set(rebuilt["partition_bytes"])
 
 
 def test_fast_and_resumable_paths_identical(spark, transcripts, workdir, monkeypatch):

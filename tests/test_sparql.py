@@ -888,3 +888,71 @@ def test_group_concat_distinct_default_sep(idx):
 def test_parse_modifier_errors(bad):
     with pytest.raises(ValueError):
         parse_sparql(bad)
+
+
+# ------------------------------------------------------------- CONSTRUCT
+
+
+def test_construct_builds_graph(idx):
+    """Two template triples per solution, constants minted freely (the
+    'rel' predicate exists in no vocabulary), result is a SET."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "CONSTRUCT { ?x rel ?z . ?z rev ?x } WHERE { ?x knows ?y . ?y likes ?z }",
+        tables,
+        vocabs,
+    )
+    assert out.columns == ["s", "p", "o"]
+    # chain solutions: (x=alice, z=alice) and (x=bob, z=dave)
+    assert _rows(out) == [
+        ("alice", "rel", "alice"),
+        ("alice", "rev", "alice"),
+        ("bob", "rel", "dave"),
+        ("dave", "rev", "bob"),
+    ]
+
+
+def test_construct_dedups_and_reifies_constants(idx):
+    """Every solution instantiates the same all-constant triple -> it
+    appears ONCE (graph set semantics)."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "CONSTRUCT { g hasEdge yes } WHERE { ?x knows ?y }", tables, vocabs
+    )
+    assert _rows(out) == [("g", "hasEdge", "yes")]
+
+
+def test_construct_skips_unbound_optional(idx):
+    """dave's knows-target never likes: the OPTIONAL ?z is NULL there and
+    the template triple is NOT generated for that solution."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "CONSTRUCT { ?x likesVia ?z } WHERE { ?x knows ?y . "
+        "OPTIONAL { ?y likes ?z } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", "likesVia", "alice"), ("bob", "likesVia", "dave")]
+
+
+def test_construct_unknown_constant_is_empty_graph(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "CONSTRUCT { ?x r ?y } WHERE { ?x frobnicates ?y }", tables, vocabs
+    )
+    assert out.columns == ["s", "p", "o"] and out.count() == 0
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "CONSTRUCT { } WHERE { ?x knows ?y }",  # empty template
+        "CONSTRUCT { ?x r ?z } WHERE { ?x knows ?y }",  # unbound template var
+        "CONSTRUCT { ?x r ?y } WHERE { ?x knows ?y } LIMIT 2",  # modifier
+        "CONSTRUCT { ?x r ?y } WHERE { ?x knows ?y } ORDER BY ?x",  # modifier
+        "CONSTRUCT { ?x knows+ ?y } WHERE { ?x knows ?y }",  # path in template
+    ],
+)
+def test_construct_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
