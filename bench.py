@@ -20,7 +20,7 @@ MIN per level is reported (this host's vCPU capacity varies ~2x with
 co-tenancy — the harness also records a raw CPU-capacity probe so the
 environment is visible in the result).
 
-Corpus: sf × 40M turns (sf0.1 → 4M; override SPARK_GRAFT_BENCH_TURNS),
+Corpus: sf × 160M turns (sf0.1 → 16M; override SPARK_GRAFT_BENCH_TURNS),
 generated distributed once and cached under /tmp keyed by (n, seed) —
 sized so one trial fits ~1 min and multiple trials fit the round budget
 (bigger corpora raise measured efficiency further; see BENCH/BASELINE.md
@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "g1_bgp_chain",
     "g3_sparql_chain",
     "g9_sparql_path_seq",
+    "g12_sparql_group_count",
     # g4_path_closure stays OUT of the bench set: on this table's random
     # quasi-bipartite edge graph the closure ANSWER is ~|V|^2 — timing it
     # measures output size, not the engine. Correctness gates at sf0.01.
@@ -153,8 +154,23 @@ def _worker(n_exec: int, corpus_path: str, warm_path: str, out_json: str) -> Non
         # big driver heap here just competes with 8 executor JVMs + python
         # workers + tmpfs shuffle for the host's RAM
         driver_memory="6g",
+        # pre-touch the driver heap too (executors get it from get_spark's
+        # local-cluster branch): concurrent first-touch faults serialize
+        # in the hypervisor — see session.py. ~1s at 6g, untimed.
+        extra_conf={"spark.driver.extraJavaOptions": "-Xms6g -XX:+AlwaysPreTouch"},
     )
-    warm = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(warm_path)
+    # warm-up must SATURATE every executor core: python workers fork (and
+    # cold-import pandas/numpy) on first concurrent demand, and 32
+    # simultaneous cold imports inside the timed run hit the same
+    # hypervisor first-touch collapse the heap pre-touch avoids (profiled:
+    # 968s of non-CPU wait in the extraction stage when the warm corpus
+    # ran too few tasks to fork all workers). 2 waves x all cores forks
+    # the full worker pool while the work is still 5k turns.
+    warm = (
+        spark.read.schema(TRANSCRIPT_SCHEMA)
+        .parquet(warm_path)
+        .repartition(n_exec * EXEC_CORES * 2)
+    )
     wdir = _scratch_dir()
     run_pipeline_fast(spark, warm, wdir, num_partitions=SHUFFLE_PARTITIONS)
     shutil.rmtree(wdir, ignore_errors=True)
@@ -214,7 +230,9 @@ def _gated_pair(corpus_path: str, warm_path: str, reprobe_budget: list[int]) -> 
         ceiling = _quick_membw_ceiling()
         # >1 is as dirty as <0.7: capacity cannot scale superlinearly, so a
         # ceiling above 1 means the LO probe itself ran in a crushed window
-        if ACCEPT_CEILING <= ceiling <= 1.25 or reprobe_budget[0] <= 0:
+        # (a 1.23-window pair measured 0.12 pair-efficiency in round 3 —
+        # pure waste; 1.15 leaves headroom for probe jitter only)
+        if ACCEPT_CEILING <= ceiling <= 1.15 or reprobe_budget[0] <= 0:
             break
         reprobe_budget[0] -= 1
         time.sleep(10)  # wait out the noisy window
@@ -343,12 +361,16 @@ def main() -> None:
         _worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
         return
     sf = _sf_of(SF_DIR)
-    # sf x 80M turns (sf0.1 -> 8M): after the round-2 serial-floor fixes
-    # the 4M corpus finished in ~20s at BOTH cluster sizes — pure fixed
-    # cost, no parallel work left to measure. 8M keeps a trial ~40-60s
-    # while giving the scaling comparison real work to scale.
+    # sf x 160M turns (sf0.1 -> 16M): the non-scaling component is a fixed
+    # floor that amortizes with corpus size (round-3 curve: 0.28 @4M/8M ->
+    # 0.37 @32M in the same windows), so the default sits high enough on
+    # the curve that a trial measures parallel work, not floor — while
+    # keeping a pair ~2 min.  Round-2 history: 4M -> 8M for the same
+    # reason after the serial-floor fixes.  With the first-touch fixes
+    # (executor heap pre-touch + saturating worker warm-up) a clean 16M
+    # pair measured hi 54.1s / lo 108.3s -> efficiency 0.50.
     n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "0")) or max(
-        10_000, int(round(sf * 80_000_000))
+        10_000, int(round(sf * 160_000_000))
     )
     warm_path = _warm_corpus()
     corpus_path = _corpus_path(n_turns)
@@ -386,7 +408,10 @@ def main() -> None:
     # is the host's co-tenancy ceiling (see membw_scaling_ceiling).
     curve = []
     if os.environ.get("SPARK_GRAFT_BENCH_CURVE", "1") != "0":
-        for nt in (max(10_000, n_turns // 2), n_turns, n_turns * 4):
+        # half / main / 2x: with the 16M default the 2x point is the 32M
+        # corpus round 2/3 charted at 4x — same top of the curve, half
+        # the extra trial time
+        for nt in (max(10_000, n_turns // 2), n_turns, n_turns * 2):
             try:
                 if nt == n_turns:
                     c_hi, c_lo, c_win = hi, lo, min(windows)

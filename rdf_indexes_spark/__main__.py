@@ -400,7 +400,11 @@ def main(argv=None) -> int:
     cp.add_argument("--partitions", type=int, default=None)
     cp.set_defaults(fn=cmd_compact)
 
-    sq = sub.add_parser("sparql", help="string-level SPARQL subset (SELECT/ASK over a BGP)")
+    sq = sub.add_parser(
+        "sparql",
+        help="string-level SPARQL subset (SELECT/ASK/CONSTRUCT; paths, "
+        "aggregates, GROUP BY/HAVING, UNION/OPTIONAL/MINUS/VALUES, paging)",
+    )
     sq.add_argument("--index", required=True, help="index dir from `build`")
     sq.add_argument("--query", required=True, help='e.g. \'SELECT ?x WHERE { ?x worksAt co1 }\'')
     sq.add_argument("--max-print", type=int, default=100, help="max result rows to print")
