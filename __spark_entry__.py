@@ -1038,6 +1038,96 @@ def _q_sparql_construct(spark, sf_dir):
     )
 
 
+def _sparql_numeric_index(spark, sf_dir):
+    """g19/g22 setup: the shifted-id index, but OBJECT terms are plain
+    digit strings (the raw id) — except ids divisible by 7, which decode
+    to a non-numeric 'X<id>' so the SPARQL numeric type-error rules are
+    exercised (SUM/AVG unbind, ordering filters drop)."""
+    t = _derived_triples(spark, sf_dir)
+    shift = 10_000_000
+    raw = F.col("id") - shift
+    vocabs = {
+        "s": t.select(F.col("s").alias("id")).distinct().select(
+            F.concat(F.lit("E"), F.col("id")).alias("term"), "id"
+        ),
+        "p": t.select(F.col("p").alias("id")).distinct().select(
+            F.concat(F.lit("P"), F.col("id")).alias("term"), "id"
+        ),
+        "o": t.select((F.col("o") + shift).alias("id")).distinct().select(
+            F.when(raw % 7 != 0, raw.cast("string"))
+            .otherwise(F.concat(F.lit("X"), raw.cast("string")))
+            .alias("term"),
+            "id",
+        ),
+    }
+    enc = t.select("s", "p", (F.col("o") + shift).alias("o"))
+    tables = {name: enc for name in ("spo", "pos", "osp", "ops", "pso")}
+    return tables, vocabs
+
+
+def _q_sparql_sum_avg(spark, sf_dir):
+    """G19: SUM/AVG aggregates with SPARQL numeric semantics over string
+    terms — integer terms keep doubles exact (cross-engine identical), a
+    group containing a non-numeric 'X…' term unbinds BOTH aggregates."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_numeric_index(spark, sf_dir)
+    return run_sparql(
+        "SELECT ?p (SUM(?y) AS ?t) (AVG(?y) AS ?m) WHERE { ?x ?p ?y } GROUP BY ?p",
+        tables,
+        vocabs,
+    )
+
+
+def _q_sparql_bind(spark, sf_dir):
+    """G20: BIND(CONCAT(...)) — derived term column over decoded
+    endpoints of the min-predicate's edges (bag semantics)."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f'SELECT ?k WHERE {{ ?x P{p0} ?y . BIND(CONCAT(?x, "->", ?y) AS ?k) }}',
+        tables,
+        vocabs,
+    )
+
+
+def _q_sparql_describe(spark, sf_dir):
+    """G21: DESCRIBE a term that occurs as BOTH a subject and an object
+    (the smallest such id) — the role probes union and dedup; triples
+    decode to surface forms."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    t = _derived_triples(spark, sf_dir)
+    r = (
+        t.select("s")
+        .join(t.select(F.col("o").alias("s")), "s", "left_semi")
+        .agg(F.min("s"))
+        .first()[0]
+    )
+    k = int(r) if r is not None else int(t.agg(F.min("s")).first()[0])
+    return run_sparql(f"DESCRIBE E{k}", tables, vocabs)
+
+
+def _q_sparql_filter_cmp(spark, sf_dir):
+    """G22: ordering FILTER with a NUMERIC constant — numeric typing
+    (codepoint order would keep e.g. '9' >= '100'); non-numeric 'X…'
+    terms are a type error and drop."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_numeric_index(spark, sf_dir)
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    t = _derived_triples(spark, sf_dir)
+    thr = int(t.agg(F.floor(F.avg("o"))).first()[0])
+    return run_sparql(
+        f"SELECT ?x ?y WHERE {{ ?x P{p0} ?y . FILTER (?y >= {thr}) }}",
+        tables,
+        vocabs,
+    )
+
+
 def _q_path_closure(spark, sf_dir):
     """G4: one-or-more property path (p0+) — distributed path-doubling
     transitive closure over the min-predicate's edge set (single id
@@ -1134,6 +1224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g16_sparql_nps": _q_sparql_nps,
         "g17_sparql_paging": _q_sparql_paging,
         "g18_sparql_construct": _q_sparql_construct,
+        "g19_sparql_sum_avg": _q_sparql_sum_avg,
+        "g20_sparql_bind": _q_sparql_bind,
+        "g21_sparql_describe": _q_sparql_describe,
+        "g22_sparql_filter_cmp": _q_sparql_filter_cmp,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -1405,6 +1499,45 @@ def oracle_sql() -> dict[str, str]:
             "UNION "
             "SELECT 'E' || CAST(z AS VARCHAR) AS s, 'linkedBy' AS p, "
             "'E' || CAST(x AS VARCHAR) AS o FROM sol"
+        ),
+        "g19_sparql_sum_avg": (
+            # SPARQL numeric aggregates: object term is the digit string
+            # of the raw id unless id % 7 == 0 (then 'X…', non-numeric).
+            # A group containing any non-numeric term unbinds BOTH
+            # aggregates; otherwise integer-exact doubles (SUM exact,
+            # AVG = one exact-operand division — identical across
+            # engines).
+            f"WITH t AS ({_TRIPLES_SQL}) "
+            "SELECT 'P' || CAST(p AS VARCHAR) AS p, "
+            "CASE WHEN bool_or(o % 7 = 0) THEN NULL "
+            "     ELSE SUM(CAST(o AS DOUBLE)) END AS t, "
+            "CASE WHEN bool_or(o % 7 = 0) THEN NULL "
+            "     ELSE AVG(CAST(o AS DOUBLE)) END AS m "
+            "FROM t GROUP BY p"
+        ),
+        "g20_sparql_bind": (
+            # BIND(CONCAT(?x, "->", ?y)) over the min-predicate's edges
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(s AS VARCHAR) || '->' || 'E' || CAST(o AS VARCHAR) AS k "
+            "FROM t, c WHERE p = c.p0"
+        ),
+        "g21_sparql_describe": (
+            # DESCRIBE E<k>, k = smallest id occurring as both a subject
+            # and an object: all triples touching the term in any role
+            f"WITH t AS ({_TRIPLES_SQL}), "
+            "k AS (SELECT min(s) AS kk FROM t WHERE s IN (SELECT o FROM t)) "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS s, 'P' || CAST(p AS VARCHAR) AS p, "
+            "'E' || CAST(o AS VARCHAR) AS o FROM t, k WHERE t.s = k.kk OR t.o = k.kk"
+        ),
+        "g22_sparql_filter_cmp": (
+            # numeric-typed ordering filter: non-numeric 'X…' terms (id %
+            # 7 == 0) are a type error and drop; threshold = floor(avg(o))
+            # derived identically in both engines
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "
+            "thr AS (SELECT CAST(FLOOR(AVG(o)) AS BIGINT) AS v FROM t) "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, CAST(o AS VARCHAR) AS y "
+            "FROM t, c, thr WHERE p = c.p0 AND o % 7 != 0 "
+            "AND CAST(o AS DOUBLE) >= thr.v"
         ),
         "g4_path_closure": (
             f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "

@@ -19,12 +19,15 @@ usable at the string level end-to-end:
         [OPTIONAL { s p o ... }] ...
         [MINUS { s p o ... }] ...
         [VALUES ?v { term ... }] ...
-        [FILTER regex(?v, "pattern")] [FILTER ( ?v = term )] ...
+        [BIND( (?v | term | CONCAT(arg, ...)) AS ?new )] ...
+        [FILTER regex(?v, "pattern")] [FILTER ( ?v op term )] ...
+            op := = | != | < | <= | > | >=
         [FILTER EXISTS { s p o ... }] [FILTER NOT EXISTS { s p o ... }] ...
     } [GROUP BY ?v ...] [HAVING ( ?a op const ) ...]
       [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
     ASK WHERE { ... }
     CONSTRUCT { s p o . ... } WHERE { ... }
+    DESCRIBE term [term ...]
 
 ``CONSTRUCT`` instantiates every template triple per solution and
 returns the resulting GRAPH — a duplicate-free (s, p, o) frame of
@@ -34,9 +37,28 @@ a solution with an unbound (OPTIONAL-null) template variable
 generates nothing for that triple (SPARQL 1.1 §16.2). Solution
 modifiers are not supported on CONSTRUCT in this subset.
 
+``DESCRIBE term ...`` returns every triple of the graph in which any
+of the listed constant terms occupies any role — the union of the
+(S??), (?P?) and (??O) probes per term through each role's vocabulary,
+decoded and duplicate-free (a term can reach the same triple through
+two roles). A term absent from every vocabulary contributes nothing;
+no WHERE clause or solution modifiers in this subset.
+
+``BIND(expr AS ?new)`` extends every solution with a derived TERM
+column — ``expr`` is a variable copy, a constant, or
+``CONCAT(arg, ...)`` over variables and constants. Binds evaluate
+AFTER the group's patterns and filters (so FILTER/VALUES see only
+pattern variables — document order, one deterministic scoping) and in
+listed order, so a later bind may reference an earlier alias. An
+unbound (OPTIONAL-null) input makes the bound value unbound too
+(SPARQL error-propagation through CONCAT). Bind aliases are
+string-typed everywhere downstream: projectable, GROUP BY keys,
+aggregate arguments, CONSTRUCT template variables, ORDER BY keys.
+
 Projection items may be aggregates — ``(COUNT(*) AS ?c)``,
 ``(COUNT([DISTINCT] ?v) AS ?c)``, ``(MIN(?v) AS ?m)``, ``(MAX(?v) AS
-?m)``, ``(SAMPLE(?v) AS ?x)``, ``(GROUP_CONCAT([DISTINCT] ?v ;
+?m)``, ``(SUM(?v) AS ?t)``, ``(AVG(?v) AS ?a)``,
+``(SAMPLE(?v) AS ?x)``, ``(GROUP_CONCAT([DISTINCT] ?v ;
 SEPARATOR = "s") AS ?g)`` — grouped by ``GROUP BY`` keys (no GROUP BY
 = one implicit group; an implicit-group aggregate over an empty
 pattern yields ONE row with COUNT 0 and unbound MIN/MAX, per SPARQL
@@ -46,9 +68,17 @@ compare decoded SURFACE FORMS (codepoint string order), never
 internal ids. Where the spec leaves a choice open this subset pins a
 DETERMINISTIC one: SAMPLE returns the codepoint-minimum value and
 GROUP_CONCAT concatenates in codepoint order (all-NULL group → NULL,
-the SQL ``string_agg`` convention). ``HAVING`` conditions compare an
+the SQL ``string_agg`` convention). ``SUM``/``AVG`` follow SPARQL 1.1
+numeric semantics over the graph's STRING terms: a term is numeric iff
+it matches ``-?[0-9]+(\\.[0-9]+)?`` (cast to double); unbound values
+are skipped (the COUNT ?v rule), any NON-numeric bound value in the
+group is a type error that makes the whole aggregate unbound (NULL),
+and an empty numeric multiset yields 0 (Sum({}) = Avg({}) = 0, §18.5).
+DISTINCT is not supported on SUM/AVG in this subset. Results are
+doubles. ``HAVING`` conditions compare an
 aggregate alias or group key against a constant (`=` `!=` `>` `>=`
-`<` `<=`; numeric for COUNT aliases, codepoint order otherwise) and
+`<` `<=`; numeric for COUNT/SUM/AVG aliases, codepoint order
+otherwise) and
 AND together. Aggregation is a plain hash aggregate over the solution
 frame — map-side partial aggregation and AQE sizing come free.
 
@@ -107,8 +137,12 @@ or quoted form (same rule as ``( ) ,``).
 
 ``OPTIONAL`` groups left-join onto the required pattern's solutions on
 their shared variables (unmatched rows keep NULLs — standard SPARQL).
-``FILTER`` supports ``regex(?v, "re")`` (Spark ``rlike`` / Java regex),
-``?v = term`` and ``?v != term``; comparisons against an unbound
+``FILTER`` supports ``regex(?v, "re")`` (Spark ``rlike`` / Java regex)
+and ``?v op term`` for ``= != < <= > >=``. Ordering comparisons follow
+SPARQL 1.1 operand typing: when the constant is NUMERIC (matches
+``-?[0-9]+(\\.[0-9]+)?``) the comparison is numeric and a non-numeric
+term is a type error that drops the row; otherwise both sides compare
+as plain codepoint strings. Comparisons against an unbound
 (NULL) variable remove the row, per SPARQL error semantics. Filters
 apply to the whole group. Operators and parentheses must be
 whitespace-or-punctuation separated; terms containing ``( ) ,`` need
@@ -213,7 +247,7 @@ class PathExpr:
 
 @dataclass(frozen=True)
 class Filter:
-    kind: str  # "regex" | "eq" | "ne"
+    kind: str  # "regex" | "eq" | "ne" | "lt" | "le" | "gt" | "ge"
     var: str
     arg: str  # regex pattern or the constant's term text
 
@@ -229,6 +263,10 @@ class SparqlQuery:
     optionals: list[list[tuple]] = field(default_factory=list)
     minuses: list[list[tuple]] = field(default_factory=list)
     values: list[tuple[str, list[str]]] = field(default_factory=list)  # (var, terms)
+    # (expr, alias) in listed order; expr is a nested tuple:
+    # ('var', name) | ('const', text) | ('concat', (expr, ...))
+    binds: list[tuple[tuple, str]] = field(default_factory=list)
+    describe_terms: list[str] = field(default_factory=list)  # DESCRIBE form
     filters: list[Filter] = field(default_factory=list)
     exists_filters: list[tuple[bool, list[tuple]]] = field(default_factory=list)
     # (fn, arg var | None for COUNT(*), distinct, alias) per aggregate in
@@ -311,14 +349,16 @@ def parse_sparql(text: str) -> SparqlQuery:
         # ( FN ( * | [DISTINCT] ?v [; SEPARATOR "sep"] ) AS ?alias )
         k, v = take()
         fn = v.upper() if k == "bare" else None
-        if fn not in ("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"):
+        if fn not in ("COUNT", "MIN", "MAX", "SUM", "AVG", "SAMPLE", "GROUP_CONCAT"):
             raise ValueError(
-                f"unsupported aggregate {v!r} (COUNT/MIN/MAX/SAMPLE/GROUP_CONCAT)"
+                f"unsupported aggregate {v!r} (COUNT/MIN/MAX/SUM/AVG/SAMPLE/GROUP_CONCAT)"
             )
         expect("punct", "(")
         distinct = False
         k, v = peek()
         if k == "bare" and v.upper() == "DISTINCT":
+            if fn in ("SUM", "AVG"):
+                raise ValueError(f"DISTINCT is not supported on {fn} in this subset")
             take()
             distinct = True
             k, v = peek()
@@ -413,8 +453,23 @@ def parse_sparql(text: str) -> SparqlQuery:
         take()  # closing }
         if not q.template:
             raise ValueError("empty CONSTRUCT template")
+    elif kw("DESCRIBE"):
+        # DESCRIBE term [term ...] — constants only, no WHERE clause in
+        # this subset; result is the decoded sub-graph touching the terms
+        take()
+        q = SparqlQuery(form="DESCRIBE", variables=[])
+        while peek()[0] in ("iri", "lit", "bare"):
+            k, v = take()
+            q.describe_terms.append(_term(k, v).text)
+        if not q.describe_terms:
+            raise ValueError("DESCRIBE needs at least one constant term")
+        if pos != len(toks):
+            raise ValueError(
+                f"trailing tokens after DESCRIBE (no WHERE/modifiers): {toks[pos:]}"
+            )
+        return q
     else:
-        raise ValueError("query must start with SELECT, ASK or CONSTRUCT")
+        raise ValueError("query must start with SELECT, ASK, CONSTRUCT or DESCRIBE")
 
     def nps_set() -> tuple:
         # !atom or !( atom | atom | ... ) — negated property set
@@ -535,12 +590,13 @@ def parse_sparql(text: str) -> SparqlQuery:
         elif k == "var":
             var = v[1:]
             kk, op = take()
-            if kk != "bare" or op not in ("=", "!="):
+            kinds = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}
+            if kk != "bare" or op not in kinds:
                 raise ValueError(f"unsupported FILTER operator {op!r}")
             kk, vv = take()
             if kk not in ("iri", "lit", "bare"):
                 raise ValueError(f"FILTER comparison needs a constant, got {vv!r}")
-            f = Filter("eq" if op == "=" else "ne", var, _term(kk, vv).text)
+            f = Filter(kinds[op], var, _term(kk, vv).text)
         else:
             raise ValueError(f"unsupported FILTER expression starting at {v!r}")
         if wrapped:
@@ -604,6 +660,42 @@ def parse_sparql(text: str) -> SparqlQuery:
                 if not terms:
                     raise ValueError("empty VALUES list")
                 q.values.append((vv[1:], terms))
+            elif allow_blocks and kw("BIND"):
+                # BIND( expr AS ?alias ): expr = ?var | constant |
+                # CONCAT(arg, ...) over variables and constants
+                take()
+                expect("punct", "(")
+
+                def bind_atom() -> tuple:
+                    kk, vv = take()
+                    if kk == "var":
+                        return ("var", vv[1:])
+                    if kk in ("iri", "lit", "bare"):
+                        if kk == "bare" and vv.upper() == "CONCAT":
+                            expect("punct", "(")
+                            args: list[tuple] = []
+                            while True:
+                                args.append(bind_atom())
+                                if args[-1][0] == "concat":
+                                    raise ValueError("nested CONCAT is not supported")
+                                if peek() == ("punct", ","):
+                                    take()
+                                    continue
+                                expect("punct", ")")
+                                break
+                            return ("concat", tuple(args))
+                        return ("const", _term(kk, vv).text)
+                    raise ValueError(f"BIND expects ?var, constant or CONCAT, got {vv!r}")
+
+                expr = bind_atom()
+                k2, v2 = take()
+                if not (k2 == "bare" and v2.upper() == "AS"):
+                    raise ValueError("BIND needs 'AS ?alias'")
+                k2, v2 = take()
+                if k2 != "var":
+                    raise ValueError("BIND alias must be a ?variable")
+                expect("punct", ")")
+                q.binds.append((expr, v2[1:]))
             elif allow_blocks and kw("FILTER"):
                 take()
                 if kw("NOT") or kw("EXISTS"):
@@ -621,9 +713,9 @@ def parse_sparql(text: str) -> SparqlQuery:
                     q.exists_filters.append((positive, ex))
                 else:
                     q.filters.append(filter_expr())
-            elif kw("OPTIONAL") or kw("FILTER") or kw("MINUS") or kw("VALUES"):
+            elif kw("OPTIONAL") or kw("FILTER") or kw("MINUS") or kw("VALUES") or kw("BIND"):
                 raise ValueError(
-                    "OPTIONAL/FILTER/MINUS/VALUES cannot nest inside a sub-group"
+                    "OPTIONAL/FILTER/MINUS/VALUES/BIND cannot nest inside a sub-group"
                 )
             else:
                 into.append(triple_pattern())
@@ -710,16 +802,36 @@ def parse_sparql(text: str) -> SparqlQuery:
         + [p for opt in q.optionals for p in opt]
     )
     pattern_vars = {t.name for pat in all_pats for t in pat if isinstance(t, Var)}
+
+    def _expr_vars(e: tuple) -> list[str]:
+        if e[0] == "var":
+            return [e[1]]
+        if e[0] == "concat":
+            return [v for sub in e[1] for v in _expr_vars(sub)]
+        return []
+
+    bind_aliases: list[str] = []
+    for expr, alias in q.binds:
+        bad_src = [
+            s for s in _expr_vars(expr)
+            if s not in pattern_vars and s not in bind_aliases
+        ]
+        if bad_src:
+            raise ValueError(f"BIND source variables not bound: {bad_src}")
+        if alias in pattern_vars or alias in bind_aliases:
+            raise ValueError(f"BIND alias rebinds an existing variable: ?{alias}")
+        bind_aliases.append(alias)
+    bound_vars = pattern_vars | set(bind_aliases)
     if q.form == "CONSTRUCT":
         if q.group_by or q.having or q.order_by or q.limit is not None or q.offset is not None:
             raise ValueError("CONSTRUCT takes no solution modifiers in this subset")
         tvars = sorted({t.name for pat in q.template for t in pat if isinstance(t, Var)})
-        missing_t = [v for v in tvars if v not in pattern_vars]
+        missing_t = [v for v in tvars if v not in bound_vars]
         if missing_t:
             raise ValueError(f"template variables not bound in the pattern: {missing_t}")
         q.variables = tvars
     if q.variables is None:
-        q.variables = sorted(pattern_vars) if q.form == "SELECT" else []
+        q.variables = sorted(bound_vars) if q.form == "SELECT" else []
     unbound_filters = [f.var for f in q.filters if f.var not in pattern_vars]
     if unbound_filters:
         raise ValueError(f"FILTER variables not bound in the pattern: {unbound_filters}")
@@ -729,13 +841,13 @@ def parse_sparql(text: str) -> SparqlQuery:
     agg_aliases = [alias for *_, alias in q.aggregates]
     if len(set(agg_aliases)) != len(agg_aliases):
         raise ValueError("duplicate aggregate aliases")
-    clash = [a for a in agg_aliases if a in pattern_vars]
+    clash = [a for a in agg_aliases if a in bound_vars]
     if clash:
         raise ValueError(f"aggregate aliases shadow pattern variables: {clash}")
-    bad_args = [a for _, a, _, _ in q.aggregates if a is not None and a not in pattern_vars]
+    bad_args = [a for _, a, _, _ in q.aggregates if a is not None and a not in bound_vars]
     if bad_args:
         raise ValueError(f"aggregate arguments not bound in the pattern: {bad_args}")
-    unknown_gb = [v for v in q.group_by if v not in pattern_vars]
+    unknown_gb = [v for v in q.group_by if v not in bound_vars]
     if unknown_gb:
         raise ValueError(f"GROUP BY variables not bound in the pattern: {unknown_gb}")
     if q.aggregates or q.group_by:
@@ -761,10 +873,17 @@ def parse_sparql(text: str) -> SparqlQuery:
     ]
     if bad_num:
         raise ValueError(f"HAVING against a COUNT needs integer constants: {bad_num}")
+    fnum_aliases = {alias for fn, _, _, alias in q.aggregates if fn in ("SUM", "AVG")}
+    bad_fnum = [
+        val for hv, _, val in q.having
+        if hv in fnum_aliases and not _NUM_PAT.fullmatch(val)
+    ]
+    if bad_fnum:
+        raise ValueError(f"HAVING against a SUM/AVG needs numeric constants: {bad_fnum}")
     order_names = [n for n, _ in q.order_by]
     missing = [
         v for v in (q.variables + order_names)
-        if v not in pattern_vars and v not in agg_aliases
+        if v not in bound_vars and v not in agg_aliases
     ]
     if missing:
         raise ValueError(f"variables not bound in the pattern: {missing}")
@@ -970,6 +1089,37 @@ def _greedy_join(
     return acc, acc_vars
 
 
+# SPARQL numeric literal shape shared by SUM/AVG and the ordering
+# filters: what casts cleanly to double in BOTH Spark and an ANSI-SQL
+# oracle (no exponents/INF — deterministic cross-engine semantics)
+_NUM_RE = "^-?[0-9]+(\\.[0-9]+)?$"
+_NUM_PAT = re.compile(r"-?[0-9]+(\.[0-9]+)?")
+
+_CMP_OPS = {
+    "lt": lambda a, b: a < b,
+    "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "ge": lambda a, b: a >= b,
+}
+
+
+def _term_predicate(col, f: Filter):
+    """The FILTER condition over a TERM column. Ordering comparisons
+    follow SPARQL operand typing: a numeric constant forces a numeric
+    comparison (non-numeric terms are a type error — row dropped), a
+    non-numeric constant compares codepoint strings."""
+    if f.kind == "regex":
+        return col.rlike(f.arg)
+    if f.kind == "eq":
+        return col == F.lit(f.arg)
+    if f.kind == "ne":
+        return col != F.lit(f.arg)
+    op = _CMP_OPS[f.kind]
+    if _NUM_PAT.fullmatch(f.arg):
+        return col.rlike(_NUM_RE) & op(col.cast("double"), F.lit(float(f.arg)))
+    return op(col, F.lit(f.arg))
+
+
 def _apply_filter(
     acc: DataFrame,
     f: Filter,
@@ -985,22 +1135,64 @@ def _apply_filter(
     (unmatched OPTIONAL vars) never satisfy a filter — SPARQL's
     error-on-unbound semantics."""
     if f.var in multi_role:
-        col = F.col(f.var)
-        if f.kind == "regex":
-            return acc.filter(col.rlike(f.arg))
-        cond = col == F.lit(f.arg) if f.kind == "eq" else col != F.lit(f.arg)
-        return acc.filter(cond)
+        return acc.filter(_term_predicate(F.col(f.var), f))
     role = next(iter(roles[f.var]))
-    term = F.col("term")
-    if f.kind == "regex":
-        pred = term.rlike(f.arg)
-    elif f.kind == "eq":
-        pred = term == F.lit(f.arg)
-    else:
-        pred = term != F.lit(f.arg)
+    pred = _term_predicate(F.col("term"), f)
     matching = vocabs[role].filter(pred).select(F.col("id").alias(f"_fid_{f.var}"))
     return acc.join(
         matching, acc[f.var] == matching[f"_fid_{f.var}"], "left_semi"
+    )
+
+
+def _expr_source_vars(e: tuple) -> list[str]:
+    if e[0] == "var":
+        return [e[1]]
+    if e[0] == "concat":
+        return [v for sub in e[1] for v in _expr_source_vars(sub)]
+    return []
+
+
+def _bind_column(e: tuple):
+    """BIND expression over DECODED term columns. F.concat is NULL if
+    any input is NULL — exactly SPARQL's error propagation through
+    CONCAT over an unbound argument."""
+    if e[0] == "var":
+        return F.col(e[1])
+    if e[0] == "const":
+        return F.lit(e[1])
+    return F.concat(*[_bind_column(sub) for sub in e[1]])
+
+
+def _run_describe(
+    terms: list[str],
+    tables: dict[str, DataFrame],
+    vocabs: dict[str, DataFrame],
+) -> DataFrame:
+    """DESCRIBE: the decoded sub-graph touching any of ``terms`` in any
+    role — per (term, role) one routed, pushed-down pattern probe
+    (reference-style S??/?P?/??O selections); the union dedups on ids
+    BEFORE decoding (a term can reach one triple through two roles, and
+    decode joins then touch the deduped rows only)."""
+    spark = next(iter(tables.values())).sparkSession
+    frames: list[DataFrame] = []
+    for role in _POS:
+        hits = (
+            vocabs[role]
+            .filter(F.col("term").isin(terms))
+            .select("id")
+            .collect()
+        )  # O(|terms|) driver rows — same contract as _resolve_constants
+        for r in hits:
+            frames.append(select(tables, **{role: int(r["id"])}))
+    if not frames:
+        return spark.range(0).select(
+            *[F.lit(None).cast("string").alias(c) for c in _POS]
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return decode_triples(out.dropDuplicates(), vocabs).select(
+        *[F.col(f"{c}_term").alias(c) for c in _POS]
     )
 
 
@@ -1018,6 +1210,8 @@ def run_sparql(
     graph as a duplicate-free ``(s, p, o)`` string frame."""
     q = parse_sparql(query) if isinstance(query, str) else query
     spark = next(iter(tables.values())).sparkSession
+    if q.form == "DESCRIBE":
+        return _run_describe(q.describe_terms, tables, vocabs)
     all_pats = (
         q.patterns
         + [p for u in q.unions for br in u for p in br]
@@ -1044,7 +1238,13 @@ def run_sparql(
                 *[F.lit(None).cast("string").alias(c) for c in _POS]
             )
         agg_cols = {
-            alias: (F.lit(0).cast("long") if fn == "COUNT" else F.lit(None).cast("string"))
+            alias: (
+                F.lit(0).cast("long")
+                if fn == "COUNT"
+                # Sum({}) = Avg({}) = 0 per SPARQL 1.1 §18.5
+                else F.lit(0.0) if fn in ("SUM", "AVG")
+                else F.lit(None).cast("string")
+            )
             for fn, _, _, alias in q.aggregates
         }
         cols = [agg_cols.get(v, F.lit(None).cast("string")).alias(v) for v in q.variables]
@@ -1182,6 +1382,34 @@ def run_sparql(
     if q.form == "ASK":
         return acc.limit(1).agg((F.count("*") > 0).alias("ask"))
 
+    def decode_var(df: DataFrame, v: str) -> DataFrame:
+        if v in multi_role:
+            return df.withColumn(v, F.col(v).cast("string"))
+        role = next(iter(roles[v]))
+        voc = vocabs[role].select(
+            F.col("id").alias(f"_did_{v}"), F.col("term").alias(f"_dterm_{v}")
+        )
+        return (  # LEFT join: unmatched-OPTIONAL NULL ids decode to NULL
+            df.join(voc, df[v] == voc[f"_did_{v}"], "left")
+            .drop(v, f"_did_{v}")
+            .withColumnRenamed(f"_dterm_{v}", v)
+        )
+
+    # BIND extensions evaluate here — after patterns/filters, before
+    # aggregation/projection (the documented scoping). Inputs decode to
+    # TERMS first (a bind is a string-level expression); once decoded,
+    # a variable is term-typed for the rest of the plan, so it joins
+    # multi_role (decode_var then no-ops on it, group keys skip the
+    # post-aggregation id decode).
+    for expr, alias in q.binds:
+        for sv in sorted(set(_expr_source_vars(expr))):
+            if sv not in multi_role:
+                acc = decode_var(acc, sv)
+                multi_role.add(sv)
+        acc = acc.withColumn(alias, _bind_column(expr))
+        multi_role.add(alias)
+        acc_vars.add(alias)
+
     # decode single-role variables to terms (multi-role are terms
     # already); one id-keyed vocab join per variable. With aggregates,
     # decode BEFORE the shuffle only what must compare as a surface form
@@ -1200,19 +1428,6 @@ def run_sparql(
     else:
         to_decode = q.variables
         post_decode = []
-
-    def decode_var(df: DataFrame, v: str) -> DataFrame:
-        if v in multi_role:
-            return df.withColumn(v, F.col(v).cast("string"))
-        role = next(iter(roles[v]))
-        voc = vocabs[role].select(
-            F.col("id").alias(f"_did_{v}"), F.col("term").alias(f"_dterm_{v}")
-        )
-        return (  # LEFT join: unmatched-OPTIONAL NULL ids decode to NULL
-            df.join(voc, df[v] == voc[f"_did_{v}"], "left")
-            .drop(v, f"_did_{v}")
-            .withColumnRenamed(f"_dterm_{v}", v)
-        )
 
     for v in to_decode:
         acc = decode_var(acc, v)
@@ -1253,6 +1468,23 @@ def run_sparql(
                 e = F.min(F.col(arg))
             elif fn == "MAX":
                 e = F.max(F.col(arg))
+            elif fn in ("SUM", "AVG"):
+                # SPARQL numeric semantics over string terms: unbound
+                # skipped; any non-numeric BOUND value is a type error
+                # that unbinds the whole aggregate (NULL); empty numeric
+                # multiset -> 0 (Sum({}) = Avg({}) = 0, §18.5). Integer
+                # terms keep the double exact, so results are
+                # cross-engine deterministic.
+                col = F.col(arg)
+                is_num = col.rlike(_NUM_RE)
+                num = F.when(is_num, col.cast("double"))
+                any_bad = F.max(
+                    F.when(col.isNotNull() & ~is_num, F.lit(1)).otherwise(F.lit(0))
+                )
+                base = F.sum(num) if fn == "SUM" else F.avg(num)
+                e = F.when(any_bad == 1, F.lit(None).cast("double")).otherwise(
+                    F.coalesce(base, F.lit(0.0))
+                )
             elif fn == "SAMPLE":
                 # SPARQL leaves the choice arbitrary; pin MIN so results
                 # are deterministic and oracle-replayable
@@ -1281,6 +1513,7 @@ def run_sparql(
     # everything else (group keys, MIN/MAX/SAMPLE/GROUP_CONCAT results)
     # as strings. NULL aggregates fail every comparison (SPARQL unbound).
     count_aliases = {alias for fn, _, _, alias in q.aggregates if fn == "COUNT"}
+    fnum_aliases = {alias for fn, _, _, alias in q.aggregates if fn in ("SUM", "AVG")}
     _OPS = {
         "=": lambda c, x: c == x,
         "!=": lambda c, x: c != x,
@@ -1290,7 +1523,12 @@ def run_sparql(
         "<=": lambda c, x: c <= x,
     }
     for hv, op, val in q.having:
-        lit = F.lit(int(val)) if hv in count_aliases else F.lit(val)
+        if hv in count_aliases:
+            lit = F.lit(int(val))
+        elif hv in fnum_aliases:
+            lit = F.lit(float(val))
+        else:
+            lit = F.lit(val)
         acc = acc.filter(_OPS[op](F.col(hv), lit))
     out = acc.select(*q.variables)
     if q.distinct:

@@ -641,7 +641,7 @@ def test_parse_aggregates():
     "bad",
     [
         "SELECT (COUNT(*) ?n) WHERE { ?s ?p ?o }",  # missing AS
-        "SELECT (SUM(?s) AS ?n) WHERE { ?s ?p ?o }",  # unsupported fn
+        "SELECT (MEDIAN(?s) AS ?n) WHERE { ?s ?p ?o }",  # unsupported fn
         "SELECT (MIN(*) AS ?n) WHERE { ?s ?p ?o }",  # MIN(*) meaningless
         "SELECT DISTINCT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }",  # DISTINCT+agg
         "SELECT (COUNT(*) AS ?n) * WHERE { ?s ?p ?o }",  # * after agg
@@ -956,3 +956,269 @@ def test_construct_unknown_constant_is_empty_graph(idx):
 def test_construct_parse_errors(bad):
     with pytest.raises(ValueError):
         parse_sparql(bad)
+
+
+# ------------------------- SUM/AVG, BIND, DESCRIBE, ordering FILTERs
+
+
+# numeric OBJECT terms (plus one non-numeric 'young') for the SPARQL
+# numeric-semantics aggregates and ordering filters
+_VOCAB_P2 = [("knows", 0), ("likes", 1), ("age", 2)]
+_VOCAB_O2 = _VOCAB_O + [("30", 4), ("7", 5), ("young", 6)]
+_TRIPLES_STR2 = _TRIPLES_STR + [
+    ("alice", "age", "30"),
+    ("bob", "age", "7"),
+    ("carol", "age", "young"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx_num(spark):
+    s_ids, p_ids, o_ids = dict(_VOCAB_S), dict(_VOCAB_P2), dict(_VOCAB_O2)
+    triples = [(s_ids[s], p_ids[p], o_ids[o]) for s, p, o in _TRIPLES_STR2]
+    t = spark.createDataFrame(triples, "s long, p long, o long")
+    tables = {name: t for name in ("spo", "pos", "osp", "ops", "pso")}
+    vocabs = {
+        role: spark.createDataFrame(rows, "term string, id long")
+        for role, rows in (("s", _VOCAB_S), ("p", _VOCAB_P2), ("o", _VOCAB_O2))
+    }
+    return tables, vocabs
+
+
+def test_parse_sum_avg():
+    q = parse_sparql(
+        "SELECT ?x (SUM(?a) AS ?t) (AVG(?a) AS ?m) WHERE { ?x age ?a } GROUP BY ?x"
+    )
+    assert ("SUM", "a", False, "t") in q.aggregates
+    assert ("AVG", "a", False, "m") in q.aggregates
+
+
+def test_sum_avg_grouped_numeric_and_type_error(idx_num):
+    """Numeric groups sum/average exactly; carol's group contains the
+    non-numeric 'young' -> BOTH aggregates unbound (NULL) for that group
+    only (SPARQL type-error-unbinds-the-aggregate semantics)."""
+    tables, vocabs = idx_num
+    out = run_sparql(
+        "SELECT ?x (SUM(?a) AS ?t) (AVG(?a) AS ?m) WHERE { ?x age ?a } GROUP BY ?x",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [
+        ("alice", 30.0, 30.0),
+        ("bob", 7.0, 7.0),
+        ("carol", None, None),
+    ]
+
+
+def test_sum_implicit_group_type_error_unbinds(idx_num):
+    tables, vocabs = idx_num
+    out = run_sparql("SELECT (SUM(?a) AS ?t) WHERE { ?x age ?a }", tables, vocabs)
+    assert _rows(out) == [(None,)]
+
+
+def test_sum_avg_empty_group_is_zero(idx_num):
+    """Sum({}) = Avg({}) = 0 (SPARQL 1.1 section 18.5) while COUNT is 0 —
+    one implicit-group row even though no solution survives the filter."""
+    tables, vocabs = idx_num
+    out = run_sparql(
+        'SELECT (SUM(?a) AS ?t) (AVG(?a) AS ?m) (COUNT(*) AS ?c) '
+        'WHERE { ?x age ?a . FILTER (?a = "nosuch") }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [(0.0, 0.0, 0)]
+
+
+def test_sum_skips_unbound_optional(idx_num):
+    """SUM over an OPTIONAL variable: solutions where the OPTIONAL did
+    not match contribute nothing (unbound-skipped, the COUNT ?v rule) —
+    dave has no age edge yet stays a group with SUM 0."""
+    tables, vocabs = idx_num
+    out = run_sparql(
+        "SELECT ?x (SUM(?a) AS ?t) WHERE { ?x knows ?y . "
+        "OPTIONAL { ?x age ?a } } GROUP BY ?x",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", 30.0), ("bob", 7.0), ("dave", 0.0)]
+
+
+def test_having_on_sum_alias(idx_num):
+    tables, vocabs = idx_num
+    out = run_sparql(
+        "SELECT ?x (SUM(?a) AS ?t) WHERE { ?x age ?a } GROUP BY ?x "
+        "HAVING (?t > 10)",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", 30.0)]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT (SUM(DISTINCT ?a) AS ?t) WHERE { ?x age ?a }",
+        "SELECT (AVG(DISTINCT ?a) AS ?t) WHERE { ?x age ?a }",
+        "SELECT (SUM(*) AS ?t) WHERE { ?x age ?a }",
+        'SELECT ?x (SUM(?a) AS ?t) WHERE { ?x age ?a } GROUP BY ?x HAVING (?t > "ten")',
+    ],
+)
+def test_sum_avg_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_bind_concat_and_copy(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x ?k ?c WHERE { ?x likes ?y . '
+        'BIND(CONCAT(?x, "->", ?y) AS ?k) . BIND(?x AS ?c) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [
+        ("bob", "bob->alice", "bob"),
+        ("carol", "carol->dave", "carol"),
+    ]
+
+
+def test_bind_chains_and_constant(idx):
+    """A later BIND may reference an earlier alias; a constant BIND is a
+    plain literal column."""
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?k2 ?tag WHERE { ?x likes ?y . BIND(?y AS ?k) . '
+        'BIND(CONCAT("via-", ?k) AS ?k2) . BIND("v1" AS ?tag) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("via-alice", "v1"), ("via-dave", "v1")]
+
+
+def test_bind_as_group_key(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?k (COUNT(*) AS ?n) WHERE { ?x knows ?y . '
+        'BIND(CONCAT(?x, "!") AS ?k) } GROUP BY ?k',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice!", 1), ("bob!", 1), ("dave!", 1)]
+
+
+def test_bind_null_propagates_from_optional(idx):
+    """CONCAT over an unbound (OPTIONAL-null) input is unbound — SPARQL
+    error propagation; dave's knows-target likes nothing."""
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x ?k WHERE { ?x knows ?y . OPTIONAL { ?y likes ?z } . '
+        'BIND(CONCAT(?x, "/", ?z) AS ?k) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [
+        ("alice", "alice/alice"),
+        ("bob", "bob/dave"),
+        ("dave", None),
+    ]
+
+
+def test_bind_in_construct_template(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        'CONSTRUCT { ?k is pair } WHERE { ?x likes ?y . '
+        'BIND(CONCAT(?x, "+", ?y) AS ?k) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob+alice", "is", "pair"), ("carol+dave", "is", "pair")]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT ?x WHERE { ?x knows ?y . BIND(?y AS ?x) }",  # rebind
+        "SELECT ?x WHERE { ?x knows ?y . BIND(?nope AS ?z) }",  # unknown src
+        "SELECT ?x WHERE { ?x knows ?y . BIND(?y AS ?z) . BIND(?y AS ?z) }",
+        "SELECT ?x WHERE { ?x knows ?y . BIND(CONCAT(CONCAT(?x, ?y), ?y) AS ?z) }",
+        "SELECT ?x WHERE { ?x knows ?y . BIND(?y ?z) }",  # no AS
+    ],
+)
+def test_bind_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_describe_term_in_two_roles(idx):
+    """dave is a subject (dave knows dave) and an object (carol likes
+    dave; dave knows dave): DESCRIBE unions the role probes and dedups
+    the triple reached through both roles."""
+    tables, vocabs = idx
+    out = run_sparql("DESCRIBE dave", tables, vocabs)
+    assert out.columns == ["s", "p", "o"]
+    assert _rows(out) == [("carol", "likes", "dave"), ("dave", "knows", "dave")]
+
+
+def test_describe_predicate_and_multiple_terms(idx):
+    tables, vocabs = idx
+    out = run_sparql("DESCRIBE likes carol", tables, vocabs)
+    # likes as predicate: 2 triples; carol: object of bob-knows-carol +
+    # subject of carol-likes-dave (already in the likes set — dedup)
+    assert _rows(out) == [
+        ("bob", "knows", "carol"),
+        ("bob", "likes", "alice"),
+        ("carol", "likes", "dave"),
+    ]
+
+
+def test_describe_unknown_term_empty(idx):
+    tables, vocabs = idx
+    out = run_sparql("DESCRIBE nosuchterm", tables, vocabs)
+    assert out.columns == ["s", "p", "o"] and out.count() == 0
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "DESCRIBE",  # no terms
+        "DESCRIBE ?x WHERE { ?x knows ?y }",  # variables/WHERE unsupported
+        "DESCRIBE dave { }",  # no graph pattern allowed
+    ],
+)
+def test_describe_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
+
+
+def test_filter_cmp_codepoint_strings(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x ?y WHERE { ?x knows ?y . FILTER (?x >= "carol") }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("dave", "dave")]
+
+
+def test_filter_cmp_numeric_typing(idx_num):
+    """A numeric constant forces numeric comparison: '30' >= 10 passes,
+    '7' fails numerically (codepoint order would pass it), 'young' is a
+    type error and drops."""
+    tables, vocabs = idx_num
+    out = run_sparql(
+        "SELECT ?x ?a WHERE { ?x age ?a . FILTER (?a >= 10) }", tables, vocabs
+    )
+    assert _rows(out) == [("alice", "30")]
+
+
+def test_filter_cmp_on_multirole_and_unbound(idx):
+    """Ordering filter over a MULTI-role (term-typed) variable, and the
+    unbound-drops rule: ?z is null for dave's solution."""
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x ?z WHERE { ?x knows ?y . OPTIONAL { ?y likes ?z } . '
+        'FILTER (?z < "dave") }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", "alice")]
