@@ -412,6 +412,29 @@ def _q_fingerprint(spark, sf_dir):
     return doc_fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (top-token fraction, duplicate-
+    bigram fraction) — explode → (doc, token) hash aggregate →
+    doc-keyed re-aggregate; integer x1000 ratios for exact oracle
+    equality."""
+    from rdf_indexes_spark.operators.textops import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+def _q_line_dedup(spark, sf_dir):
+    """Corpus-wide exact segment dedup (C4's repeated-lines cut): the
+    flat test docs are split at a token boundary BOTH engines derive
+    identically; first occurrence (doc_id, pos order) survives, later
+    repeats are removed; docs reassemble in original order."""
+    from rdf_indexes_spark.operators.dedup import line_dedup
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " table", "\ntable").alias("text")
+    )
+    return line_dedup(docs)
+
+
 def _q_ann(spark, sf_dir):
     from rdf_indexes_spark.operators.similarity import brute_force_topk
 
@@ -1182,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_language_id,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
+        "text_repetition": _q_repetition,
+        "dedup_line": _q_line_dedup,
         "ann_cosine_topk": _q_ann,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1560,6 +1585,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_quality": _quality_sql(),
+        "text_repetition": (
+            # Gopher repetition signals: same explode → count → reagg
+            # shape; integer x1000 ratios with explicit floor
+            "WITH base AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS a FROM documents), "
+            "tok AS (SELECT doc_id, unnest(a) AS tok FROM base), "
+            "tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "ts AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_count FROM tc GROUP BY 1), "
+            "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 1), i -> a[i] || ' ' || a[i+1])) AS bg FROM base WHERE len(a) > 1), "
+            "bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2), "
+            "bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count, coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup_bigram_tokens FROM bc GROUP BY 1) "
+            "SELECT d.doc_id, "
+            "CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(top_token_count, 0) AS BIGINT) AS top_token_count, "
+            "CAST(CASE WHEN coalesce(n_tokens, 0) > 0 THEN floor(top_token_count * 1000 / n_tokens) ELSE 0 END AS BIGINT) AS top_token_ratio_x1000, "
+            "CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(coalesce(top_bigram_count, 0) AS BIGINT) AS top_bigram_count, "
+            "CAST(coalesce(dup_bigram_tokens, 0) AS BIGINT) AS dup_bigram_tokens, "
+            "CAST(CASE WHEN coalesce(n_bigrams, 0) > 0 THEN floor(dup_bigram_tokens * 1000 / n_bigrams) ELSE 0 END AS BIGINT) AS dup_bigram_ratio_x1000 "
+            "FROM documents d LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)"
+        ),
+        "dedup_line": (
+            # corpus-wide exact segment dedup: occurrence >= 2 keeps only
+            # the (doc_id, pos)-first copy; reassemble in original order
+            "WITH d AS (SELECT doc_id, regexp_replace(text, ' table', chr(10) || 'table', 'g') AS text FROM documents), "
+            "arr AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d), "
+            "seg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)), i -> struct_pack(pos := i - 1, line := ls[i])), recursive := true) FROM arr), "
+            "sel AS (SELECT doc_id, pos, line, count(*) OVER (PARTITION BY line) AS occ, "
+            "row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk FROM seg), "
+            "keep AS (SELECT doc_id, pos, line FROM sel WHERE occ < 2 OR rk = 1) "
+            "SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text "
+            "FROM d LEFT JOIN keep k USING (doc_id) GROUP BY d.doc_id"
+        ),
         "text_fingerprint": (
             "SELECT doc_id, CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0 ELSE "
             "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), "

@@ -320,3 +320,63 @@ def near_dup_keep(
         .filter(F.col("component").isNull() | (F.col("component") == F.col(id_col)))
         .select(id_col)
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_repeat: int = 2,
+) -> DataFrame:
+    """Corpus-wide exact SEGMENT dedup (the C4 / RefinedWeb "remove
+    repeated lines across documents" step): split every document on
+    ``sep``, and for each segment occurring >= ``min_repeat`` times in
+    the whole corpus keep ONLY its first occurrence (ordered by doc_id,
+    then position within the document) — all later occurrences are cut.
+    Unique segments always survive. Returns (doc_id, text) with the kept
+    segments rejoined by ``sep`` in original order; a document whose
+    every segment is cut comes back as ''.
+
+    Scale shape: the wide exchanges key on a segment FINGERPRINT
+    (xxhash64 + length), never the segment bytes — segment text rides
+    exactly one shuffle (the doc-keyed reassembly it would ride anyway).
+    first-occurrence selection is a min(struct) aggregate, not a window
+    (no skewed single-reducer for a hot segment), and the reassembly is
+    a doc-keyed hash aggregate over sorted (pos, line) structs."""
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "line"),
+    )
+    key = [  # 129-bit fingerprint, same collision math as exact_dedup
+        F.xxhash64(F.lit(0), F.col("line")).alias("_h0"),
+        F.xxhash64(F.lit(1), F.col("line")).alias("_h1"),
+        F.length("line").alias("_len"),
+    ]
+    keyed = segs.select("doc_id", "pos", "line", *key)
+    groups = keyed.groupBy("_h0", "_h1", "_len").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    kept = (
+        keyed.join(groups, ["_h0", "_h1", "_len"])
+        .filter(
+            (F.col("occ") < min_repeat)
+            | ((F.col("first.doc_id") == F.col("doc_id")) & (F.col("first.pos") == F.col("pos")))
+        )
+        .select("doc_id", "pos", "line")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )

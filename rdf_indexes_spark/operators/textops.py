@@ -146,3 +146,69 @@ def token_count_bpe(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         nums.alias("n_number_tokens"),
         other.alias("n_other_tokens"),
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, top_token_count, top_token_ratio_x1000,
+    n_bigrams, top_bigram_count, dup_bigram_tokens, dup_bigram_ratio_x1000):
+    Gopher-style repetition signals — the fraction of the document covered
+    by its most frequent token, and the fraction of bigram occurrences
+    whose bigram appears more than once (Rae et al. 2021 §A1.1 use these
+    to drop boilerplate/repetitive pages before LM training).
+
+    Scale shape: explode → hash-aggregate on (doc, token) → re-aggregate
+    on doc. Both exchanges key on doc-scale values (no corpus-wide hot
+    key: a document's tokens all hash to (doc_id, tok) pairs), map-side
+    partial aggregation applies, and the final join is doc-keyed. No
+    Python, no windows. Integer-valued outputs (x1000 ratios, explicit
+    floor) so the DuckDB oracle matches exactly.
+    """
+    did = F.col(id_col).alias("doc_id")
+    toks = F.filter(_tokens(text_col), lambda t: F.length(t) > 0)
+    ex = docs.select(did, F.explode(toks).alias("tok"))
+    tok_counts = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_token_count"),
+    )
+    # bigrams: adjacent-token pairs in order, built array-side (zip of the
+    # token array against itself shifted by one) — no positional shuffle
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bex = docs.select(did, F.explode(bigrams).alias("bg"))
+    bg_counts = bex.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_bigram_tokens"
+        ),
+    )
+    out = (
+        docs.select(did)
+        .join(tok_stats, "doc_id", "left")
+        .join(bg_stats, "doc_id", "left")
+    )
+    nt = F.coalesce(F.col("n_tokens"), F.lit(0))
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    top_t = F.coalesce(F.col("top_token_count"), F.lit(0))
+    top_b = F.coalesce(F.col("top_bigram_count"), F.lit(0))
+    dup_b = F.coalesce(F.col("dup_bigram_tokens"), F.lit(0))
+    return out.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        top_t.cast("long").alias("top_token_count"),
+        F.when(nt > 0, F.floor(top_t * 1000 / nt)).otherwise(F.lit(0)).cast("long").alias(
+            "top_token_ratio_x1000"
+        ),
+        nb.cast("long").alias("n_bigrams"),
+        top_b.cast("long").alias("top_bigram_count"),
+        dup_b.cast("long").alias("dup_bigram_tokens"),
+        F.when(nb > 0, F.floor(dup_b * 1000 / nb)).otherwise(F.lit(0)).cast("long").alias(
+            "dup_bigram_ratio_x1000"
+        ),
+    )

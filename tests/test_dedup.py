@@ -151,3 +151,56 @@ def test_near_dup_keep_chain_clusters(spark):
         clusters.setdefault(find(d), []).append(d)
     want = sorted(min(m) for m in clusters.values())
     assert got == want == [0] + list(range(10, 12)) + [12] + list(range(13, 17)) + list(range(18, 20))
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from rdf_indexes_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello\nworld\nfoo"),
+            (2, "world\nbar\nhello"),  # world+hello repeat -> cut here
+            (3, "hello\nhello"),       # both occurrences cut (first is doc1)
+            (4, "unique line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in line_dedup(docs).collect()}
+    assert got == {
+        1: "hello\nworld\nfoo",
+        2: "bar",
+        3: "",
+        4: "unique line",
+    }
+
+
+def test_line_dedup_threshold_and_sep(spark):
+    from rdf_indexes_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "p q"), (2, "q r"), (3, "q s")],
+        "doc_id long, text string",
+    )
+    # min_repeat=3: 'q' occurs 3x -> kept only at (doc 1, pos 1)
+    got = {r["doc_id"]: r["text"] for r in line_dedup(docs, sep=" ", min_repeat=3).collect()}
+    assert got == {1: "p q", 2: "r", 3: "s"}
+    # min_repeat=4: nothing reaches the threshold -> identity
+    got = {r["doc_id"]: r["text"] for r in line_dedup(docs, sep=" ", min_repeat=4).collect()}
+    assert got == {1: "p q", 2: "q r", 3: "q s"}
+
+
+def test_line_dedup_idempotent_on_real_docs(spark):
+    """Applying line_dedup twice == once (the survivor set is already
+    globally unique below the threshold), on real test documents split
+    at a token boundary both engines can derive."""
+    from pyspark.sql import functions as F
+
+    from rdf_indexes_spark.operators.dedup import line_dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", F.regexp_replace("text", " table", "\ntable").alias("text"))
+    )
+    once = line_dedup(docs)
+    twice = line_dedup(once)
+    assert once.exceptAll(twice).isEmpty() and twice.exceptAll(once).isEmpty()

@@ -159,3 +159,55 @@ def test_token_count_bpe_matches_python_re(spark):
         row = got.loc[r.doc_id]
         assert (row.n_word_tokens, row.n_number_tokens, row.n_other_tokens) == (w, n, o)
         assert row.n_bpe_tokens == w + n + o
+
+
+def test_repetition_stats_counts(spark):
+    """Pandas-free golden check: token/bigram repetition fractions over
+    hand-computed documents (Gopher-style repetition signals)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # tokens a:3 b:2; bigrams {a b}x2 {b a}x2
+            (2, "x y z"),
+            (3, ""),
+            (4, "w"),
+            (5, "  a   b  "),  # whitespace runs collapse, no empty tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in X.repetition_stats(docs).collect()
+    }
+    assert got[1] == dict(doc_id=1, n_tokens=5, top_token_count=3,
+                          top_token_ratio_x1000=600, n_bigrams=4,
+                          top_bigram_count=2, dup_bigram_tokens=4,
+                          dup_bigram_ratio_x1000=1000)
+    assert got[2] == dict(doc_id=2, n_tokens=3, top_token_count=1,
+                          top_token_ratio_x1000=333, n_bigrams=2,
+                          top_bigram_count=1, dup_bigram_tokens=0,
+                          dup_bigram_ratio_x1000=0)
+    assert got[3] == dict(doc_id=3, n_tokens=0, top_token_count=0,
+                          top_token_ratio_x1000=0, n_bigrams=0,
+                          top_bigram_count=0, dup_bigram_tokens=0,
+                          dup_bigram_ratio_x1000=0)
+    assert got[4]["n_tokens"] == 1 and got[4]["n_bigrams"] == 0
+    assert got[5]["n_tokens"] == 2 and got[5]["n_bigrams"] == 1
+
+
+def test_repetition_stats_matches_python(spark):
+    """Cross-check against a pure-Python recount on real test docs."""
+    from collections import Counter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = X.repetition_stats(docs).toPandas().set_index("doc_id")
+    pdf = docs.select("doc_id", "text").toPandas()
+    for r in pdf.itertuples():
+        toks = [t for t in (r.text or "").lower().strip().split() if t]
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        tc, bc = Counter(toks), Counter(bgs)
+        row = got.loc[r.doc_id]
+        assert row.n_tokens == len(toks)
+        assert row.top_token_count == (max(tc.values()) if tc else 0)
+        assert row.n_bigrams == len(bgs)
+        assert row.top_bigram_count == (max(bc.values()) if bc else 0)
+        assert row.dup_bigram_tokens == sum(c for c in bc.values() if c > 1)
