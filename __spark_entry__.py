@@ -1151,6 +1151,23 @@ def _q_sparql_filter_cmp(spark, sf_dir):
     )
 
 
+def _q_sparql_subquery(spark, sf_dir):
+    """G23: SPARQL 1.1 subquery — per-subject P1-degree computed in a
+    nested SELECT, joined to the outer P0 pattern on the shared ?x, then
+    FILTERed numerically on the typed COUNT alias."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?y ?n WHERE {{ ?x P{p0} ?y . "
+        f"{{ SELECT ?x (COUNT(*) AS ?n) WHERE {{ ?x P{p1} ?z }} GROUP BY ?x }} . "
+        f"FILTER (?n >= 2) }}",
+        tables,
+        vocabs,
+    )
+
+
 def _q_path_closure(spark, sf_dir):
     """G4: one-or-more property path (p0+) — distributed path-doubling
     transitive closure over the min-predicate's edge set (single id
@@ -1250,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g17_sparql_paging": _q_sparql_paging,
         "g18_sparql_construct": _q_sparql_construct,
         "g19_sparql_sum_avg": _q_sparql_sum_avg,
+        "g23_sparql_subquery": _q_sparql_subquery,
         "g20_sparql_bind": _q_sparql_bind,
         "g21_sparql_describe": _q_sparql_describe,
         "g22_sparql_filter_cmp": _q_sparql_filter_cmp,
@@ -1524,6 +1542,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION "
             "SELECT 'E' || CAST(z AS VARCHAR) AS s, 'linkedBy' AS p, "
             "'E' || CAST(x AS VARCHAR) AS o FROM sol"
+        ),
+        "g23_sparql_subquery": (
+            # nested per-subject degree + numeric filter on the alias
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "
+            "sub AS (SELECT s, count(*) AS n FROM t, c WHERE p = c.p1 GROUP BY s) "
+            "SELECT 'E' || CAST(t.s AS VARCHAR) AS x, 'E' || CAST(t.o AS VARCHAR) AS y, "
+            "CAST(n AS BIGINT) AS n FROM t, c, sub "
+            "WHERE t.p = c.p0 AND sub.s = t.s AND n >= 2"
         ),
         "g19_sparql_sum_avg": (
             # SPARQL numeric aggregates: object term is the digit string

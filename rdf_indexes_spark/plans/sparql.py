@@ -16,6 +16,7 @@ usable at the string level end-to-end:
                                               | '!' p | '!' '(' p|p|... ')')
                                         ('+'|'*'|'?')?
         [{ s p o ... } UNION { s p o ... } [UNION { ... }]] ...
+        [{ SELECT ... WHERE { ... } [GROUP BY ...] ... }] ...
         [OPTIONAL { s p o ... }] ...
         [MINUS { s p o ... }] ...
         [VALUES ?v { term ... }] ...
@@ -43,6 +44,19 @@ of the listed constant terms occupies any role — the union of the
 decoded and duplicate-free (a term can reach the same triple through
 two roles). A term absent from every vocabulary contributes nothing;
 no WHERE clause or solution modifiers in this subset.
+
+``{ SELECT ... }`` inside a group is a SPARQL 1.1 §12 subquery: it
+evaluates bottom-up as an independent query (its own aggregates,
+grouping, modifiers — anything this subset supports, including further
+nesting) and ONLY its projected variables are visible outside. The
+solution frame joins the rest of the group on shared variables — at
+the TERM level for plain variables (decoded strings on both sides) —
+and extends it cartesianly when nothing is shared (the classic
+"attach the global average" shape). COUNT/SUM/AVG aliases stay typed
+(long/double): projectable, ORDER BY-able, FILTER-comparable
+numerically, usable as outer aggregate arguments — but never decoded
+through a vocabulary. An aggregate alias that shadows an outer pattern
+variable is rejected.
 
 ``BIND(expr AS ?new)`` extends every solution with a derived TERM
 column — ``expr`` is a variable copy, a constant, or
@@ -266,6 +280,8 @@ class SparqlQuery:
     # (expr, alias) in listed order; expr is a nested tuple:
     # ('var', name) | ('const', text) | ('concat', (expr, ...))
     binds: list[tuple[tuple, str]] = field(default_factory=list)
+    # nested { SELECT ... } groups, each a full SparqlQuery (form SELECT)
+    subqueries: list["SparqlQuery"] = field(default_factory=list)
     describe_terms: list[str] = field(default_factory=list)  # DESCRIBE form
     filters: list[Filter] = field(default_factory=list)
     exists_filters: list[tuple[bool, list[tuple]]] = field(default_factory=list)
@@ -612,7 +628,33 @@ def parse_sparql(text: str) -> SparqlQuery:
                 return
             if k is None:
                 raise ValueError("unterminated graph pattern (missing '}')")
-            if allow_blocks and (k, v) == ("brace", "{"):
+            if (
+                allow_blocks
+                and (k, v) == ("brace", "{")
+                and pos + 1 < len(toks)
+                and toks[pos + 1][0] == "bare"
+                and toks[pos + 1][1].upper() == "SELECT"
+            ):
+                # { SELECT ... } — SPARQL 1.1 subquery: capture the
+                # balanced token slice and parse it recursively. Token
+                # values are atomic (literals keep their quotes, no token
+                # contains whitespace outside quotes), so the space-join
+                # retokenizes to the identical stream.
+                take()  # opening {
+                nonlocal_depth = 1
+                start = pos
+                while nonlocal_depth:
+                    k2, v2 = take()
+                    if k2 is None:
+                        raise ValueError("unterminated subquery (missing '}')")
+                    if k2 == "brace":
+                        nonlocal_depth += 1 if v2 == "{" else -1
+                inner = toks[start : pos - 1]
+                sub = parse_sparql(" ".join(v2 for _, v2 in inner))
+                if sub.form != "SELECT":
+                    raise ValueError("subqueries must be SELECT queries")
+                q.subqueries.append(sub)
+            elif allow_blocks and (k, v) == ("brace", "{"):
                 # { branch } UNION { branch } [UNION { branch }]*
                 branches: list[list[tuple]] = []
                 while True:
@@ -725,7 +767,7 @@ def parse_sparql(text: str) -> SparqlQuery:
     if kw("WHERE"):
         take()
     group(q.patterns, allow_blocks=True)
-    if not q.patterns and not q.unions:
+    if not q.patterns and not q.unions and not q.subqueries:
         raise ValueError("empty graph pattern")
 
     if kw("GROUP"):
@@ -802,6 +844,17 @@ def parse_sparql(text: str) -> SparqlQuery:
         + [p for opt in q.optionals for p in opt]
     )
     pattern_vars = {t.name for pat in all_pats for t in pat if isinstance(t, Var)}
+    # subquery projections are bound in the outer scope (SPARQL 1.1 §12:
+    # only SELECTed variables are visible); an aggregate alias that
+    # shadows an outer pattern variable would silently join two different
+    # things — reject it
+    sub_agg_aliases = {a for sub in q.subqueries for *_, a in sub.aggregates}
+    clash_sub = sorted(sub_agg_aliases & pattern_vars)
+    if clash_sub:
+        raise ValueError(
+            f"subquery aggregate aliases shadow outer pattern variables: {clash_sub}"
+        )
+    pattern_vars |= {v for sub in q.subqueries for v in (sub.variables or [])}
 
     def _expr_vars(e: tuple) -> list[str]:
         if e[0] == "var":
@@ -1103,6 +1156,19 @@ _CMP_OPS = {
 }
 
 
+def _typed_value_predicate(col, f: Filter):
+    """FILTER over a TYPED value column (a subquery COUNT/SUM/AVG alias):
+    numeric constant ⇒ numeric comparison on the native type, otherwise
+    compare the value's string form; regex matches the string form."""
+    if f.kind == "regex":
+        return col.cast("string").rlike(f.arg)
+    ops = {"eq": lambda a, b: a == b, "ne": lambda a, b: a != b, **_CMP_OPS}
+    op = ops[f.kind]
+    if _NUM_PAT.fullmatch(f.arg):
+        return op(col.cast("double"), F.lit(float(f.arg)))
+    return op(col.cast("string"), F.lit(f.arg))
+
+
 def _term_predicate(col, f: Filter):
     """The FILTER condition over a TERM column. Ordering comparisons
     follow SPARQL operand typing: a numeric constant forces a numeric
@@ -1229,6 +1295,19 @@ def run_sparql(
             for t in (pat[0], pat[2]):
                 if isinstance(t, Var):
                     multi_role.add(t.name)
+    # subquery projections arrive DECODED: string columns for plain vars
+    # and MIN/MAX/SAMPLE/GROUP_CONCAT aliases (→ multi_role, so outer
+    # occurrences join at the term level and decode no-ops), typed
+    # long/double for COUNT/SUM/AVG aliases (→ sub_numeric: never decode,
+    # compare numerically)
+    sub_numeric: set[str] = set()
+    for sub in q.subqueries:
+        agg_types = {alias: fn for fn, _, _, alias in sub.aggregates}
+        for v in sub.variables or []:
+            if agg_types.get(v) in ("COUNT", "SUM", "AVG"):
+                sub_numeric.add(v)
+            else:
+                multi_role.add(v)
 
     def provably_empty() -> DataFrame:
         if q.form == "ASK":
@@ -1265,7 +1344,7 @@ def run_sparql(
             for i, p in enumerate(q.patterns)
         ]
         acc, acc_vars = _greedy_join(resolved)
-    else:  # union-only group (the parser guarantees q.unions non-empty)
+    else:  # union-only or subquery-only group
         acc, acc_vars = None, set()
 
     for branches in q.unions:
@@ -1299,6 +1378,21 @@ def run_sparql(
             shared = sorted(acc_vars & u_vars)
             acc = acc.join(u, on=shared) if shared else acc.crossJoin(u)
             acc_vars |= u_vars
+
+    for sub in q.subqueries:
+        # SPARQL 1.1 §12: evaluate the subquery bottom-up, then join its
+        # solution frame with the rest of the group on shared variables
+        # (terms for plain vars — outer occurrences were forced
+        # multi_role above; typed values for aggregate aliases). No
+        # shared variable = cartesian extension, per the algebra.
+        sub_df = run_sparql(sub, tables, vocabs)
+        sub_vars = set(sub_df.columns)
+        if acc is None:
+            acc, acc_vars = sub_df, set(sub_vars)
+        else:
+            shared = sorted(acc_vars & sub_vars)
+            acc = acc.join(sub_df, on=shared) if shared else acc.crossJoin(sub_df)
+            acc_vars |= sub_vars
 
     for opt in q.optionals:
         opt_vars = {t.name for pat in opt for t in pat if isinstance(t, Var)}
@@ -1348,6 +1442,8 @@ def run_sparql(
         # semi-join for an id-typed var (absent terms match nothing)
         if var in multi_role:
             acc = acc.filter(F.col(var).isin(terms))
+        elif var not in roles:  # typed subquery aggregate alias
+            acc = acc.filter(F.col(var).cast("string").isin(terms))
         else:
             role = next(iter(roles[var]))
             matching = vocabs[role].filter(F.col("term").isin(terms)).select(
@@ -1358,7 +1454,10 @@ def run_sparql(
             )
 
     for f in q.filters:
-        acc = _apply_filter(acc, f, roles, multi_role, vocabs)
+        if f.var in sub_numeric:  # typed value column, no vocab dimension
+            acc = acc.filter(_typed_value_predicate(F.col(f.var), f))
+        else:
+            acc = _apply_filter(acc, f, roles, multi_role, vocabs)
 
     for positive, ex in q.exists_filters:
         if not _consts_resolved(ex, const_ids):
@@ -1422,11 +1521,14 @@ def run_sparql(
     agg_aliases = {alias for *_, alias in q.aggregates}
     if q.aggregates or q.group_by:
         to_decode = sorted(
-            {a for fn, a, _, _ in q.aggregates if a is not None and fn != "COUNT"}
+            {a for fn, a, _, _ in q.aggregates
+             if a is not None and fn != "COUNT" and a not in sub_numeric}
         )
-        post_decode = [v for v in q.group_by if v not in multi_role]
+        post_decode = [
+            v for v in q.group_by if v not in multi_role and v not in sub_numeric
+        ]
     else:
-        to_decode = q.variables
+        to_decode = [v for v in q.variables if v not in sub_numeric]
         post_decode = []
 
     for v in to_decode:
@@ -1475,7 +1577,7 @@ def run_sparql(
                 # multiset -> 0 (Sum({}) = Avg({}) = 0, §18.5). Integer
                 # terms keep the double exact, so results are
                 # cross-engine deterministic.
-                col = F.col(arg)
+                col = F.col(arg).cast("string")
                 is_num = col.rlike(_NUM_RE)
                 num = F.when(is_num, col.cast("double"))
                 any_bad = F.max(

@@ -1222,3 +1222,114 @@ def test_filter_cmp_on_multirole_and_unbound(idx):
         vocabs,
     )
     assert _rows(out) == [("alice", "alice")]
+
+
+# ------------------------------------------------- SPARQL 1.1 subqueries
+
+
+def test_subquery_join_on_shared_var(idx):
+    """Per-subject knows-degree joined to the outer likes pattern —
+    inner join on the shared ?x (carol likes dave but knows nothing, so
+    she drops)."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?y ?n WHERE { ?x likes ?y . "
+        "{ SELECT ?x (COUNT(*) AS ?n) WHERE { ?x knows ?z } GROUP BY ?x } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob", "alice", 1)]
+
+
+def test_subquery_filter_on_typed_alias(idx):
+    """A COUNT alias stays a LONG: FILTER compares numerically."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?n WHERE { ?x knows ?y . "
+        "{ SELECT ?x (COUNT(*) AS ?n) WHERE { ?x knows ?z } GROUP BY ?x } . "
+        "FILTER (?n >= 1) }",
+        tables,
+        vocabs,
+    )
+    # every knower has degree 1 in the module fixture: one row per edge
+    assert _rows(out) == [("alice", 1), ("bob", 1), ("dave", 1)]
+
+
+def test_subquery_cartesian_attaches_global_aggregate(idx):
+    """No shared variable: the implicit-group COUNT extends every outer
+    solution (the 'attach the corpus total' shape)."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?total WHERE { ?x likes ?y . "
+        "{ SELECT (COUNT(*) AS ?total) WHERE { ?a knows ?b } } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob", 3), ("carol", 3)]
+
+
+def test_subquery_only_group(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?n WHERE { "
+        "{ SELECT ?x (COUNT(*) AS ?n) WHERE { ?x knows ?z } GROUP BY ?x } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", 1), ("bob", 1), ("dave", 1)]
+
+
+def test_subquery_shares_var_across_roles_by_term(idx):
+    """?y is an OBJECT outside and a SUBJECT inside the subquery: the
+    join must be term-level (raw id joins would pair unrelated terms in
+    the misaligned fixture)."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?y ?c WHERE { ?x knows ?y . "
+        "{ SELECT ?y (COUNT(*) AS ?c) WHERE { ?y likes ?w } GROUP BY ?y } }",
+        tables,
+        vocabs,
+    )
+    # knows-objects: bob, carol, dave(x2); likes-subjects: carol, bob
+    assert _rows(out) == [("bob", 1), ("carol", 1)]
+
+
+def test_subquery_nested_two_levels(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?total WHERE { { SELECT (COUNT(*) AS ?total) WHERE { "
+        "{ SELECT ?q (COUNT(*) AS ?m) WHERE { ?q knows ?w } GROUP BY ?q } } } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [(3,)]  # three distinct knowers
+
+
+def test_subquery_modifiers_apply_inside(idx):
+    """LIMIT inside the subquery caps the inner solutions before the
+    outer join (SPARQL bottom-up evaluation)."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x WHERE { "
+        "{ SELECT ?x WHERE { ?x knows ?y } ORDER BY ?x LIMIT 1 } }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice",)]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # aggregate alias shadows an outer pattern variable
+        "SELECT ?x WHERE { ?x knows ?y . "
+        "{ SELECT (COUNT(*) AS ?y) WHERE { ?a knows ?b } } }",
+        # unterminated subquery
+        "SELECT ?x WHERE { { SELECT ?x WHERE { ?x knows ?y } ",
+        # ASK cannot nest as a subquery (only SELECT parses after '{')
+        "SELECT ?x WHERE { { ASK { ?x knows ?y } } }",
+    ],
+)
+def test_subquery_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
