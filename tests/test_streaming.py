@@ -110,3 +110,72 @@ def test_stream_dedup_turns(spark, transcripts, workdir):
     got = spark.table("dedup_turns")
     assert got.count() == transcripts.count()
     assert got.select("conv_id", "turn_idx").distinct().count() == got.count()
+
+
+def test_stream_ingest_lsm(spark, workdir):
+    """Streaming foreachBatch ingest == batch merge_delta on the same feed:
+    decoded triple sets equal, ids stable for base terms, and the
+    idempotency manifest records every applied micro-batch."""
+    import json
+    import tempfile
+
+    from rdf_indexes_spark import delta as dl
+    from rdf_indexes_spark.pipeline import run_pipeline
+    from rdf_indexes_spark.streaming.ingest_stream import stream_ingest
+    from rdf_indexes_spark.synth import generate
+
+    base = spark.createDataFrame(generate(300, seed=31).transcripts)
+    feed1 = spark.createDataFrame(generate(120, seed=32).transcripts)
+    feed2 = spark.createDataFrame(generate(80, seed=33).transcripts)
+
+    # streamed index: base build + two feed drops, each drained as ONE
+    # micro-batch (canonicalization is per-batch, so parity with the batch
+    # path requires identical batch composition — the documented contract)
+    swd = tempfile.mkdtemp(prefix="stream_idx_")
+    run_pipeline(spark, base, swd, num_partitions=4, input_id="base")
+    feed = os.path.join(workdir, "ingest_feed")
+    ckpt = os.path.join(workdir, "ingest_ckpt")
+    write_transcripts(feed1.coalesce(1), feed)
+    q = stream_ingest(spark, feed, swd, ckpt, max_files=16, num_partitions=4)
+    q.awaitTermination(300)
+    write_transcripts(feed2.coalesce(1), feed, mode="append")
+    q = stream_ingest(spark, feed, swd, ckpt, max_files=16, num_partitions=4)
+    q.awaitTermination(300)
+
+    # batch index: same base, merge_delta per drop in the same order
+    bwd = tempfile.mkdtemp(prefix="batch_idx_")
+    run_pipeline(spark, base, bwd, num_partitions=4, input_id="base")
+    dl.merge_delta(spark, bwd, feed1, num_partitions=4, delta_id="d1")
+    dl.merge_delta(spark, bwd, feed2, num_partitions=4, delta_id="d2")
+
+    def _decoded(wd):
+        ranked, triples, _ = dl.read_index(spark, wd)
+        out = triples
+        for col in ("s", "p", "o"):
+            role = {"s": "s", "p": "p", "o": "o"}[col]
+            v = ranked.filter(F.col("role") == role).select(
+                F.col("id").alias(col), F.col("term").alias(f"{col}_term")
+            )
+            out = out.join(v, col)
+        return {
+            (r["s_term"], r["p_term"], r["o_term"])
+            for r in out.select("s_term", "p_term", "o_term").collect()
+        }
+
+    assert _decoded(swd) == _decoded(bwd)
+
+    # identical batching → the full (role, term) → id mapping must agree
+    # (base-term stability is implied: both paths share the base build)
+    sr, _, _ = dl.read_index(spark, swd)
+    br, _, _ = dl.read_index(spark, bwd)
+    on = ["role", "term"]
+    joined = sr.join(br.select(*on, F.col("id").alias("bid")), on, "full")
+    assert joined.filter(
+        F.col("id").isNull() | F.col("bid").isNull() | (F.col("id") != F.col("bid"))
+    ).count() == 0
+
+    # idempotency manifest: one entry per applied micro-batch, counters kept
+    with open(os.path.join(swd, "stream_applied.json")) as f:
+        applied = json.load(f)
+    assert len(applied) == 2  # one micro-batch per feed drop
+    assert all("total_triples" in v for v in applied.values())
