@@ -304,15 +304,60 @@ def cmd_ingest(args) -> int:
         extend_vocab=not args.frozen_vocab,
         delta_id=args.input,
     )
-    # refresh the contract locations (<index>/stats + stats.txt + vocabs)
-    stats = spark.read.parquet(os.path.join(args.index, "perms", "stats"))
-    stats.write.mode("overwrite").parquet(os.path.join(args.index, "stats"))
-    perm.export_stats_text(stats, os.path.join(args.index, "stats.txt"))
-    ranked = dl.read_vocab_ranked(spark, args.index)
+    _refresh_exports(spark, args.index)
+    print(json.dumps({"ingested": args.input, **counters}))
+    return 0
+
+
+def _refresh_exports(spark, index: str) -> None:
+    """Refresh the contract locations after an ingest:
+    <index>/stats (parquet) + stats.txt + reference-format vocab text."""
+    from . import delta as dl
+    from .operators import permutations as perm
+
+    stats = spark.read.parquet(os.path.join(index, "perms", "stats"))
+    stats.write.mode("overwrite").parquet(os.path.join(index, "stats"))
+    perm.export_stats_text(stats, os.path.join(index, "stats.txt"))
+    ranked = dl.read_vocab_ranked(spark, index)
     for role in ("s", "p", "o"):
         v = ranked.filter(ranked.role == role).select("term", "id", "cnt")
-        perm.export_vocab_text(v, os.path.join(args.index, "vocabs", f"{role}_vocab"))
-    print(json.dumps({"ingested": args.input, **counters}))
+        perm.export_vocab_text(v, os.path.join(index, "vocabs", f"{role}_vocab"))
+
+
+def cmd_stream_ingest(args) -> int:
+    """Live ingest: drain (or follow) a transcript feed directory via
+    Structured Streaming; each micro-batch lands as one delta generation
+    (streaming/ingest_stream.stream_ingest)."""
+    from .streaming.ingest_stream import stream_ingest
+
+    if not os.path.isdir(os.path.join(args.index, "vocabs_ranked")):
+        print(
+            "stream-ingest requires an index built with --format transcripts "
+            f"(no vocabs_ranked stage under {args.index})",
+            file=sys.stderr,
+        )
+        return 2
+    spark = _spark(args)
+    q = stream_ingest(
+        spark,
+        args.feed,
+        args.index,
+        args.checkpoint,
+        max_files=args.max_files,
+        num_partitions=args.partitions,
+        extend_vocab=not args.frozen_vocab,
+        available_now=not args.follow,
+    )
+    q.awaitTermination(args.timeout if args.timeout > 0 else None)
+    if q.isActive:
+        q.stop()
+    _refresh_exports(spark, args.index)
+    applied_path = os.path.join(args.index, "stream_applied.json")
+    applied = {}
+    if os.path.exists(applied_path):
+        with open(applied_path) as f:
+            applied = json.load(f)
+    print(json.dumps({"feed": args.feed, "batches_applied": len(applied)}))
     return 0
 
 
@@ -399,6 +444,29 @@ def main(argv=None) -> int:
     cp.add_argument("--index", required=True)
     cp.add_argument("--partitions", type=int, default=None)
     cp.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser(
+        "stream-ingest",
+        help="drain/follow a transcript feed dir via Structured Streaming "
+        "(one delta generation per micro-batch, idempotent on replay)",
+    )
+    st.add_argument("--index", required=True, help="index dir from `build --format transcripts`")
+    st.add_argument("--feed", required=True, help="feed directory of transcript parquet files")
+    st.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+    st.add_argument("--max-files", type=int, default=16, help="maxFilesPerTrigger")
+    st.add_argument(
+        "--follow",
+        action="store_true",
+        help="keep running for new files (default: drain whatever is present, then stop)",
+    )
+    st.add_argument("--timeout", type=int, default=0, help="awaitTermination seconds (0 = forever)")
+    st.add_argument(
+        "--frozen-vocab",
+        action="store_true",
+        help="drop-and-log mentions with unknown terms instead of extending the dictionaries",
+    )
+    st.add_argument("--partitions", type=int, default=None)
+    st.set_defaults(fn=cmd_stream_ingest)
 
     sq = sub.add_parser(
         "sparql",

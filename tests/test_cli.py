@@ -266,3 +266,45 @@ def test_cli_build_hash_mmh3_encodes(built_index):
     assert "quarantined" not in r.stderr
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep["num_triples"] == 4  # same dedup as the plain build
+
+
+def test_cli_stream_ingest(tmp_path):
+    """stream-ingest drains a feed dir into an existing transcripts index:
+    generations appear, statistics tracks growth, the idempotency manifest
+    is written, and a second drain of the SAME feed applies nothing new."""
+    src = str(tmp_path / "transcripts.parquet")
+    _write_transcripts_parquet(src, 250, seed=11)
+    idx = str(tmp_path / "idx")
+    r = _run("build", "--input", src, "--format", "transcripts", "--out", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_transcripts_parquet(str(feed / "drop1.parquet"), 120, seed=12)
+    ckpt = str(tmp_path / "ckpt")
+    r = _run("stream-ingest", "--index", idx, "--feed", str(feed), "--checkpoint", ckpt,
+             "--timeout", "240")
+    assert r.returncode == 0, r.stderr[-2000:]
+    srep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert srep["batches_applied"] == 1
+
+    r = _run("statistics", "--index", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = dict(
+        line.split(": ") for line in r.stdout.splitlines() if ": " in line and "perm " not in line
+    )
+    grown = int(out["num_triples"])
+    assert grown > rep["num_triples"]
+
+    # re-drain the same feed on the same checkpoint: no new batches, no growth
+    r = _run("stream-ingest", "--index", idx, "--feed", str(feed), "--checkpoint", ckpt,
+             "--timeout", "240")
+    assert r.returncode == 0, r.stderr[-2000:]
+    srep2 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert srep2["batches_applied"] == 1
+    r = _run("statistics", "--index", idx)
+    out2 = dict(
+        line.split(": ") for line in r.stdout.splitlines() if ": " in line and "perm " not in line
+    )
+    assert int(out2["num_triples"]) == grown
