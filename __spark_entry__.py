@@ -1095,11 +1095,16 @@ def _q_sparql_sum_avg(spark, sf_dir):
     from rdf_indexes_spark.plans.sparql import run_sparql
 
     tables, vocabs = _sparql_numeric_index(spark, sf_dir)
-    return run_sparql(
+    out = run_sparql(
         "SELECT ?p (SUM(?y) AS ?t) (AVG(?y) AS ?m) WHERE { ?x ?p ?y } GROUP BY ?p",
         tables,
         vocabs,
     )
+    # unbound aggregates come back NULL; coalesce to a sentinel AFTER the
+    # SPARQL evaluation so the emitted frame is NaN-free (NaN rows defeat
+    # any order-insensitive value compare — sorting tuples with NaN is
+    # order-unstable). The oracle applies the same COALESCE.
+    return out.na.fill({"t": -1.0, "m": -1.0})
 
 
 def _q_sparql_bind(spark, sf_dir):
@@ -1560,9 +1565,9 @@ def oracle_sql() -> dict[str, str]:
             # engines).
             f"WITH t AS ({_TRIPLES_SQL}) "
             "SELECT 'P' || CAST(p AS VARCHAR) AS p, "
-            "CASE WHEN bool_or(o % 7 = 0) THEN NULL "
+            "CASE WHEN bool_or(o % 7 = 0) THEN -1.0 "
             "     ELSE SUM(CAST(o AS DOUBLE)) END AS t, "
-            "CASE WHEN bool_or(o % 7 = 0) THEN NULL "
+            "CASE WHEN bool_or(o % 7 = 0) THEN -1.0 "
             "     ELSE AVG(CAST(o AS DOUBLE)) END AS m "
             "FROM t GROUP BY p"
         ),

@@ -30,7 +30,9 @@ def _canon(pdf: pd.DataFrame) -> list[tuple]:
         if out[c].dtype == object:
             out[c] = out[c].astype(str)
         elif out[c].dtype.kind == "f":
-            out[c] = out[c].round(9)
+            # NaN-free before sorting: tuples containing NaN have no total
+            # order, so sorted() output depends on input order (flaky)
+            out[c] = out[c].round(9).fillna(float("-inf"))
     return sorted(map(tuple, out.itertuples(index=False, name=None)))
 
 
