@@ -1156,6 +1156,22 @@ def _q_sparql_filter_cmp(spark, sf_dir):
     )
 
 
+def _q_sparql_strfns(spark, sf_dir):
+    """G24: SPARQL 1.1 string built-ins — STRSTARTS pushed into the
+    s-vocab dimension (single-role ?x), CONTAINS + STRLEN on the decoded
+    object term; all literal-verbatim, no regex interpretation."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f'SELECT ?x ?y WHERE {{ ?x P{p0} ?y . FILTER STRSTARTS(?x, "E1") . '
+        f'FILTER CONTAINS(?y, "7") . FILTER ( STRLEN(?y) <= 3 ) }}',
+        tables,
+        vocabs,
+    )
+
+
 def _q_sparql_subquery(spark, sf_dir):
     """G23: SPARQL 1.1 subquery — per-subject P1-degree computed in a
     nested SELECT, joined to the outer P0 pattern on the shared ?x, then
@@ -1276,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_sparql_bind": _q_sparql_bind,
         "g21_sparql_describe": _q_sparql_describe,
         "g22_sparql_filter_cmp": _q_sparql_filter_cmp,
+        "g24_sparql_strfns": _q_sparql_strfns,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -1594,6 +1611,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'E' || CAST(s AS VARCHAR) AS x, CAST(o AS VARCHAR) AS y "
             "FROM t, c, thr WHERE p = c.p0 AND o % 7 != 0 "
             "AND CAST(o AS DOUBLE) >= thr.v"
+        ),
+        "g24_sparql_strfns": (
+            # string built-ins over decoded terms 'E<id>': STRSTARTS(?x,
+            # "E1") = id text starting with '1', CONTAINS(?y, "7") and
+            # STRLEN(?y) <= 3 on the object's surface form (bag semantics)
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
+            "FROM t, c WHERE p = c.p0 "
+            "AND CAST(s AS VARCHAR) LIKE '1%' "
+            "AND ('E' || CAST(o AS VARCHAR)) LIKE '%7%' "
+            "AND LENGTH('E' || CAST(o AS VARCHAR)) <= 3"
         ),
         "g4_path_closure": (
             f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "

@@ -23,6 +23,8 @@ usable at the string level end-to-end:
         [BIND( (?v | term | CONCAT(arg, ...)) AS ?new )] ...
         [FILTER regex(?v, "pattern")] [FILTER ( ?v op term )] ...
             op := = | != | < | <= | > | >=
+        [FILTER STRSTARTS|STRENDS|CONTAINS(?v, "lit")] ...
+        [FILTER ( STRLEN(?v) op n )] ...
         [FILTER EXISTS { s p o ... }] [FILTER NOT EXISTS { s p o ... }] ...
     } [GROUP BY ?v ...] [HAVING ( ?a op const ) ...]
       [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
@@ -151,8 +153,11 @@ or quoted form (same rule as ``( ) ,``).
 
 ``OPTIONAL`` groups left-join onto the required pattern's solutions on
 their shared variables (unmatched rows keep NULLs — standard SPARQL).
-``FILTER`` supports ``regex(?v, "re")`` (Spark ``rlike`` / Java regex)
-and ``?v op term`` for ``= != < <= > >=``. Ordering comparisons follow
+``FILTER`` supports ``regex(?v, "re")`` (Spark ``rlike`` / Java regex),
+``?v op term`` for ``= != < <= > >=``, the string built-ins
+``STRSTARTS/STRENDS/CONTAINS(?v, "lit")`` (verbatim match, no regex
+metacharacters — codegen'd StartsWith/EndsWith/Contains), and
+``STRLEN(?v) op n``. Ordering comparisons follow
 SPARQL 1.1 operand typing: when the constant is NUMERIC (matches
 ``-?[0-9]+(\\.[0-9]+)?``) the comparison is numeric and a non-numeric
 term is a type error that drops the row; otherwise both sides compare
@@ -262,8 +267,9 @@ class PathExpr:
 @dataclass(frozen=True)
 class Filter:
     kind: str  # "regex" | "eq" | "ne" | "lt" | "le" | "gt" | "ge"
+    #          | "strstarts" | "strends" | "contains" | "strlen_<cmp>"
     var: str
-    arg: str  # regex pattern or the constant's term text
+    arg: str  # regex pattern, literal, length bound, or constant term text
 
 
 @dataclass
@@ -603,6 +609,38 @@ def parse_sparql(text: str) -> SparqlQuery:
                 raise ValueError('regex() needs a quoted "pattern"')
             expect("punct", ")")
             f = Filter("regex", var, _term("lit", pat).text)
+        elif k == "bare" and v.lower() in ("strstarts", "strends", "contains"):
+            # STRSTARTS/STRENDS/CONTAINS(?v, "lit") — literal-match
+            # built-ins (SPARQL 1.1 §17.4.3); argument must be a plain
+            # literal, no regex metacharacter interpretation
+            fn = v.lower()
+            expect("punct", "(")
+            kk, vv = take()
+            if kk != "var":
+                raise ValueError(f"{fn}() needs a ?variable first")
+            var = vv[1:]
+            expect("punct", ",")
+            kk, lit = take()
+            if kk != "lit":
+                raise ValueError(f'{fn}() needs a quoted "literal"')
+            expect("punct", ")")
+            f = Filter(fn, var, _term("lit", lit).text)
+        elif k == "bare" and v.lower() == "strlen":
+            # STRLEN(?v) <op> n — length comparison against an integer
+            expect("punct", "(")
+            kk, vv = take()
+            if kk != "var":
+                raise ValueError("strlen() needs a ?variable")
+            var = vv[1:]
+            expect("punct", ")")
+            kk, op = take()
+            kinds = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}
+            if kk != "bare" or op not in kinds:
+                raise ValueError(f"strlen comparison needs =/!=/</<=/>/>=, got {op!r}")
+            kk, num = take()
+            if kk != "bare" or not num.isdigit():
+                raise ValueError("strlen comparison needs an integer constant")
+            f = Filter("strlen_" + kinds[op], var, num)
         elif k == "var":
             var = v[1:]
             kk, op = take()
@@ -1162,11 +1200,34 @@ def _typed_value_predicate(col, f: Filter):
     compare the value's string form; regex matches the string form."""
     if f.kind == "regex":
         return col.cast("string").rlike(f.arg)
+    if f.kind in _STR_FNS or f.kind.startswith("strlen_"):
+        return _string_fn_predicate(col.cast("string"), f)
     ops = {"eq": lambda a, b: a == b, "ne": lambda a, b: a != b, **_CMP_OPS}
     op = ops[f.kind]
     if _NUM_PAT.fullmatch(f.arg):
         return op(col.cast("double"), F.lit(float(f.arg)))
     return op(col.cast("string"), F.lit(f.arg))
+
+
+_STR_FNS = {"strstarts", "strends", "contains"}
+
+
+def _string_fn_predicate(col, f: Filter):
+    """SPARQL 1.1 string built-ins over a string column. The literal
+    argument is matched verbatim (no regex interpretation — `.` is a
+    dot), so these map to Column.startswith/endswith/contains which
+    Catalyst compiles to codegen'd StartsWith/EndsWith/Contains (and
+    pushes into the parquet scan when the column is a data column)."""
+    if f.kind == "strstarts":
+        return col.startswith(f.arg)
+    if f.kind == "strends":
+        return col.endswith(f.arg)
+    if f.kind == "contains":
+        return col.contains(f.arg)
+    op = {"eq": lambda a, b: a == b, "ne": lambda a, b: a != b, **_CMP_OPS}[
+        f.kind.removeprefix("strlen_")
+    ]
+    return op(F.length(col), F.lit(int(f.arg)))
 
 
 def _term_predicate(col, f: Filter):
@@ -1176,6 +1237,8 @@ def _term_predicate(col, f: Filter):
     non-numeric constant compares codepoint strings."""
     if f.kind == "regex":
         return col.rlike(f.arg)
+    if f.kind in _STR_FNS or f.kind.startswith("strlen_"):
+        return _string_fn_predicate(col, f)
     if f.kind == "eq":
         return col == F.lit(f.arg)
     if f.kind == "ne":

@@ -1333,3 +1333,58 @@ def test_subquery_modifiers_apply_inside(idx):
 def test_subquery_parse_errors(bad):
     with pytest.raises(ValueError):
         parse_sparql(bad)
+
+
+def test_filter_string_builtins(idx):
+    """STRSTARTS/STRENDS/CONTAINS match literally (no regex semantics)
+    and push into the vocab dimension for single-role variables."""
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x ?y WHERE { ?x knows ?y . FILTER STRSTARTS(?x, "da") }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("dave", "dave")]
+    out = run_sparql(
+        'SELECT ?x WHERE { ?x knows ?y . FILTER STRENDS(?y, "ol") }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob",)]
+    # multi-role var: plain string predicate on the joined result
+    out = run_sparql(
+        'SELECT ?x ?z WHERE { ?x knows ?y . ?y likes ?z . FILTER CONTAINS(?y, "aro") }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob", "dave")]
+    # verbatim match: "." is a literal dot, not regex any-char
+    out = run_sparql(
+        'SELECT ?x WHERE { ?x knows ?y . FILTER CONTAINS(?x, ".") }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == []
+
+
+def test_filter_strlen(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?y WHERE { ?x knows ?y . FILTER ( STRLEN(?x) <= 4 ) }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob", "carol"), ("dave", "dave")]
+    out = run_sparql(
+        "SELECT ?x WHERE { ?x likes ?y . FILTER ( STRLEN(?y) = 5 ) }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob",)]
+
+
+def test_parse_string_builtin_errors():
+    with pytest.raises(ValueError):
+        parse_sparql('SELECT ?x WHERE { ?x knows ?y . FILTER STRSTARTS(?x, ?y) }')
+    with pytest.raises(ValueError):
+        parse_sparql('SELECT ?x WHERE { ?x knows ?y . FILTER ( STRLEN(?x) > abc ) }')
