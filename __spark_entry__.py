@@ -435,6 +435,17 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(docs)
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    """Substring-level dedup (Lee et al. 2022): every duplicated k-token
+    window except its corpus-first occurrence, with occurrence counts.
+    The md5 fingerprint path is the engine-portable twin; the xxhash64
+    scale path is pytest-pinned equal to it."""
+    from rdf_indexes_spark.operators.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_spans(docs, k=8, fingerprint="md5")
+
+
 def _q_ann(spark, sf_dir):
     from rdf_indexes_spark.operators.similarity import brute_force_topk
 
@@ -1245,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_repetition": _q_repetition,
         "dedup_line": _q_line_dedup,
+        "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1675,6 +1687,20 @@ def oracle_sql() -> dict[str, str]:
             "keep AS (SELECT doc_id, pos, line FROM sel WHERE occ < 2 OR rk = 1) "
             "SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text "
             "FROM d LEFT JOIN keep k USING (doc_id) GROUP BY d.doc_id"
+        ),
+        "dedup_span": (
+            # duplicated 8-token windows minus each fingerprint's
+            # (doc_id, pos)-first occurrence; md5 of the window text is
+            # the shared 128-bit fingerprint (pos is 1-based, < 10^9 so
+            # the packed first-occurrence key is order-identical to
+            # Spark's min(struct(doc_id, pos)))
+            "WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents), "
+            "p AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS pos FROM tok), "
+            "w AS (SELECT doc_id, pos, md5(array_to_string(list_slice(ts, pos, pos + 7), ' ')) AS fp FROM p), "
+            "g AS (SELECT fp, count(*) AS occ, min(doc_id * 1000000000 + pos) AS firstk "
+            "      FROM w GROUP BY fp HAVING count(*) >= 2) "
+            "SELECT w.doc_id AS doc_id, w.pos AS pos, g.occ AS occ "
+            "FROM w JOIN g USING (fp) WHERE w.doc_id * 1000000000 + w.pos <> g.firstk"
         ),
         "text_fingerprint": (
             "SELECT doc_id, CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0 ELSE "

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_span",
     "dedup_embedding_cosine",
     "text_token_count",
     "text_language_id",

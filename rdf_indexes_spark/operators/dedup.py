@@ -380,3 +380,82 @@ def line_dedup(
         .join(rebuilt, "doc_id", "left")
         .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_repeat: int = 2,
+    fingerprint: str = "xxhash64",
+) -> DataFrame:
+    """Substring-level duplicate detection (the "dedup training data at
+    the span level" step of Lee et al. 2022, which the suffix-array tools
+    do offline): every k-token window is fingerprinted, and windows whose
+    fingerprint occurs >= ``min_repeat`` times corpus-wide are reported —
+    EXCLUDING each fingerprint's first occurrence in (doc_id, pos) order,
+    so the survivors of a cut are well-defined. Returns (doc_id, pos,
+    occ): 1-based token position of each duplicated window and its
+    corpus-wide occurrence count.
+
+    Scale shape: window fingerprints are computed MAP-SIDE inside one
+    higher-order transform over the token array — the window strings are
+    transient expression values; neither they nor the token arrays ever
+    enter a shuffle (the posexplode generator consumes the fingerprint
+    array, so generated rows carry only ids + hashes). The single wide
+    exchange keys on the fingerprint (two xxhash64 longs — 128-bit, same
+    collision math as exact_dedup), the first-occurrence pick is a
+    min(struct) aggregate (no per-fingerprint window/single reducer),
+    and the join back to occurrences is on the same hash key. Work is
+    O(tokens · k) hashing, the unavoidable lower bound for overlapping
+    windows without a distributed suffix array.
+
+    ``fingerprint="md5"`` swaps the key for the portable 128-bit md5 hex
+    of the window text (string key — heavier on the wire; used by the
+    engine-portable oracle twin, same first/occ semantics).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_ts")).withColumn(
+        "_n", F.size("_ts") - F.lit(k - 1)
+    )
+    base = base.filter(F.col("_n") >= 1)
+
+    def _window(p):
+        return F.array_join(F.slice(F.col("_ts"), p, k), " ")
+
+    if fingerprint == "md5":
+        fps = F.transform(
+            F.sequence(F.lit(1), F.col("_n")), lambda p: F.md5(_window(p))
+        )
+        keyed = base.select("doc_id", F.posexplode(fps).alias("_p0", "_fp"))
+        key_cols = ["_fp"]
+    elif fingerprint == "xxhash64":
+        fps = F.transform(
+            F.sequence(F.lit(1), F.col("_n")),
+            lambda p: F.struct(
+                F.xxhash64(F.lit(0), _window(p)).alias("h0"),
+                F.xxhash64(F.lit(1), _window(p)).alias("h1"),
+            ),
+        )
+        keyed = base.select(
+            "doc_id", F.posexplode(fps).alias("_p0", "_s")
+        ).select("doc_id", "_p0", F.col("_s.h0").alias("_h0"), F.col("_s.h1").alias("_h1"))
+        key_cols = ["_h0", "_h1"]
+    else:
+        raise ValueError(f"fingerprint must be 'xxhash64' or 'md5', got {fingerprint!r}")
+
+    keyed = keyed.withColumn("pos", F.col("_p0") + 1).drop("_p0")
+    groups = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count("*").alias("occ"), F.min(F.struct("doc_id", "pos")).alias("_first"))
+        .filter(F.col("occ") >= min_repeat)
+    )
+    return (
+        keyed.join(groups, key_cols)
+        .filter(
+            (F.col("_first.doc_id") != F.col("doc_id"))
+            | (F.col("_first.pos") != F.col("pos"))
+        )
+        .select("doc_id", "pos", "occ")
+    )

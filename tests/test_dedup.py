@@ -204,3 +204,67 @@ def test_line_dedup_idempotent_on_real_docs(spark):
     once = line_dedup(docs)
     twice = line_dedup(once)
     assert once.exceptAll(twice).isEmpty() and twice.exceptAll(once).isEmpty()
+
+
+def test_duplicate_spans_golden(spark):
+    """k=4 windows: 'a b c d' occurs at (1,1), (1,5), (2,3) — first
+    occurrence (1,1) survives, the rest are reported with occ=3; the
+    'z z a b' etc. windows are unique; doc 3 is shorter than k (no
+    windows). Scale (xxhash64) and portable (md5) keys agree."""
+    from rdf_indexes_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d x"), (2, "z z a b c d q"), (3, "short one")],
+        "doc_id long, text string",
+    )
+    want = [(1, 5, 3), (2, 3, 3)]
+    for fp in ("xxhash64", "md5"):
+        got = sorted(
+            (r.doc_id, r.pos, r.occ)
+            for r in duplicate_spans(df, k=4, fingerprint=fp).collect()
+        )
+        assert got == want, fp
+
+
+def test_duplicate_spans_python_recount(spark, docs):
+    """Pin against a direct python recount on real synthetic documents:
+    same tokenization, all duplicated k-windows minus first occurrences."""
+    from collections import defaultdict
+
+    from rdf_indexes_spark.operators.dedup import duplicate_spans
+
+    k = 5
+    rows = docs.select("doc_id", "text").collect()
+    occs = defaultdict(list)
+    for r in rows:
+        ts = r.text.strip().lower().split()
+        for p in range(len(ts) - k + 1):
+            occs[" ".join(ts[p : p + k])].append((r.doc_id, p + 1))
+    want = sorted(
+        (d, p, len(v))
+        for v in occs.values()
+        if len(v) >= 2
+        for d, p in sorted(v)[1:]
+    )
+    got = sorted(
+        (r.doc_id, r.pos, r.occ)
+        for r in duplicate_spans(docs, k=k).collect()
+    )
+    assert got == want
+
+
+def test_duplicate_spans_min_repeat_and_short_docs(spark):
+    from rdf_indexes_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "p q r s"), (2, "p q r s"), (3, "p q r s"), (4, "p q")],
+        "doc_id long, text string",
+    )
+    # min_repeat=3: the window occurs 3 times -> report (2,1) and (3,1)
+    got = sorted(
+        (r.doc_id, r.pos, r.occ)
+        for r in duplicate_spans(df, k=4, min_repeat=3).collect()
+    )
+    assert got == [(2, 1, 3), (3, 1, 3)]
+    # min_repeat=4: nothing clears the bar
+    assert duplicate_spans(df, k=4, min_repeat=4).count() == 0
