@@ -691,6 +691,21 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup survivors: k-means coarse clusters, exact cosine pairs
+    within each cluster, one kept id per duplicate component. Rows-only
+    (the quantizer is iterative k-means, not SQL-expressible); pytest
+    pins n_clusters=1 == the oracle-checked global near-dup keep, plus
+    precision/recall on tight synthetic clusters."""
+    from rdf_indexes_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        threshold=0.35,
+        n_clusters=8,
+    )
+
+
 def _q_a7_querylog(spark, sf_dir):
     """Batched querylog execution over a PORTABLE sample: the first 20
     triples in (s,p,o) order, wildcard-stamped in a fixed 5-pattern cycle —
@@ -1274,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_triple_diff": _q_c3_except,
         "a4_text_roundtrip": _q_a4_text_roundtrip,
         "dedup_embedding_cosine": _q_embedding_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
         "a7_querylog_batched": _q_a7_querylog,
         "b3_hash_ids": _q_b3_hash_ids,
         "dedup_simhash_near": _q_simhash_near,

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_span",
     "dedup_embedding_cosine",
+    "semantic_dedup",
     "text_token_count",
     "text_language_id",
     "text_quality",

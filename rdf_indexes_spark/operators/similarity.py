@@ -438,3 +438,91 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse k-means over the embedding
+    space, exact cosine near-duplicate pairs WITHIN each cluster, then
+    one survivor (minimum id) per duplicate component. Returns the kept
+    ids, one ``id_col`` column — the semantic twin of the lexical
+    near-dup chain (minhash_lsh_pairs → near_dup_keep).
+
+    Composition of the engine's existing scale shapes, nothing new moves:
+    the quantizer trains on a bounded deterministic sample
+    (_kmeans_centroids), every vector carries ONE cid
+    (_assign_centroids, nprobe=1 — map-side matmul), in-cluster pairs
+    use the block-pair trick of embedding_near_dup_blocked keyed on
+    (cid, pi, pj) so a big cluster splits into bounded block-matrix
+    tasks instead of one straggler, and survivor selection reuses the
+    KG engine's distributed connected components (near_dup_keep). With
+    ``n_clusters=1`` this is EXACTLY the global near-dup keep (pinned by
+    pytest); more clusters trade recall for a k× smaller pair search,
+    the SemDeDup bargain.
+    """
+    import pandas as pd
+
+    from .dedup import near_dup_keep
+
+    th = float(threshold)
+    C = _kmeans_centroids(corpus, n_clusters, id_col, vec_col)
+    assigned = corpus.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+    ).join(
+        _assign_centroids(corpus, C, 1, id_col, vec_col, "_id"), "_id"
+    )
+    # bound the per-task matrix: sub-block count from the LARGEST cluster
+    # (one tiny agg job), so (cid, pi, pj) tasks stay <= block_rows rows
+    top = assigned.groupBy("cid").count().agg(F.max("count")).first()[0] or 1
+    nb = max(1, -(-int(top) // block_rows))
+    v = assigned.withColumn(
+        "_bid", F.pmod(F.xxhash64(F.col("_id")), F.lit(nb)).cast("int")
+    )
+    pairs_keyed = v.select(
+        "cid",
+        "_id",
+        "_v",
+        "_bid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("_bid"), F.lit(i)).alias("pi"),
+                        F.greatest(F.col("_bid"), F.lit(i)).alias("pj"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("_pk"),
+    ).select("cid", "_pk.pi", "_pk.pj", "_bid", "_id", "_v")
+
+    def block_pairs(key, pdf):
+        pi, pj = int(key[1]), int(key[2])
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        bid = pdf["_bid"].to_numpy()
+        if pi == pj:
+            S = Vn @ Vn.T
+            ii, jj = np.nonzero(np.triu(S >= th, k=1))
+        else:
+            am, bm = bid == pi, bid == pj
+            S = Vn[am] @ Vn[bm].T
+            ai, bj = np.nonzero(S >= th)
+            ii = np.flatnonzero(am)[ai]
+            jj = np.flatnonzero(bm)[bj]
+        a, b = ids[ii], ids[jj]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    pairs = pairs_keyed.groupBy("cid", "pi", "pj").applyInPandas(
+        block_pairs, schema="a long, b long"
+    )
+    return near_dup_keep(
+        corpus.select(F.col(id_col).cast("long").alias(id_col)), pairs, id_col=id_col
+    )

@@ -382,3 +382,58 @@ def test_encode_join_strategy_size_gated(spark, transcripts):
     a = sorted(tuple(r) for r in enc_small.select("s", "p", "o").collect())
     b = sorted(tuple(r) for r in enc_big.select("s", "p", "o").collect())
     assert a == b
+
+
+def test_semantic_dedup_k1_equals_global_exact(spark, emb):
+    """SemDeDup with one cluster IS the global exact near-dup keep:
+    identical survivor set (nontrivial at threshold 0.35: ~250 drops)."""
+    from rdf_indexes_spark.operators.dedup import near_dup_keep
+
+    ids = emb.select(F.col("vec_id").cast("long").alias("vec_id"))
+    exact = near_dup_keep(
+        ids, sim.embedding_near_dup_blocked(emb, threshold=0.35), id_col="vec_id"
+    )
+    got = sim.semantic_dedup(emb, threshold=0.35, n_clusters=1)
+    a = {r[0] for r in exact.collect()}
+    b = {r[0] for r in got.collect()}
+    assert a == b
+    assert len(a) < emb.count()  # the threshold actually fired
+
+
+def test_semantic_dedup_precision_and_recall(spark, clustered_emb):
+    """On tight clusters (within-cluster cosine ~0.97) SemDeDup keeps
+    precision 1.0 by construction (exact verify inside each cluster) and
+    high recall (near-identical vectors co-cluster)."""
+    from rdf_indexes_spark.operators.dedup import near_dup_keep
+
+    th = 0.9
+    all_ids = {r[0] for r in clustered_emb.select("vec_id").collect()}
+    ids = clustered_emb.select(F.col("vec_id").cast("long").alias("vec_id"))
+    exact_keep = {
+        r[0]
+        for r in near_dup_keep(
+            ids, sim.embedding_near_dup_blocked(clustered_emb, threshold=th), id_col="vec_id"
+        ).collect()
+    }
+    sem_keep = {
+        r[0]
+        for r in sim.semantic_dedup(clustered_emb, threshold=th, n_clusters=16).collect()
+    }
+    exact_drop = all_ids - exact_keep
+    sem_drop = all_ids - sem_keep
+    assert exact_drop  # the fixture really has near-dups
+    assert sem_drop <= exact_drop  # precision 1.0: every drop is real
+    assert len(sem_drop) / len(exact_drop) >= 0.8  # recall on tight dups
+
+
+def test_semantic_dedup_cluster_splitting(spark, clustered_emb):
+    """block_rows smaller than a cluster forces the (cid, pi, pj)
+    sub-block path; results must not change."""
+    a = {r[0] for r in sim.semantic_dedup(clustered_emb, threshold=0.9, n_clusters=8).collect()}
+    b = {
+        r[0]
+        for r in sim.semantic_dedup(
+            clustered_emb, threshold=0.9, n_clusters=8, block_rows=16
+        ).collect()
+    }
+    assert a == b
