@@ -691,6 +691,35 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic hash sample at rate 0.25: each doc's fate is a pure
+    function of doc_id (reproducible across runs/engines/layouts)."""
+    from rdf_indexes_spark.operators.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.25).select("doc_id", "source")
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Mixture resampling toward lang shares en:0.5 fr:0.25 de:0.25 —
+    per-stratum rates derived from one count agg (most over-demanded
+    stratum taken whole), fate decided by the portable per-key hash."""
+    from rdf_indexes_spark.operators.sampling import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, {"en": 0.5, "fr": 0.25, "de": 0.25}, stratum_col="lang"
+    ).select("doc_id", "lang")
+
+
+def _q_mixture_report(spark, sf_dir):
+    """Corpus-composition report per source: docs / tokens / chars /
+    mean_chars — the numbers a mixture decision is made from."""
+    from rdf_indexes_spark.operators.sampling import mixture_report
+
+    return mixture_report(_read(spark, sf_dir, "documents"), ["source"])
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup survivors: k-means coarse clusters, exact cosine pairs
     within each cluster, one kept id per duplicate component. Rows-only
@@ -1290,6 +1319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_text_roundtrip": _q_a4_text_roundtrip,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
+        "sample_hash": _q_hash_sample,
+        "sample_mixture": _q_mixture_sample,
+        "mixture_report": _q_mixture_report,
         "a7_querylog_batched": _q_a7_querylog,
         "b3_hash_ids": _q_b3_hash_ids,
         "dedup_simhash_near": _q_simhash_near,
@@ -1703,6 +1735,34 @@ def oracle_sql() -> dict[str, str]:
             "keep AS (SELECT doc_id, pos, line FROM sel WHERE occ < 2 OR rk = 1) "
             "SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text "
             "FROM d LEFT JOIN keep k USING (doc_id) GROUP BY d.doc_id"
+        ),
+        "sample_hash": (
+            # the affine-hash acceptance predicate, replayed exactly:
+            # variate = ((A*(doc_id%P)+B)%P)/P with A=625341585,
+            # B=461845907, P=2^31-1 (operators/sampling.py contract)
+            "SELECT doc_id, source FROM documents "
+            "WHERE ((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
+            "/ 2147483647.0 < 0.25"
+        ),
+        "sample_mixture": (
+            # per-stratum rates from the same count agg + peak-demand
+            # normalization the operator performs, then the same hash
+            # predicate; es/zh are unweighted and drop
+            "WITH n AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY lang), "
+            "w(s, w) AS (VALUES ('en', 0.5), ('fr', 0.25), ('de', 0.25)), "
+            "d AS (SELECT n.s, w.w / n.n AS dem FROM n JOIN w USING (s)), "
+            "r AS (SELECT s, dem / (SELECT max(dem) FROM d) AS rate FROM d) "
+            "SELECT doc_id, lang FROM documents JOIN r ON lang = r.s "
+            "WHERE ((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
+            "/ 2147483647.0 < rate"
+        ),
+        "mixture_report": (
+            "SELECT source, count(*) AS docs, "
+            "CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS tokens, "
+            "CAST(SUM(length(text)) AS BIGINT) AS chars, "
+            "SUM(length(text)) / CAST(count(*) AS DOUBLE) AS mean_chars "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "dedup_span": (
             # duplicated 8-token windows minus each fingerprint's

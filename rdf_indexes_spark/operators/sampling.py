@@ -1,0 +1,133 @@
+"""Deterministic corpus sampling — the reproducibility-critical cousins
+of `df.sample()` that a training-data pipeline actually needs.
+
+`df.sample()` is seed-and-partitioning dependent: add one file to the
+input and every row's fate changes. These operators decide each row's
+fate from a HASH OF ITS KEY alone, so a sample is (a) reproducible
+across runs, cluster sizes, and input layouts, (b) stable under corpus
+growth (old rows keep their verdict when new rows arrive — the property
+that makes incremental pipeline re-runs cheap), and (c) replayable by
+any engine with integer arithmetic (the driver's DuckDB oracle replays
+them value-for-value).
+
+Hash: the repo's affine family over the 31-bit Mersenne prime
+(operators/dedup.py `_P` — every intermediate fits a signed 64-bit long
+under Spark 4's ANSI mode). The uniform variate for key k is
+``((a*h + b) mod P) / P`` with ``h = k mod P`` — plain JVM-side column
+arithmetic, whole-stage codegen, no UDF.
+
+All selection predicates are pure SELECT-side filters: no shuffle, no
+aggregation on the data path (``mixture_sample`` runs ONE tiny
+count-per-stratum agg to turn target weights into acceptance rates,
+then filters map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _P
+
+# default affine parameters: any fixed (a, b) with 0 < a < 2^30 works;
+# these are arbitrary odd constants, recorded here as THE contract the
+# oracle replays
+_A = 0x2545F491  # 625_341_585 < 2^30
+_B = 0x1B873593 % _P  # 461_845_907
+
+
+def _variate(key: Column, a: int = _A, b: int = _B) -> Column:
+    """Uniform-ish variate in [0, 1) from an integer key column —
+    engine-portable: (a * (key mod P) + b) mod P, over P."""
+    h = F.pmod(key.cast("long"), F.lit(_P))
+    return F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P)) / F.lit(float(_P))
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    a: int = _A,
+    b: int = _B,
+) -> DataFrame:
+    """Keep each row iff variate(key) < rate. Deterministic per key:
+    the same key is kept or dropped in every run, at every scale, on
+    every engine — and a key's verdict never changes when OTHER rows
+    come or go (unlike df.sample)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_variate(F.col(key_col), a, b) < F.lit(float(rate)))
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    a: int = _A,
+    b: int = _B,
+) -> DataFrame:
+    """Resample the corpus toward a target MIXTURE (the data-mixture
+    step of LLM corpus preparation): ``weights`` gives each stratum's
+    target share of the output; per-stratum acceptance rates are scaled
+    so the most over-demanded stratum is taken whole (pure downsampling
+    — no row is ever duplicated) and every other stratum is thinned to
+    hit the target proportions exactly in expectation.
+
+    rate_s = (w_s / n_s) / max_t(w_t / n_t)  — one tiny
+    count-per-stratum aggregate sizes the rates; the data path is a
+    single map-side filter on the deterministic per-key variate.
+    Strata missing from ``weights`` (and NULLs) are dropped. Returns
+    rows with their original columns.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one stratum")
+    bad = {k: w for k, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"negative weights: {bad}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    demand = {
+        s: w / counts[s] for s, w in weights.items() if w > 0 and counts.get(s)
+    }
+    if not demand:  # nothing requested exists in the data
+        return df.filter(F.lit(False))
+    peak = max(demand.values())
+    rates = {s: d / peak for s, d in demand.items()}
+    rate_expr = None
+    for s, r in rates.items():
+        cond = F.col(stratum_col) == F.lit(s)
+        rate_expr = (
+            F.when(cond, F.lit(r)) if rate_expr is None else rate_expr.when(cond, F.lit(r))
+        )
+    rate_expr = rate_expr.otherwise(F.lit(0.0))
+    return df.filter(_variate(F.col(key_col), a, b) < rate_expr)
+
+
+def mixture_report(
+    df: DataFrame,
+    stratum_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-composition report per stratum: docs, total whitespace
+    tokens, total chars, mean doc length — the numbers a mixture
+    decision is made from. One hash-aggregate; sorted by stratum for
+    stable output."""
+    cols = stratum_cols or ["source"]
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    return (
+        df.groupBy(*cols)
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(toks).cast("long").alias("tokens"),
+            F.sum(F.length(F.col(text_col))).cast("long").alias("chars"),
+            (F.sum(F.length(F.col(text_col))) / F.count("*")).alias("mean_chars"),
+        )
+        .orderBy(*cols)
+    )

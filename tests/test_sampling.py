@@ -1,0 +1,102 @@
+"""Deterministic sampling operators: reproducibility, nesting, growth
+stability, mixture proportions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_indexes_spark.operators import sampling as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+def _ids(df):
+    return {r[0] for r in df.select("doc_id").collect()}
+
+
+def test_hash_sample_deterministic_and_nested(docs):
+    a1 = _ids(S.hash_sample(docs, 0.2))
+    a2 = _ids(S.hash_sample(docs, 0.2))
+    assert a1 == a2  # reproducible
+    b = _ids(S.hash_sample(docs, 0.5))
+    assert a1 <= b  # nested: variate < 0.2 implies < 0.5
+    n = docs.count()
+    assert abs(len(b) / n - 0.5) < 0.1  # rate is roughly honored
+
+
+def test_hash_sample_stable_under_growth(docs):
+    """A row's fate never changes when OTHER rows arrive — the property
+    df.sample() lacks."""
+    half = docs.filter(F.col("doc_id") < 250)
+    got_half = _ids(S.hash_sample(half, 0.3))
+    got_full = {i for i in _ids(S.hash_sample(docs, 0.3)) if i < 250}
+    assert got_half == got_full
+
+
+def test_hash_sample_rate_bounds(docs):
+    assert S.hash_sample(docs, 0.0).count() == 0
+    assert S.hash_sample(docs, 1.0).count() == docs.count()
+    with pytest.raises(ValueError):
+        S.hash_sample(docs, 1.5)
+
+
+def test_mixture_sample_proportions(docs):
+    """Peak stratum rides whole; output shares approach the weights."""
+    w = {"en": 0.5, "fr": 0.25, "de": 0.25}
+    out = S.mixture_sample(docs, w, stratum_col="lang").toPandas()
+    # unweighted strata drop entirely
+    assert set(out["lang"]) <= set(w)
+    shares = out["lang"].value_counts(normalize=True)
+    for lang, want in w.items():
+        assert abs(shares.get(lang, 0.0) - want) < 0.15, (lang, shares)
+    # determinism
+    again = S.mixture_sample(docs, w, stratum_col="lang").toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_mixture_sample_peak_stratum_whole(docs):
+    """The most over-demanded stratum gets rate 1.0 — every one of its
+    rows survives (pure downsampling, nothing duplicated)."""
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    w = {"de": 0.9, "en": 0.1}
+    demand = {s: w[s] / counts[s] for s in w}
+    peak = max(demand, key=demand.get)
+    out = S.mixture_sample(docs, w, stratum_col="lang")
+    kept_peak = out.filter(F.col("lang") == peak).count()
+    assert kept_peak == counts[peak]
+
+
+def test_mixture_sample_errors_and_missing(docs, spark):
+    with pytest.raises(ValueError):
+        S.mixture_sample(docs, {})
+    with pytest.raises(ValueError):
+        S.mixture_sample(docs, {"en": -1.0})
+    # weights naming only absent strata -> empty result, not an error
+    assert S.mixture_sample(docs, {"nope": 1.0}, stratum_col="lang").count() == 0
+
+
+def test_mixture_report_matches_pandas(docs):
+    got = S.mixture_report(docs, ["source"]).toPandas()
+    pdf = docs.toPandas()
+    want = (
+        pdf.assign(
+            tokens=pdf["text"].map(lambda t: 0 if not t.strip() else len(t.strip().split())),
+            chars=pdf["text"].str.len(),
+        )
+        .groupby("source")
+        .agg(docs=("doc_id", "size"), tokens=("tokens", "sum"), chars=("chars", "sum"))
+        .reset_index()
+        .sort_values("source")
+    )
+    g = got.sort_values("source").reset_index(drop=True)
+    assert list(g["source"]) == list(want["source"])
+    assert list(g["docs"]) == list(want["docs"])
+    assert list(g["tokens"]) == list(want["tokens"])
+    assert list(g["chars"]) == list(want["chars"])
+    assert (abs(g["mean_chars"] - g["chars"] / g["docs"]) < 1e-9).all()
