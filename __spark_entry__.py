@@ -691,6 +691,15 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_gopher_filter(spark, sf_dir):
+    """Composed Gopher rule set (Rae et al. 2021 §A1.1) over the quality
+    and repetition signal frames: keep/drop + fixed-order failure
+    reasons per document."""
+    from rdf_indexes_spark.operators.textops import gopher_filter
+
+    return gopher_filter(_read(spark, sf_dir, "documents"))
+
+
 def _q_hash_sample(spark, sf_dir):
     """Deterministic hash sample at rate 0.25: each doc's fate is a pure
     function of doc_id (reproducible across runs/engines/layouts)."""
@@ -1299,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
         "text_repetition": _q_repetition,
+        "gopher_filter": _q_gopher_filter,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -1847,4 +1857,18 @@ def oracle_sql() -> dict[str, str]:
     # SQL oracle (hash-family, filesystem and pipeline ops aren't portably
     # SQL-expressible) → rows-only check; exact oracles live in tests/
     # (pandas/numpy golden comparisons).
+    # composed Gopher filter: reuses the quality + repetition twins
+    # verbatim, so the rule thresholds are the ONLY new logic under test
+    sql["gopher_filter"] = (
+        f"WITH q AS ({_quality_sql()}), r AS ({sql['text_repetition']}) "
+        "SELECT doc_id, length(reasons) = 0 AS keep, reasons FROM ("
+        "SELECT q.doc_id AS doc_id, concat_ws(',', "
+        "CASE WHEN q.n_tokens < 30 THEN 'too_short' END, "
+        "CASE WHEN q.n_tokens > 100000 THEN 'too_long' END, "
+        "CASE WHEN q.mean_token_len_x100 < 300 OR q.mean_token_len_x100 > 1000 THEN 'token_len' END, "
+        "CASE WHEN q.stop_ratio_x1000 < 10 THEN 'low_stopwords' END, "
+        "CASE WHEN r.top_token_ratio_x1000 > 150 THEN 'top_token' END, "
+        "CASE WHEN r.dup_bigram_ratio_x1000 > 150 THEN 'dup_bigrams' END"
+        ") AS reasons FROM q JOIN r USING (doc_id)) s"
+    )
     return sql

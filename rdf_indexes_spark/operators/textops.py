@@ -212,3 +212,56 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             "dup_bigram_ratio_x1000"
         ),
     )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mean_token_len_x100: int = 300,
+    max_mean_token_len_x100: int = 1000,
+    min_stop_ratio_x1000: int = 10,
+    max_top_token_ratio_x1000: int = 150,
+    max_dup_bigram_ratio_x1000: int = 150,
+) -> DataFrame:
+    """The composed Gopher-style document filter (Rae et al. 2021 §A1.1):
+    join the engine's quality and repetition signal frames and apply the
+    published rule set — token-count bounds, mean-token-length band,
+    stopword floor, most-common-token ceiling, duplicate-bigram ceiling.
+    Returns (doc_id, keep, reasons): ``reasons`` is the comma-joined list
+    of failed rules in a FIXED order ('' when kept), so downstream
+    ablations can count per-rule kill rates from one pass.
+
+    All thresholds operate on the integer-valued x100/x1000 signals the
+    component operators emit (engine-portable, no float drift); the
+    composition is two doc-keyed hash aggregates + one doc-keyed join —
+    nothing new shuffles."""
+    q = quality_score(docs, id_col, text_col).select(
+        "doc_id", "n_tokens", "mean_token_len_x100", "stop_ratio_x1000"
+    )
+    r = repetition_stats(docs, id_col, text_col).select(
+        "doc_id", "top_token_ratio_x1000", "dup_bigram_ratio_x1000"
+    )
+    j = q.join(r, "doc_id")
+    rules = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_long", F.col("n_tokens") > max_tokens),
+        (
+            "token_len",
+            (F.col("mean_token_len_x100") < min_mean_token_len_x100)
+            | (F.col("mean_token_len_x100") > max_mean_token_len_x100),
+        ),
+        ("low_stopwords", F.col("stop_ratio_x1000") < min_stop_ratio_x1000),
+        ("top_token", F.col("top_token_ratio_x1000") > max_top_token_ratio_x1000),
+        ("dup_bigrams", F.col("dup_bigram_ratio_x1000") > max_dup_bigram_ratio_x1000),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return j.select(
+        "doc_id",
+        (F.length(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -211,3 +211,55 @@ def test_repetition_stats_matches_python(spark):
         assert row.n_bigrams == len(bgs)
         assert row.top_bigram_count == (max(bc.values()) if bc else 0)
         assert row.dup_bigram_tokens == sum(c for c in bc.values() if c > 1)
+
+
+def test_gopher_filter_golden(spark):
+    """Each rule fires on a purpose-built document; a good document
+    passes clean; reasons come in the fixed rule order."""
+    from rdf_indexes_spark.operators.textops import gopher_filter
+
+    content = [f"word{i:02d}x" for i in range(20)]
+    stops = ["the", "and", "of", "in", "to"] * 2
+    good = " ".join(w for pair in zip(content, stops + content[:10]) for w in pair)
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # keeps: >30 tokens, stopwords, varied
+            (2, "tiny doc"),  # too_short (+ low_stopwords)
+            (3, "spam " * 40),  # top_token + dup_bigrams (no stopwords)
+            (4, ("verylongsyntheticwordhere " * 35).strip()),  # token_len ...
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.keep, r.reasons) for r in gopher_filter(docs).collect()}
+    assert got[1] == (True, "")
+    assert got[2][0] is False and "too_short" in got[2][1]
+    assert got[3][0] is False
+    assert "top_token" in got[3][1] and "dup_bigrams" in got[3][1]
+    assert got[4][0] is False and "token_len" in got[4][1]
+    # fixed order: reasons never permute
+    assert got[3][1].index("top_token") < got[3][1].index("dup_bigrams")
+
+
+def test_gopher_filter_consistent_with_components(spark, docs):
+    """Recompute keep from the component frames directly — the filter
+    must agree rule-for-rule on real synthetic documents."""
+    from rdf_indexes_spark.operators.textops import (
+        gopher_filter,
+        quality_score,
+        repetition_stats,
+    )
+
+    q = quality_score(docs).toPandas().set_index("doc_id")
+    r = repetition_stats(docs).toPandas().set_index("doc_id")
+    got = gopher_filter(docs).toPandas().set_index("doc_id")
+    for d in got.index:
+        want_keep = (
+            30 <= q.loc[d, "n_tokens"] <= 100_000
+            and 300 <= q.loc[d, "mean_token_len_x100"] <= 1000
+            and q.loc[d, "stop_ratio_x1000"] >= 10
+            and r.loc[d, "top_token_ratio_x1000"] <= 150
+            and r.loc[d, "dup_bigram_ratio_x1000"] <= 150
+        )
+        assert bool(got.loc[d, "keep"]) == want_keep, d
+    # the testdata produces a real mix, not a degenerate all-keep/all-drop
+    assert 0 < got["keep"].sum() < len(got)
