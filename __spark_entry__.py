@@ -691,6 +691,14 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Overlapping token chunks (32-token windows, stride 24) — the
+    sequence-packing precursor; pure map-side, no shuffle."""
+    from rdf_indexes_spark.operators.textops import chunk_documents
+
+    return chunk_documents(_read(spark, sf_dir, "documents"), 32, 24)
+
+
 def _q_gopher_filter(spark, sf_dir):
     """Composed Gopher rule set (Rae et al. 2021 §A1.1) over the quality
     and repetition signal frames: keep/drop + fixed-order failure
@@ -1309,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_repetition": _q_repetition,
         "gopher_filter": _q_gopher_filter,
+        "chunk_documents": _q_chunk_documents,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -1745,6 +1754,19 @@ def oracle_sql() -> dict[str, str]:
             "keep AS (SELECT doc_id, pos, line FROM sel WHERE occ < 2 OR rk = 1) "
             "SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text "
             "FROM d LEFT JOIN keep k USING (doc_id) GROUP BY d.doc_id"
+        ),
+        "chunk_documents": (
+            # chunk starts 1, 1+24, ... <= n; tail chunk short, never
+            # empty; text NOT lowercased (chunking must not mutate it)
+            "WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts "
+            "FROM documents WHERE length(trim(text)) > 0), "
+            "k AS (SELECT doc_id, ts, len(ts) AS n, "
+            "CAST(floor((len(ts) - 1) / 24.0) AS BIGINT) + 1 AS k FROM tok), "
+            "c AS (SELECT doc_id, ts, n, unnest(generate_series(1, k)) AS i FROM k) "
+            "SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx, "
+            "CAST(least(32, n - (i - 1) * 24) AS BIGINT) AS n_tokens, "
+            "array_to_string(list_slice(ts, (i - 1) * 24 + 1, (i - 1) * 24 + 32), ' ') AS text "
+            "FROM c"
         ),
         "sample_hash": (
             # the affine-hash acceptance predicate, replayed exactly:

@@ -265,3 +265,59 @@ def gopher_filter(
         (F.length(reasons) == 0).alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks — the sequence-
+    packing precursor every LM training pipeline runs. Chunk i starts at
+    token ``i * stride`` (0-based; ``stride`` defaults to
+    ``chunk_tokens``, i.e. disjoint chunks; a smaller stride overlaps
+    them) and carries up to ``chunk_tokens`` whitespace tokens; the tail
+    chunk may be short but is never empty, and every token is covered.
+    Returns (doc_id, chunk_idx, n_tokens, text).
+
+    Deterministic per document (no partitioning/run dependence) and
+    purely map-side: the chunk list is built inside one higher-order
+    transform per row and consumed by the posexplode generator — no
+    shuffle at all, the ideal scale shape. Empty/whitespace-only
+    documents produce no chunks."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    s = stride or chunk_tokens
+    if s < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_ts")
+    ).withColumn(
+        "_n",
+        F.when(F.length(F.trim(F.col("_ts").getItem(0))) == 0, F.lit(0)).otherwise(
+            F.size("_ts")
+        ),
+    )
+    # chunk starts 1, 1+s, 1+2s, ... <= n  →  count = floor((n-1)/s) + 1
+    base = base.filter(F.col("_n") >= 1).withColumn(
+        "_k", F.floor((F.col("_n") - 1) / F.lit(s)) + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.col("_k")),
+        lambda i: F.array_join(
+            F.slice(F.col("_ts"), (i - 1) * s + 1, chunk_tokens), " "
+        ),
+    )
+    out = base.select("doc_id", "_n", F.posexplode(chunks).alias("_i0", "text"))
+    n_in_chunk = F.least(
+        F.lit(chunk_tokens), F.col("_n") - F.col("_i0") * F.lit(s)
+    )
+    return out.select(
+        "doc_id",
+        F.col("_i0").cast("long").alias("chunk_idx"),
+        n_in_chunk.cast("long").alias("n_tokens"),
+        "text",
+    )

@@ -263,3 +263,42 @@ def test_gopher_filter_consistent_with_components(spark, docs):
         assert bool(got.loc[d, "keep"]) == want_keep, d
     # the testdata produces a real mix, not a degenerate all-keep/all-drop
     assert 0 < got["keep"].sum() < len(got)
+
+
+def test_chunk_documents_golden(spark):
+    from rdf_indexes_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    # c=4, s=3: starts 1,4,7,10 -> lengths 4,4,4,1
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.text)
+        for r in chunk_documents(df, 4, 3).collect()
+    )
+    assert got == [
+        (1, 0, 4, "t1 t2 t3 t4"),
+        (1, 1, 4, "t4 t5 t6 t7"),
+        (1, 2, 4, "t7 t8 t9 t10"),
+        (1, 3, 1, "t10"),
+        (2, 0, 2, "a b"),  # shorter than a chunk: one tail chunk
+    ]  # doc 3 (whitespace-only) emits nothing
+
+
+def test_chunk_documents_reconstruction(spark, docs):
+    """stride == chunk_tokens: disjoint chunks concatenate back to the
+    original token stream, preserving case and order."""
+    from rdf_indexes_spark.operators.textops import chunk_documents
+
+    got = chunk_documents(docs, 16).toPandas()
+    orig = {r.doc_id: r.text.strip().split() for r in docs.collect() if r.text.strip()}
+    rebuilt = {
+        d: [t for _, txt in sorted(zip(g["chunk_idx"], g["text"])) for t in txt.split()]
+        for d, g in got.groupby("doc_id")
+    }
+    assert set(rebuilt) == set(orig)
+    for d in orig:
+        assert rebuilt[d] == orig[d], d
+    # n_tokens column is the actual chunk token count
+    assert (got["n_tokens"] == got["text"].str.split().str.len()).all()
