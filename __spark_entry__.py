@@ -691,6 +691,23 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_redact_pii(spark, sf_dir):
+    """PII scrub over docs with DETERMINISTICALLY injected emails / IPs /
+    phone runs (both engines perform the same injection — the dedup_line
+    seeding pattern), so the redaction actually fires at every SF."""
+    from rdf_indexes_spark.operators.textops import redact_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", " data ", " mail u1@ex-a.co.uk data "),
+            " table ",
+            " host 10.0.0.255 tel +44 20 7946 0958 table ",
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Overlapping token chunks (32-token windows, stride 24) — the
     sequence-packing precursor; pure map-side, no shuffle."""
@@ -1318,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "gopher_filter": _q_gopher_filter,
         "chunk_documents": _q_chunk_documents,
+        "redact_pii": _q_redact_pii,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -1754,6 +1772,23 @@ def oracle_sql() -> dict[str, str]:
             "keep AS (SELECT doc_id, pos, line FROM sel WHERE occ < 2 OR rk = 1) "
             "SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text "
             "FROM d LEFT JOIN keep k USING (doc_id) GROUP BY d.doc_id"
+        ),
+        "redact_pii": (
+            # same injection, then the same three regexes in the same
+            # order, each stage seeing the previous stage's output
+            "WITH d AS (SELECT doc_id, regexp_replace(regexp_replace(text, "
+            "' data ', ' mail u1@ex-a.co.uk data ', 'g'), ' table ', "
+            "' host 10.0.0.255 tel +44 20 7946 0958 table ', 'g') AS text FROM documents), "
+            "s1 AS (SELECT doc_id, text AS t0, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM d), "
+            "s2 AS (SELECT doc_id, n_email, "
+            "CAST(len(regexp_extract_all(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ip, "
+            "regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t2 FROM s1) "
+            "SELECT doc_id, regexp_replace(t2, '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS text, "
+            "n_email, n_ip, "
+            "CAST(len(regexp_extract_all(t2, '\\+?\\d[\\d -]{7,}\\d')) AS BIGINT) AS n_phone "
+            "FROM s2"
         ),
         "chunk_documents": (
             # chunk starts 1, 1+24, ... <= n; tail chunk short, never

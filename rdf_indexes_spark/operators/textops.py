@@ -321,3 +321,34 @@ def chunk_documents(
         n_in_chunk.cast("long").alias("n_tokens"),
         "text",
     )
+
+
+# PII patterns chosen for identical semantics in Java regex (Spark) and
+# RE2 (DuckDB oracle): character classes, bounded repetition, \b and
+# non-capturing groups only — no backrefs or lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d -]{7,}\d"),
+]
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Scrub emails, IPv4 addresses, and phone-shaped digit runs —
+    the pre-training redaction pass. Categories apply IN ORDER (email,
+    ip, phone), each seeing the previous category's output, so an email's
+    digits can't be re-matched as a phone; per-category counts reflect
+    the same staged view. Returns (doc_id, text, n_email, n_ip, n_phone).
+    Pure regexp column expressions — map-side, zero shuffle."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"), cur.alias("text"), *counts
+    )

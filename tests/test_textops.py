@@ -302,3 +302,37 @@ def test_chunk_documents_reconstruction(spark, docs):
         assert rebuilt[d] == orig[d], d
     # n_tokens column is the actual chunk token count
     assert (got["n_tokens"] == got["text"].str.split().str.len()).all()
+
+
+def test_redact_pii_golden(spark):
+    from rdf_indexes_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@ex-a.co.uk or 10.0.0.255 call +44 20 7946 0958 end"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.co c@d.org and ip 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].text == "mail <EMAIL> or <IP> call <PHONE> end"
+    assert (got[1].n_email, got[1].n_ip, got[1].n_phone) == (1, 1, 1)
+    assert got[2].text == "no pii here at all"
+    assert (got[2].n_email, got[2].n_ip, got[2].n_phone) == (0, 0, 0)
+    assert got[3].text == "two mails <EMAIL> <EMAIL> and ip <IP>"
+    assert (got[3].n_email, got[3].n_ip, got[3].n_phone) == (2, 1, 0)
+
+
+def test_redact_pii_staged_order(spark):
+    """An email's digits must not re-match as a phone: the categories
+    see each other's output in fixed order."""
+    from rdf_indexes_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "reach 12345678901@numbers-mail.com today")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df).collect()[0]
+    assert r.text == "reach <EMAIL> today"
+    assert (r.n_email, r.n_ip, r.n_phone) == (1, 0, 0)
