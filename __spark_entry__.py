@@ -764,7 +764,7 @@ def _q_semantic_dedup(spark, sf_dir):
 
     return semantic_dedup(
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
-        threshold=0.35,
+        threshold=0.4,
         n_clusters=8,
     )
 

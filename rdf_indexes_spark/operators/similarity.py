@@ -477,6 +477,9 @@ def semantic_dedup(
     ).join(
         _assign_centroids(corpus, C, 1, id_col, vec_col, "_id"), "_id"
     )
+    # eager cut: the assignment (a mapInPandas matmul over the corpus) is
+    # consumed by BOTH the max-cluster-size agg and the pair job below
+    assigned = assigned.localCheckpoint(eager=True)
     # bound the per-task matrix: sub-block count from the LARGEST cluster
     # (one tiny agg job), so (cid, pi, pj) tasks stay <= block_rows rows
     top = assigned.groupBy("cid").count().agg(F.max("count")).first()[0] or 1
