@@ -691,6 +691,18 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_winnow(spark, sf_dir):
+    """Winnowing sketches (MOSS): per-window min-hash gram selection,
+    leftmost on ties — portable codepoint-polynomial hash so DuckDB
+    replays selection value-for-value; the xxhash64 zero-shuffle array
+    path is pytest-pinned equal under the same hash."""
+    from rdf_indexes_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _read(spark, sf_dir, "documents"), k=5, w=4, fingerprint="portable"
+    )
+
+
 def _q_redact_pii(spark, sf_dir):
     """PII scrub over docs with DETERMINISTICALLY injected emails / IPs /
     phone runs (both engines perform the same injection — the dedup_line
@@ -1336,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "chunk_documents": _q_chunk_documents,
         "redact_pii": _q_redact_pii,
+        "winnow_fingerprints": _q_winnow,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -1772,6 +1785,25 @@ def oracle_sql() -> dict[str, str]:
             "keep AS (SELECT doc_id, pos, line FROM sel WHERE occ < 2 OR rk = 1) "
             "SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text "
             "FROM d LEFT JOIN keep k USING (doc_id) GROUP BY d.doc_id"
+        ),
+        "winnow_fingerprints": (
+            # winnowing: k=5 gram codepoint-polynomial hashes, w=4
+            # window, min(struct(hash, pos)) = min hash then leftmost —
+            # the same tie rule as the Spark window machinery
+            "WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents), "
+            "b AS (SELECT doc_id, ts, len(ts) - 4 AS n FROM tok), "
+            "g AS (SELECT doc_id, ts, n - 3 AS m, unnest(generate_series(1, n)) AS pos FROM b WHERE n >= 4), "
+            "h AS (SELECT doc_id, m, pos, "
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(string_split(array_to_string(list_slice(ts, pos, pos + 4), ' '), ''), "
+            "x -> CAST(unicode(x) AS BIGINT))), "
+            "(a, c) -> (a * 31 + c) % 2147483647) AS hh FROM g), "
+            "s AS (SELECT doc_id, m, pos, "
+            "min(struct_pack(h := hh, p := pos)) OVER "
+            "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel "
+            "FROM h) "
+            "SELECT DISTINCT doc_id, CAST((sel).p AS BIGINT) AS pos, (sel).h AS gram_hash "
+            "FROM s WHERE pos <= m"
         ),
         "redact_pii": (
             # same injection, then the same three regexes in the same

@@ -426,13 +426,13 @@ def duplicate_spans(
 
     if fingerprint == "md5":
         fps = F.transform(
-            F.sequence(F.lit(1), F.col("_n")), lambda p: F.md5(_window(p))
+            F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1))), lambda p: F.md5(_window(p))
         )
         keyed = base.select("doc_id", F.posexplode(fps).alias("_p0", "_fp"))
         key_cols = ["_fp"]
     elif fingerprint == "xxhash64":
         fps = F.transform(
-            F.sequence(F.lit(1), F.col("_n")),
+            F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1))),
             lambda p: F.struct(
                 F.xxhash64(F.lit(0), _window(p)).alias("h0"),
                 F.xxhash64(F.lit(1), _window(p)).alias("h1"),
@@ -458,4 +458,139 @@ def duplicate_spans(
             | (F.col("_first.pos") != F.col("pos"))
         )
         .select("doc_id", "pos", "occ")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint: str = "xxhash64",
+    method: str | None = None,
+) -> DataFrame:
+    """Winnowing document sketches (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): hash every k-token gram, slide a w-hash window,
+    and select each window's MINIMUM hash (leftmost on ties); the
+    distinct selections are the document's fingerprint set. Guarantee:
+    any two documents sharing a token run of length >= w + k - 1 share
+    at least one fingerprint — a local, size-bounded sketch (expected
+    ~2/(w+1) density) that dedup/attribution joins consume instead of
+    the full k-gram set. Returns (doc_id, pos, gram_hash), pos = the
+    1-based token position of the selected gram.
+
+    Two selection machineries with IDENTICAL semantics (pinned equal by
+    pytest under the same hash):
+
+    - ``method="array"`` (default for xxhash64): gram hashes and the
+      per-window argmin are computed inside per-row higher-order
+      transforms — the operator runs with ZERO shuffle; only the
+      selected (doc_id, pos, hash) rows leave the generator.
+    - ``method="window"`` (default for "portable"): one (doc, pos, hash)
+      row per gram, selection = min(struct(hash, pos)) over a
+      rowsBetween(0, w-1) frame — min hash then leftmost position, the
+      same tie rule. Costs a doc-keyed shuffle; it exists because the
+      portable codepoint-polynomial hash ((acc*31 + cp) mod 2^31-1,
+      doc_fingerprint's form — what the DuckDB oracle replays) needs an
+      F.aggregate fold, and Spark 4 rejects nested higher-order lambdas,
+      so it cannot run inside the array path's transform.
+    """
+    if method is None:
+        method = "array" if fingerprint == "xxhash64" else "window"
+    if fingerprint not in ("xxhash64", "portable"):
+        raise ValueError(f"fingerprint must be 'xxhash64' or 'portable', got {fingerprint!r}")
+    if fingerprint == "portable" and method == "array":
+        raise ValueError("the portable hash needs method='window' (nested-lambda limit)")
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_ts")).withColumn(
+        "_n", F.size("_ts") - F.lit(k - 1)
+    )
+    # m = number of window starts; docs with < w grams emit nothing
+    base = base.filter(F.col("_n") >= w).withColumn("_m", F.col("_n") - F.lit(w - 1))
+
+    def _gram(p):
+        return F.array_join(F.slice(F.col("_ts"), p, k), " ")
+
+    if method == "array":
+        hashed = base.withColumn(
+            "_hs",
+            F.transform(F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1))), lambda p: F.xxhash64(_gram(p))),
+        )
+
+        def _select(j):
+            win = F.slice(F.col("_hs"), j, w)
+            mn = F.array_min(win)
+            return F.struct(
+                (j + F.array_position(win, mn) - 1).cast("long").alias("pos"),
+                mn.alias("gram_hash"),
+            )
+
+        picks = F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.greatest(F.col("_m"), F.lit(1))), _select)
+        )
+        return hashed.select("doc_id", F.explode(picks).alias("_p")).select(
+            "doc_id", F.col("_p.pos").alias("pos"), F.col("_p.gram_hash").alias("gram_hash")
+        )
+
+    # window machinery: explode the gram array (the generator consumes
+    # it — token arrays are not carried), hash per row, frame-min select
+    from pyspark.sql import Window
+
+    grams = base.withColumn(
+        "_gs", F.transform(F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1))), _gram)
+    ).select("doc_id", "_m", F.posexplode("_gs").alias("_p0", "_g"))
+    if fingerprint == "portable":
+        h = F.aggregate(
+            F.split(F.col("_g"), ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit((1 << 31) - 1)),
+        )
+    else:
+        h = F.xxhash64(F.col("_g"))
+    rows = grams.select(
+        "doc_id", "_m", (F.col("_p0") + 1).alias("pos"), h.alias("_h")
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = rows.withColumn(
+        "_sel", F.min(F.struct(F.col("_h"), F.col("pos"))).over(frame)
+    ).filter(F.col("pos") <= F.col("_m"))
+    return sel.select(
+        "doc_id",
+        F.col("_sel.pos").cast("long").alias("pos"),
+        F.col("_sel._h").alias("gram_hash"),
+    ).dropDuplicates(["doc_id", "pos", "gram_hash"])
+
+
+def winnow_candidates(
+    fingerprints: DataFrame,
+    min_shared: int = 2,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from winnowing sketches: join
+    documents on shared gram_hash, count distinct shared fingerprints
+    per pair. One shuffle on the hash; hot fingerprints (boilerplate
+    grams) are capped at ``max_bucket`` docs like the LSH bucket cap —
+    dropped buckets trade recall for the quadratic blowup bound, the
+    standard winnowing-at-scale compromise. Returns (a, b, shared),
+    a < b."""
+    sized = fingerprints.groupBy("gram_hash").agg(
+        F.count("*").alias("_sz")
+    )
+    ok = fingerprints.join(
+        sized.filter(F.col("_sz") <= max_bucket).select("gram_hash"), "gram_hash"
+    )
+    l = ok.select(F.col("gram_hash"), F.col("doc_id").alias("a"))
+    r = ok.select(F.col("gram_hash"), F.col("doc_id").alias("b"))
+    return (
+        l.join(r, "gram_hash")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.countDistinct("gram_hash").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
     )

@@ -306,7 +306,7 @@ def chunk_documents(
         "_k", F.floor((F.col("_n") - 1) / F.lit(s)) + 1
     )
     chunks = F.transform(
-        F.sequence(F.lit(1), F.col("_k")),
+        F.sequence(F.lit(1), F.greatest(F.col("_k"), F.lit(1))),
         lambda i: F.array_join(
             F.slice(F.col("_ts"), (i - 1) * s + 1, chunk_tokens), " "
         ),

@@ -268,3 +268,61 @@ def test_duplicate_spans_min_repeat_and_short_docs(spark):
     assert got == [(2, 1, 3), (3, 1, 3)]
     # min_repeat=4: nothing clears the bar
     assert duplicate_spans(df, k=4, min_repeat=4).count() == 0
+
+
+def test_winnow_fingerprints_guarantee_and_machinery(spark):
+    """MOSS guarantee: docs sharing a token run >= w+k-1 share >= 1
+    fingerprint; unrelated docs share none. Array and window selection
+    machineries are identical under the same hash; sketch density is
+    far below the full gram set."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, "x1 x2 x3 " + shared + " y1 y2"),
+            (2, "z9 z8 " + shared + " q5"),
+            (3, "totally different words here nothing in common at all"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    fa = D.winnow_fingerprints(df, k=3, w=4)
+    fw = D.winnow_fingerprints(df, k=3, w=4, method="window")
+    a = sorted(tuple(r) for r in fa.collect())
+    b = sorted(tuple(r) for r in fw.collect())
+    assert a == b and a  # identical machineries, nonempty
+    cand = {(r.a, r.b): r.shared for r in D.winnow_candidates(fa, min_shared=1).collect()}
+    assert (1, 2) in cand and cand[(1, 2)] >= 1  # the guarantee
+    assert all(p == (1, 2) for p in cand)  # no false candidates
+    # doc 4 (< w grams) emits nothing
+    assert fa.filter("doc_id = 4").count() == 0
+
+
+def test_winnow_fingerprints_python_recount(spark, docs):
+    """Pin the array path against a direct python winnow (xxhash64
+    replayed via the window machinery is covered by equality above;
+    here: selection positions and density on real documents)."""
+    k, w = 5, 4
+    got = D.winnow_fingerprints(docs, k=k, w=w, fingerprint="portable").toPandas()
+    P = (1 << 31) - 1
+
+    def gram_hash(g):
+        acc = 0
+        for ch in g:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    import collections
+    want = []
+    for r in docs.select("doc_id", "text").collect():
+        ts = r.text.strip().lower().split()
+        n = len(ts) - (k - 1)
+        if n < w:
+            continue
+        hs = [gram_hash(" ".join(ts[p : p + k])) for p in range(n)]
+        sel = set()
+        for j in range(n - w + 1):
+            win = hs[j : j + w]
+            mn = min(win)
+            sel.add((j + win.index(mn) + 1, mn))
+        want.extend((r.doc_id, p, h) for p, h in sel)
+    assert sorted(map(tuple, got.itertuples(index=False))) == sorted(want)
