@@ -400,6 +400,20 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Rows-only: product-quantization ADC top-k (Jégou et al. 2011) —
+    the scan reads m one-byte codes per vector instead of the embedding
+    column; recall vs brute force asserted in tests/test_new_ops.py."""
+    from rdf_indexes_spark.operators.similarity import pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    queries_df = emb.filter(F.col("vec_id").isin(qids))
+    return pq_topk(emb, queries_df, k=5, m=16, ks=32, overscan=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _q_quality(spark, sf_dir):
     from rdf_indexes_spark.operators.textops import quality_score
 
@@ -1354,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         "text_token_bpe": _q_token_bpe,
         "kg_extract_mentions": _q_kg_mentions,
         "a2_extract_oracle": _q_a2_extract_oracle,

@@ -529,3 +529,138 @@ def semantic_dedup(
     return near_dup_keep(
         corpus.select(F.col(id_col).cast("long").alias(id_col)), pairs, id_col=id_col
     )
+
+
+def _pq_train(corpus: DataFrame, m: int, ks: int, id_col: str, vec_col: str,
+              sample: int = 4096, iters: int = 10, seed: int = 17) -> np.ndarray:
+    """Product-quantization codebooks: split the (normalized) vector into
+    ``m`` subspaces and run Lloyd's k-means with ``ks`` centroids in each
+    — trained driver-side on the same bounded deterministic sample as
+    the IVF coarse quantizer. Returns (m, ks, dim/m) float64."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = Xn.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide the embedding dim {dim}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    k = min(ks, len(Xn))
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        S = Xn[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=k, replace=False)]
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                msk = assign == c
+                if msk.any():
+                    C[c] = S[msk].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(corpus: DataFrame, books: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes): each normalized vector compressed to ``m`` one-byte
+    subspace codes — 64 floats (256 B) become e.g. 8 bytes, the
+    compression that makes a 100 TB embedding corpus scannable. One
+    numpy argmin per subspace per Arrow batch; codebooks ride in the
+    closure."""
+    import pandas as pd
+
+    B = books
+    m, k, dsub = B.shape
+
+    def encode(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            codes = np.empty((len(ids), m), dtype=np.int16)
+            for j in range(m):
+                S = Vn[:, j * dsub : (j + 1) * dsub]
+                d = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({"_id": ids, "codes": list(codes)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, schema="_id long, codes array<short>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    overscan: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou et al. 2011): PQ
+    codebooks train on a bounded deterministic sample; the corpus is
+    compressed map-side to ``m`` byte codes; each query precomputes an
+    asymmetric-distance (ADC) lookup table — dot(query_sub, centroid)
+    per (subspace, code) — so a candidate's approximate cosine is just
+    ``m`` table lookups summed over its codes: the full scan reads ONLY
+    the code column (m bytes/vector), never the embeddings. Per
+    partition the top ``k * overscan`` ADC candidates survive; the
+    exact cosine re-rank (one join back to the embedding column for the
+    tiny candidate set, |Q|·k·overscan·partitions rows) restores true
+    scores and the output contract of brute_force_topk: (query_id,
+    neighbor_id, rank, cosine), same tie rule."""
+    import pandas as pd
+
+    books = _pq_train(corpus, m, ks, id_col, vec_col)
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    mm, kk, dsub = books.shape
+    # ADC tables: (nq, m, ks) — dot restricted to each subspace
+    LUT = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), mm, dsub), books)
+    cap = k * overscan
+
+    def scan(batches):
+        for pdf in batches:
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            out_q, out_n = [], []
+            for qi in range(len(qids)):
+                # approx dot = sum over subspaces of LUT[qi, j, code_j]
+                s = LUT[qi][np.arange(mm)[None, :], C].sum(axis=1)
+                s[ids == qids[qi]] = -np.inf
+                top = np.lexsort((ids, -s))[:cap]
+                top = top[np.isfinite(s[top])]
+                out_q.extend([qids[qi]] * len(top))
+                out_n.extend(ids[top])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cand = codes.mapInPandas(scan, schema="query_id long, neighbor_id long")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )

@@ -437,3 +437,42 @@ def test_semantic_dedup_cluster_splitting(spark, clustered_emb):
         ).collect()
     }
     assert a == b
+
+
+def test_pq_topk_recall_and_determinism(spark, emb, clustered_emb):
+    """PQ ADC top-k vs brute force: strong recall even on unclustered
+    gaussian vectors (the hard case), near-exact on clustered ones;
+    deterministic across runs (seeded codebooks, lexsort tie rule)."""
+    for corpus, floor in ((emb, 0.7), (clustered_emb, 0.8)):
+        qids = [r.vec_id for r in corpus.orderBy("vec_id").limit(10).collect()]
+        q = corpus.filter(corpus.vec_id.isin(qids))
+        exact = sim.brute_force_topk(corpus, q, k=5).toPandas()
+        approx = sim.pq_topk(corpus, q, k=5, m=16, ks=32, overscan=8).toPandas()
+        hits = tot = 0
+        for qid in qids:
+            e = set(exact[exact.query_id == qid].neighbor_id)
+            a = set(approx[approx.query_id == qid].neighbor_id)
+            hits += len(e & a)
+            tot += len(e)
+        assert hits / tot >= floor, (floor, hits, tot)
+    again = sim.pq_topk(clustered_emb,
+                        clustered_emb.filter(clustered_emb.vec_id < 10),
+                        k=5, m=16, ks=32, overscan=8).toPandas()
+    once = sim.pq_topk(clustered_emb,
+                       clustered_emb.filter(clustered_emb.vec_id < 10),
+                       k=5, m=16, ks=32, overscan=8).toPandas()
+    key = ["query_id", "rank"]
+    assert once.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_pq_encode_shape(spark, emb):
+    """Codes are m small ints per vector — the 32x compression that makes
+    the 100 TB scan read m bytes instead of the embedding column."""
+    books = sim._pq_train(emb, 8, 16, "vec_id", "embedding")
+    assert books.shape == (8, 16, 8)
+    codes = sim.pq_encode(emb, books).toPandas()
+    assert len(codes) == emb.count()
+    assert all(len(c) == 8 for c in codes["codes"])
+    assert all(0 <= v < 16 for c in codes["codes"] for v in c)
