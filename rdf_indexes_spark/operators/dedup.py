@@ -417,7 +417,12 @@ def duplicate_spans(
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_ts")).withColumn(
-        "_n", F.size("_ts") - F.lit(k - 1)
+        # whitespace-only text splits to [""] — treat as zero tokens
+        "_n",
+        F.when(F.length(F.col("_ts").getItem(0)) == 0, F.lit(0)).otherwise(
+            F.size("_ts")
+        )
+        - F.lit(k - 1),
     )
     base = base.filter(F.col("_n") >= 1)
 
@@ -505,7 +510,12 @@ def winnow_fingerprints(
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_ts")).withColumn(
-        "_n", F.size("_ts") - F.lit(k - 1)
+        # whitespace-only text splits to [""] — treat as zero tokens
+        "_n",
+        F.when(F.length(F.col("_ts").getItem(0)) == 0, F.lit(0)).otherwise(
+            F.size("_ts")
+        )
+        - F.lit(k - 1),
     )
     # m = number of window starts; docs with < w grams emit nothing
     base = base.filter(F.col("_n") >= w).withColumn("_m", F.col("_n") - F.lit(w - 1))

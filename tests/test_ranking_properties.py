@@ -47,3 +47,95 @@ def test_dense_ids_grouped_matches_contract(spark, rows):
     df = spark.createDataFrame(rows, "g int, v int")
     out = dense_ids_grouped(df, "g", [F.asc("v")], id_col="rank", num_partitions=5)
     _check(rows, out.collect())
+
+
+# ---- windowed text operators vs pure-python models (adversarial docs) ----
+
+_WORD = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters=" \t\n\r\x0b\x0c",
+                           min_codepoint=33),
+    min_size=1,
+    max_size=6,
+)
+_DOC = st.lists(_WORD, min_size=0, max_size=25).map(" ".join)
+_DOCS = st.lists(_DOC, min_size=1, max_size=8)
+
+
+def _toks(t: str) -> list[str]:
+    return t.strip().lower().split()
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=_DOCS, k=st.integers(1, 5))
+def test_duplicate_spans_matches_python_model(spark, docs, k):
+    from collections import defaultdict
+
+    from rdf_indexes_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    occs = defaultdict(list)
+    for d, t in enumerate(docs):
+        ts = _toks(t)
+        for p in range(len(ts) - k + 1):
+            occs[" ".join(ts[p : p + k])].append((d, p + 1))
+    want = sorted(
+        (d, p, len(v)) for v in occs.values() if len(v) >= 2 for d, p in sorted(v)[1:]
+    )
+    got = sorted(
+        (r.doc_id, r.pos, r.occ) for r in duplicate_spans(df, k=k).collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=_DOCS, c=st.integers(1, 6), s=st.integers(1, 6))
+def test_chunk_documents_matches_python_model(spark, docs, c, s):
+    from rdf_indexes_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    want = []
+    for d, t in enumerate(docs):
+        ts = t.strip().split()
+        if not ts:
+            continue
+        starts = range(0, len(ts), s)
+        for i, p in enumerate(starts):
+            chunk = ts[p : p + c]
+            want.append((d, i, len(chunk), " ".join(chunk)))
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.text)
+        for r in chunk_documents(df, c, s).collect()
+    )
+    assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=_DOCS, k=st.integers(1, 4), w=st.integers(1, 5))
+def test_winnow_matches_python_model(spark, docs, k, w):
+    from rdf_indexes_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    P = (1 << 31) - 1
+
+    def gh(g):
+        acc = 0
+        for ch in g:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    want = set()
+    for d, t in enumerate(docs):
+        ts = _toks(t)
+        n = len(ts) - (k - 1)
+        if n < w:
+            continue
+        hs = [gh(" ".join(ts[p : p + k])) for p in range(n)]
+        for j in range(n - w + 1):
+            win = hs[j : j + w]
+            mn = min(win)
+            want.add((d, j + win.index(mn) + 1, mn))
+    got = {
+        (r.doc_id, r.pos, r.gram_hash)
+        for r in winnow_fingerprints(df, k=k, w=w, fingerprint="portable").collect()
+    }
+    assert got == want
