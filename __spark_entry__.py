@@ -646,6 +646,26 @@ JOIN vo ON canon.co = vo.term
 """
 
 
+def _q_dialogue_pairs(spark, sf_dir):
+    """Dialogue shaping gated cross-engine: a transcript analogue is
+    derived from `events` IDENTICALLY in both engines (user = the
+    conversation, event order = turn order, event_type = the role), and
+    dialogue_pairs emits one (context, response) pair per 'purchase'
+    turn with the previous 3 turns as role-prefixed context lines."""
+    from rdf_indexes_spark.operators.dialogue import dialogue_pairs
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("text"),
+    )
+    return dialogue_pairs(t, context_turns=3, response_role="purchase")
+
+
 def _q_kg_mentions(spark, sf_dir):
     """Rows-only: mention extraction over deterministically synthesized
     transcripts at the sf's scale (transcripts aren't a DuckDB view)."""
@@ -1363,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "redact_pii": _q_redact_pii,
         "winnow_fingerprints": _q_winnow,
+        "dialogue_pairs": _q_dialogue_pairs,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -1800,6 +1821,21 @@ def oracle_sql() -> dict[str, str]:
             "keep AS (SELECT doc_id, pos, line FROM sel WHERE occ < 2 OR rk = 1) "
             "SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text "
             "FROM d LEFT JOIN keep k USING (doc_id) GROUP BY d.doc_id"
+        ),
+        "dialogue_pairs": (
+            # the same events-derived transcript analogue, the same
+            # bounded 3-turn preceding frame; string_agg input order in a
+            # framed window = the window order (turn order) in DuckDB,
+            # matching Spark's collect_list frame order
+            "WITH t AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS turn_idx, "
+            "event_type AS role, event_type || ' ' || props AS text FROM events), "
+            "p AS (SELECT conv_id, turn_idx, role, text, "
+            "string_agg(role || ': ' || text, chr(10)) OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx "
+            "FROM t) "
+            "SELECT conv_id, turn_idx, coalesce(ctx, '') AS context, text AS response "
+            "FROM p WHERE role = 'purchase'"
         ),
         "winnow_fingerprints": (
             # winnowing: k=5 gram codepoint-polynomial hashes, w=4

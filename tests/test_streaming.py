@@ -179,3 +179,51 @@ def test_stream_ingest_lsm(spark, workdir):
         applied = json.load(f)
     assert len(applied) == 2  # one micro-batch per feed drop
     assert all("total_triples" in v for v in applied.values())
+
+
+def test_dialogue_pairs_golden_and_model(spark, transcripts):
+    """Golden: per-assistant-turn pairs with role-prefixed bounded
+    context; model: python recount over real synthetic transcripts."""
+    from rdf_indexes_spark.operators.dialogue import dialogue_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hi"),
+            ("c1", 1, "assistant", "hello"),
+            ("c1", 2, "tool", "lookup done"),
+            ("c1", 3, "user", "thanks?"),
+            ("c1", 4, "assistant", "welcome"),
+            ("c2", 0, "assistant", "opener"),
+        ],
+        "conv_id string, turn_idx long, role string, text string",
+    )
+    got = {
+        (r.conv_id, r.turn_idx): (r.context, r.response)
+        for r in dialogue_pairs(df, context_turns=3).collect()
+    }
+    assert got[("c1", 1)] == ("user: hi", "hello")
+    assert got[("c1", 4)] == (
+        "assistant: hello\ntool: lookup done\nuser: thanks?",
+        "welcome",
+    )
+    assert got[("c2", 0)] == ("", "opener")  # conversation-opening response
+    assert len(got) == 3
+
+    # model over real transcripts
+    pdf = transcripts.toPandas().sort_values(["conv_id", "turn_idx"])
+    want = {}
+    for conv, g in pdf.groupby("conv_id"):
+        rows = list(g.itertuples())
+        for i, r in enumerate(rows):
+            if r.role != "assistant":
+                continue
+            ctx = "\n".join(
+                f"{p.role}: {p.text if p.text is not None else ''}"
+                for p in rows[max(0, i - 3) : i]
+            )
+            want[(conv, r.turn_idx)] = (ctx, r.text or "")
+    got2 = {
+        (r.conv_id, r.turn_idx): (r.context, r.response)
+        for r in dialogue_pairs(transcripts, context_turns=3).collect()
+    }
+    assert got2 == want
