@@ -762,6 +762,14 @@ def _q_chunk_documents(spark, sf_dir):
     return chunk_documents(_read(spark, sf_dir, "documents"), 32, 24)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing: contiguous token-budget bins over stable corpus
+    order via the distributed two-phase prefix sum."""
+    from rdf_indexes_spark.operators.textops import pack_sequences
+
+    return pack_sequences(_read(spark, sf_dir, "documents"), target_tokens=500)
+
+
 def _q_gopher_filter(spark, sf_dir):
     """Composed Gopher rule set (Rae et al. 2021 §A1.1) over the quality
     and repetition signal frames: keep/drop + fixed-order failure
@@ -1384,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "winnow_fingerprints": _q_winnow,
         "dialogue_pairs": _q_dialogue_pairs,
+        "pack_sequences": _q_pack_sequences,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -1821,6 +1830,16 @@ def oracle_sql() -> dict[str, str]:
             "keep AS (SELECT doc_id, pos, line FROM sel WHERE occ < 2 OR rk = 1) "
             "SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text "
             "FROM d LEFT JOIN keep k USING (doc_id) GROUP BY d.doc_id"
+        ),
+        "pack_sequences": (
+            # exclusive prefix sum over doc_id order; seq = the bin
+            # containing the document's first token
+            "WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n FROM documents), "
+            "p AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM t) "
+            "SELECT doc_id, CAST(floor(pre / 500.0) AS BIGINT) AS seq_id, "
+            "CAST(n AS BIGINT) AS n_tokens, CAST(pre % 500 AS BIGINT) AS start_tok FROM p"
         ),
         "dialogue_pairs": (
             # the same events-derived transcript analogue, the same

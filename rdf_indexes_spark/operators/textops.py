@@ -352,3 +352,72 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return docs.select(
         F.col(id_col).alias("doc_id"), cur.alias("text"), *counts
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    target_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing — assign documents to fixed-token-budget training
+    sequences by contiguous prefix sums over the stable corpus order
+    (the concat-then-split packing every LM data loader performs):
+    ``seq_id = floor(exclusive_prefix_tokens / target_tokens)``. A
+    document belongs wholly to the sequence containing its FIRST token
+    (a sequence may overrun the budget by less than one document — the
+    consumer splits straddlers; exact byte budgets need token-level
+    splitting, which ``chunk_documents`` provides upstream). Returns
+    (doc_id, seq_id, n_tokens, start_tok): start_tok = the document's
+    offset within its sequence.
+
+    The exclusive prefix sum is fully distributed — the classic
+    two-phase scan: range-partition on doc_id, partition-local running
+    sums via an in-partition window, then one tiny per-partition totals
+    table (<= #partitions rows, collected driver-side and re-emitted as
+    JVM literals) provides each partition's global offset. No global
+    single-task window, no data-scale driver state — the same shape as
+    the engine's distributed rank helpers (functions/ranking.py)."""
+    if target_tokens < 1:
+        raise ValueError(f"target_tokens must be >= 1, got {target_tokens}")
+    from pyspark.sql import Window
+
+    from ..functions.ranking import _literal_df
+
+    spark = docs.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    t = (
+        docs.select(F.col(id_col).alias("doc_id"), n_tok.cast("long").alias("n_tokens"))
+        .repartitionByRange(nparts, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # stable pids across the two consumers
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    psums = [
+        (int(r["_pid"]), int(r["_t"]))
+        for r in t.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()
+    ]
+    off, acc = [], 0
+    for pid, tot in sorted(psums):
+        off.append((pid, acc))
+        acc += tot
+    offsets = _literal_df(spark, off, [("_pid", "int"), ("_off", "long")])
+    prefix = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)) + F.col("_off")
+    return (
+        t.join(F.broadcast(offsets), "_pid")
+        .withColumn("_pre", prefix)
+        .select(
+            "doc_id",
+            F.floor(F.col("_pre") / F.lit(target_tokens)).cast("long").alias("seq_id"),
+            "n_tokens",
+            (F.col("_pre") % F.lit(target_tokens)).cast("long").alias("start_tok"),
+        )
+    )

@@ -336,3 +336,27 @@ def test_redact_pii_staged_order(spark):
     r = redact_pii(df).collect()[0]
     assert r.text == "reach <EMAIL> today"
     assert (r.n_email, r.n_ip, r.n_phone) == (1, 0, 0)
+
+
+def test_pack_sequences_matches_python_scan(spark, docs):
+    """Distributed two-phase prefix sum == a sequential python scan over
+    doc_id order, at several partition counts (the partition-offset
+    machinery must be invisible); sequences only overrun the budget by
+    less than one straddling document."""
+    from rdf_indexes_spark.operators.textops import pack_sequences
+
+    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+    acc, want = 0, []
+    for r in pdf.itertuples():
+        n = 0 if not r.text.strip() else len(r.text.strip().split())
+        want.append((r.doc_id, acc // 300, n, acc % 300))
+        acc += n
+    for nparts in (1, 3, 8):
+        out = pack_sequences(docs, target_tokens=300, num_partitions=nparts).toPandas()
+        got = sorted(map(tuple, out[["doc_id", "seq_id", "n_tokens", "start_tok"]].itertuples(index=False)))
+        assert got == sorted(want), nparts
+    # budget property: every sequence's token start offsets stay < target
+    assert (out["start_tok"] < 300).all() and (out["start_tok"] >= 0).all()
+    # sequences are contiguous 0..max with no gaps
+    seqs = sorted(out["seq_id"].unique())
+    assert seqs == list(range(len(seqs)))
