@@ -762,6 +762,17 @@ def _q_chunk_documents(spark, sf_dir):
     return chunk_documents(_read(spark, sf_dir, "documents"), 32, 24)
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream per user (30-minute
+    gap) via the native session_window; the oracle replays it as the
+    classic gaps-and-islands window SQL. Epoch-second bounds, floored
+    AFTER aggregation (boundaries decided at full precision)."""
+    from rdf_indexes_spark.operators.dialogue import sessionize
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize(ev, key_col="user_id", ts_col="ts", gap="30 minutes")
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Sequence packing: contiguous token-budget bins over stable corpus
     order via the distributed two-phase prefix sum."""
@@ -1393,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow,
         "dialogue_pairs": _q_dialogue_pairs,
         "pack_sequences": _q_pack_sequences,
+        "sessionize_events": _q_sessionize,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -1830,6 +1842,20 @@ def oracle_sql() -> dict[str, str]:
             "keep AS (SELECT doc_id, pos, line FROM sel WHERE occ < 2 OR rk = 1) "
             "SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text "
             "FROM d LEFT JOIN keep k USING (doc_id) GROUP BY d.doc_id"
+        ),
+        "sessionize_events": (
+            # gaps-and-islands: break when the gap >= 30 min (Spark's
+            # session_window range is end-exclusive: an event exactly at
+            # last+gap opens a new session)
+            "WITH m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) >= INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk "
+            "FROM events), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s, "
+            "CAST(floor(epoch(max(ts))) AS BIGINT) AS session_last_s, "
+            "count(*) AS n_rows FROM s GROUP BY user_id, sid"
         ),
         "pack_sequences": (
             # exclusive prefix sum over doc_id order; seq = the bin

@@ -49,3 +49,38 @@ def dialogue_pairs(
             F.coalesce(F.col("text"), F.lit("")).alias("response"),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization via the native ``session_window``: events
+    of one key belong to one session while each is less than ``gap``
+    after the previous (Spark's session merge rule — an event exactly at
+    the boundary opens a new session). Returns one row per session:
+    (key, session_start_s, session_last_s, n_rows) with epoch-second
+    bounds (floored AFTER aggregation — boundaries are decided on full
+    timestamp precision).
+
+    session_window is the built-in streaming-capable operator, so the
+    same expression sessionizes a live feed under a watermark
+    (streaming/stateful.stream_sessions); batch mode compiles to an
+    ordinary keyed aggregation — one exchange on the key."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(F.col(key_col), sw)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(ts_col).alias("_first"),
+            F.max(ts_col).alias("_last"),
+        )
+        .select(
+            key_col,
+            F.unix_timestamp("_first").cast("long").alias("session_start_s"),
+            F.unix_timestamp("_last").cast("long").alias("session_last_s"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )

@@ -83,3 +83,34 @@ def stream_first_seen(mentions: DataFrame, key_col: str = "subj") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_sessions(
+    df,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Streaming sessionization: the SAME session_window expression as
+    the batch operator (operators/dialogue.sessionize), under a
+    watermark so closed sessions emit in append mode. State per key is
+    one open session — bounded."""
+    from pyspark.sql import functions as F
+
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), sw)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(ts_col).alias("_first"),
+            F.max(ts_col).alias("_last"),
+        )
+        .select(
+            key_col,
+            F.unix_timestamp("_first").cast("long").alias("session_start_s"),
+            F.unix_timestamp("_last").cast("long").alias("session_last_s"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )

@@ -227,3 +227,67 @@ def test_dialogue_pairs_golden_and_model(spark, transcripts):
         for r in dialogue_pairs(transcripts, context_turns=3).collect()
     }
     assert got2 == want
+
+
+def test_stream_sessions_subset_of_batch(spark, transcripts, workdir):
+    """Streaming session_window under a watermark: every emitted
+    (closed) session equals a batch-sessionize session exactly; sessions
+    still open when the stream drains are withheld, never wrong."""
+    from rdf_indexes_spark.operators.dialogue import sessionize
+    from rdf_indexes_spark.streaming.stateful import stream_sessions
+
+    src = os.path.join(workdir, "stream_src_sessions")
+    write_transcripts(transcripts, src)
+    q = (
+        stream_sessions(
+            stream_transcripts(spark, src, max_files=4),
+            key_col="conv_id",
+            gap="15 seconds",
+            watermark="1 minute",
+        )
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.table("sessions_stream")
+        .select("conv_id", "session_start_s", "session_last_s", "n_rows")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in sessionize(transcripts, key_col="conv_id", gap="15 seconds")
+        .select("conv_id", "session_start_s", "session_last_s", "n_rows")
+        .collect()
+    }
+    assert got <= want
+    assert got  # the watermark closed at least some sessions
+
+
+def test_sessionize_batch_python_model(spark, transcripts):
+    """Batch sessionize vs a python gap scan over real transcripts."""
+    from rdf_indexes_spark.operators.dialogue import sessionize
+
+    gap_s = 15
+    pdf = transcripts.select("conv_id", "ts").toPandas().sort_values(["conv_id", "ts"])
+    want = set()
+    for conv, g in pdf.groupby("conv_id"):
+        cur = []
+        prev = None
+        for ts in g["ts"]:
+            if prev is not None and (ts - prev).total_seconds() >= gap_s:
+                want.add((conv, int(cur[0].timestamp()), int(cur[-1].timestamp()), len(cur)))
+                cur = []
+            cur.append(ts)
+            prev = ts
+        if cur:
+            want.add((conv, int(cur[0].timestamp()), int(cur[-1].timestamp()), len(cur)))
+    got = {
+        tuple(r)
+        for r in sessionize(transcripts, key_col="conv_id", gap="15 seconds").collect()
+    }
+    assert got == want
