@@ -737,6 +737,20 @@ def _q_winnow(spark, sf_dir):
     )
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    """Candidate pairs from winnowing sketches: shared-fingerprint join
+    with the bucket cap, counting distinct shared grams per pair."""
+    from rdf_indexes_spark.operators.dedup import (
+        winnow_candidates,
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(
+        _read(spark, sf_dir, "documents"), k=5, w=4, fingerprint="portable"
+    )
+    return winnow_candidates(fps, min_shared=1, max_bucket=200)
+
+
 def _q_redact_pii(spark, sf_dir):
     """PII scrub over docs with DETERMINISTICALLY injected emails / IPs /
     phone runs (both engines perform the same injection — the dedup_line
@@ -1402,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "redact_pii": _q_redact_pii,
         "winnow_fingerprints": _q_winnow,
+        "dedup_winnow_pairs": _q_winnow_pairs,
         "dialogue_pairs": _q_dialogue_pairs,
         "pack_sequences": _q_pack_sequences,
         "sessionize_events": _q_sessionize,
@@ -2055,5 +2070,16 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN r.top_token_ratio_x1000 > 150 THEN 'top_token' END, "
         "CASE WHEN r.dup_bigram_ratio_x1000 > 150 THEN 'dup_bigrams' END"
         ") AS reasons FROM q JOIN r USING (doc_id)) s"
+    )
+    # winnow candidates: composes the fingerprint twin verbatim — only
+    # the bucket cap + shared-gram pair count is new logic under test
+    sql["dedup_winnow_pairs"] = (
+        f"WITH fp AS ({sql['winnow_fingerprints']}), "
+        "sz AS (SELECT gram_hash, count(*) AS c FROM fp GROUP BY gram_hash), "
+        "ok AS (SELECT fp.doc_id, fp.gram_hash FROM fp JOIN sz USING (gram_hash) WHERE c <= 200) "
+        "SELECT l.doc_id AS a, r.doc_id AS b, "
+        "CAST(count(DISTINCT l.gram_hash) AS BIGINT) AS shared "
+        "FROM ok l JOIN ok r USING (gram_hash) WHERE l.doc_id < r.doc_id "
+        "GROUP BY l.doc_id, r.doc_id HAVING count(DISTINCT l.gram_hash) >= 1"
     )
     return sql
