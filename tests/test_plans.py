@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the scale properties BENCH/PLANS.md
+documents, locked in as assertions so a refactor can't silently
+reintroduce a shuffle, a global single-partition exchange, or a
+text-keyed wide exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mapside_ops_have_zero_exchanges(docs):
+    from rdf_indexes_spark.operators.sampling import hash_sample
+    from rdf_indexes_spark.operators.textops import chunk_documents, redact_pii
+
+    for name, df in (
+        ("chunk_documents", chunk_documents(docs, 32, 24)),
+        ("redact_pii", redact_pii(docs)),
+        ("hash_sample", hash_sample(docs, 0.25)),
+    ):
+        p = _plan(df)
+        assert "Exchange" not in p, f"{name} grew a shuffle:\n{p[:1500]}"
+
+
+def test_duplicate_spans_shuffles_only_hashes(docs):
+    """The one wide exchange keys on the two fingerprint longs — token
+    arrays and window text must never appear in an exchange."""
+    from rdf_indexes_spark.operators.dedup import duplicate_spans
+
+    p = _plan(duplicate_spans(docs, k=8))
+    ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex, p[:1500]
+    for l in ex:
+        assert "_h0" in l and "_h1" in l, l
+        assert "_ts" not in l and "text" not in l, l
+
+
+def test_pack_sequences_has_no_global_window(docs):
+    """The prefix sum must stay two-phase: range exchange yes, but no
+    Exchange SinglePartition (the global-window trap)."""
+    from rdf_indexes_spark.operators.textops import pack_sequences
+
+    p = _plan(pack_sequences(docs, target_tokens=500, num_partitions=8))
+    # (the range exchange runs above the localCheckpoint cut, so it is
+    # not in this plan; what must NEVER appear is the naive global
+    # window's Exchange SinglePartition)
+    assert "SinglePartition" not in p, p[:2000]
+    assert "Window" in p and "_pid" in p, p[:1500]  # per-partition scan phase
+
+
+def test_sessionize_single_keyed_exchange(spark):
+    from rdf_indexes_spark.operators.dialogue import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts"
+    )
+    p = _plan(sessionize(ev, key_col="user_id", gap="30 minutes"))
+    assert p.count("Exchange hashpartitioning") <= 2  # partial+final agg pair
+    assert "SinglePartition" not in p
+
+
+def test_winnow_array_path_zero_exchanges(docs):
+    from rdf_indexes_spark.operators.dedup import winnow_fingerprints
+
+    p = _plan(winnow_fingerprints(docs, k=5, w=4))
+    assert "Exchange" not in p, p[:1500]
