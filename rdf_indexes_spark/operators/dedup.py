@@ -286,12 +286,19 @@ def near_dup_keep(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Survivor selection — the final step of a near-dedup pipeline:
     cluster the near-duplicate PAIR graph with connected components and
-    keep exactly one document per cluster (the minimum id), plus every
-    document that appears in no pair. Returns the kept ids, one column
-    ``id_col``.
+    keep exactly one document per cluster, plus every document that
+    appears in no pair. Returns the kept ids, one column ``id_col``.
+
+    Survivor policy: minimum id by default; with ``weight_col`` (a
+    column of ``docs``, e.g. a token count) the MAXIMUM-weight member
+    survives, ties broken by minimum id — the keep-the-longest rule
+    production dedup pipelines use. The weighted pick is one per-
+    component max(struct(weight, -id)) aggregate over the PAIRED docs
+    only — component-keyed, no window, no skewed reducer.
 
     Reuses the KG engine's distributed CC operator (salted min-label,
     operators/canonicalize.py) over the similarity graph — the same
@@ -314,11 +321,28 @@ def near_dup_keep(
     comps = connected_components(
         edge_endpoints(edges), edges, fixed_rounds=4, num_partitions=cc_parts
     )
-    return (
-        docs.select(F.col(id_col))
-        .join(comps, docs[id_col] == comps.surface, "left")
-        .filter(F.col("component").isNull() | (F.col("component") == F.col(id_col)))
-        .select(id_col)
+    if weight_col is None:
+        return (
+            docs.select(F.col(id_col))
+            .join(comps, docs[id_col] == comps.surface, "left")
+            .filter(F.col("component").isNull() | (F.col("component") == F.col(id_col)))
+            .select(id_col)
+        )
+    labeled = docs.select(F.col(id_col), F.col(weight_col).alias("_w")).join(
+        comps, docs[id_col] == comps.surface, "left"
+    )
+    # max weight, then min id: max(struct(w, -id)) is one agg per component
+    winners = (
+        labeled.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.max(F.struct(F.col("_w"), (-F.col(id_col)).alias("_nid"))).alias("_top"))
+        .select((-F.col("_top._nid")).alias("_keep"))
+    )
+    kept_paired = labeled.filter(F.col("component").isNotNull()).join(
+        winners, labeled[id_col] == winners["_keep"], "left_semi"
+    )
+    return labeled.filter(F.col("component").isNull()).select(id_col).unionByName(
+        kept_paired.select(id_col)
     )
 
 

@@ -326,3 +326,23 @@ def test_winnow_fingerprints_python_recount(spark, docs):
             sel.add((j + win.index(mn) + 1, mn))
         want.extend((r.doc_id, p, h) for p, h in sel)
     assert sorted(map(tuple, got.itertuples(index=False))) == sorted(want)
+
+
+def test_near_dup_keep_longest_policy(spark):
+    """weight_col survivor policy: the max-weight member of each
+    component survives (tie -> min id); unpaired docs always survive;
+    default min-id policy unchanged."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 99), (6, 1)],
+        "doc_id long, n_tokens long",
+    )
+    # components: {1,2,3} (chain), {4,6}; 5 unpaired
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 6)], "a long, b long")
+    got = sorted(
+        r[0] for r in D.near_dup_keep(docs, pairs, weight_col="n_tokens").collect()
+    )
+    # {1,2,3}: weights 10/30/30 -> tie on 30 -> min id 2; {4,6}: 4 wins (5>1)
+    assert got == [2, 4, 5]
+    # default policy: min id per component
+    got_min = sorted(r[0] for r in D.near_dup_keep(docs, pairs).collect())
+    assert got_min == [1, 4, 5]
