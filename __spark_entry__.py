@@ -1340,6 +1340,21 @@ def _q_sparql_strfns(spark, sf_dir):
     )
 
 
+def _q_sparql_bool_filter(spark, sf_dir):
+    """G25: boolean FILTER combination — disjunction across two
+    variables plus a negated built-in, three-valued semantics."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f'SELECT ?x ?y WHERE {{ ?x P{p0} ?y . '
+        f'FILTER ( STRSTARTS(?x, "E1") || !CONTAINS(?y, "7") && STRLEN(?y) <= 3 ) }}',
+        tables,
+        vocabs,
+    )
+
+
 def _q_sparql_subquery(spark, sf_dir):
     """G23: SPARQL 1.1 subquery — per-subject P1-degree computed in a
     nested SELECT, joined to the outer P0 pattern on the shared ?x, then
@@ -1475,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g21_sparql_describe": _q_sparql_describe,
         "g22_sparql_filter_cmp": _q_sparql_filter_cmp,
         "g24_sparql_strfns": _q_sparql_strfns,
+        "g25_sparql_bool_filter": _q_sparql_bool_filter,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -1793,6 +1809,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'E' || CAST(s AS VARCHAR) AS x, CAST(o AS VARCHAR) AS y "
             "FROM t, c, thr WHERE p = c.p0 AND o % 7 != 0 "
             "AND CAST(o AS DOUBLE) >= thr.v"
+        ),
+        "g25_sparql_bool_filter": (
+            # boolean filter: a || (!b && c) — && binds tighter than ||
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
+            "FROM t, c WHERE p = c.p0 AND ("
+            "CAST(s AS VARCHAR) LIKE '1%' OR "
+            "(('E' || CAST(o AS VARCHAR)) NOT LIKE '%7%' "
+            "AND LENGTH('E' || CAST(o AS VARCHAR)) <= 3))"
         ),
         "g24_sparql_strfns": (
             # string built-ins over decoded terms 'E<id>': STRSTARTS(?x,

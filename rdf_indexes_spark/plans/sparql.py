@@ -25,6 +25,7 @@ usable at the string level end-to-end:
             op := = | != | < | <= | > | >=
         [FILTER STRSTARTS|STRENDS|CONTAINS(?v, "lit")] ...
         [FILTER ( STRLEN(?v) op n )] ...
+        [FILTER ( atom (|| / && / ! boolean combinations, parens) )] ...
         [FILTER EXISTS { s p o ... }] [FILTER NOT EXISTS { s p o ... }] ...
     } [GROUP BY ?v ...] [HAVING ( ?a op const ) ...]
       [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
@@ -270,6 +271,22 @@ class Filter:
     #          | "strstarts" | "strends" | "contains" | "strlen_<cmp>"
     var: str
     arg: str  # regex pattern, literal, length bound, or constant term text
+
+
+@dataclass(frozen=True)
+class BoolFilter:
+    """Boolean combination of FILTER atoms: ``op`` is "and" | "or" |
+    "not"; ``kids`` holds Filter atoms or nested BoolFilters (1 kid for
+    "not", 2+ otherwise)."""
+
+    op: str
+    kids: tuple
+
+
+def _filter_vars(f) -> list[str]:
+    if isinstance(f, BoolFilter):
+        return [v for k in f.kids for v in _filter_vars(k)]
+    return [f.var]
 
 
 @dataclass
@@ -592,10 +609,46 @@ def parse_sparql(text: str) -> SparqlQuery:
             triple.append(_term(k, v))
         return tuple(triple)
 
-    def filter_expr() -> Filter:
-        wrapped = peek() == ("punct", "(")
-        if wrapped:
-            take()
+    def filter_expr():
+        """One FILTER expression: ``||`` over ``&&`` over ``!``/parens
+        over atoms (SPARQL 1.1 §17.2 operator precedence). A bare atom
+        (or a pure conjunction/parenthesized atom) parses to the plain
+        Filter forms the pushdown paths consume; anything with || or !
+        builds a BoolFilter tree."""
+
+        def f_or():
+            parts = [f_and()]
+            while (
+                peek() == ("pathop", "|")
+                and pos + 1 < len(toks)
+                and toks[pos + 1] == ("pathop", "|")
+            ):
+                take()
+                take()
+                parts.append(f_and())
+            return parts[0] if len(parts) == 1 else BoolFilter("or", tuple(parts))
+
+        def f_and():
+            parts = [f_unary()]
+            while peek() == ("bare", "&&"):
+                take()
+                parts.append(f_unary())
+            return parts[0] if len(parts) == 1 else BoolFilter("and", tuple(parts))
+
+        def f_unary():
+            if peek() == ("pathop", "!"):
+                take()
+                return BoolFilter("not", (f_unary(),))
+            if peek() == ("punct", "("):
+                take()
+                e = f_or()
+                expect("punct", ")")
+                return e
+            return filter_atom()
+
+        return f_or()
+
+    def filter_atom() -> Filter:
         k, v = take()
         if k == "bare" and v.lower() == "regex":
             expect("punct", "(")
@@ -653,8 +706,6 @@ def parse_sparql(text: str) -> SparqlQuery:
             f = Filter(kinds[op], var, _term(kk, vv).text)
         else:
             raise ValueError(f"unsupported FILTER expression starting at {v!r}")
-        if wrapped:
-            expect("punct", ")")
         return f
 
     def group(into: list[tuple], allow_blocks: bool) -> None:
@@ -923,7 +974,9 @@ def parse_sparql(text: str) -> SparqlQuery:
         q.variables = tvars
     if q.variables is None:
         q.variables = sorted(bound_vars) if q.form == "SELECT" else []
-    unbound_filters = [f.var for f in q.filters if f.var not in pattern_vars]
+    unbound_filters = [
+        v for f in q.filters for v in _filter_vars(f) if v not in pattern_vars
+    ]
     if unbound_filters:
         raise ValueError(f"FILTER variables not bound in the pattern: {unbound_filters}")
     unbound_values = [v for v, _ in q.values if v not in pattern_vars]
@@ -1273,6 +1326,54 @@ def _apply_filter(
     )
 
 
+def _apply_bool_filter(
+    acc: DataFrame,
+    tree: BoolFilter,
+    roles: dict[str, set[str]],
+    multi_role: set[str],
+    vocabs: dict[str, DataFrame],
+    sub_numeric: set[str],
+) -> DataFrame:
+    """Boolean FILTER combination (``||`` / ``&&`` / ``!``): a semi-join
+    per atom cannot express disjunction or negation, so each involved
+    id-typed variable gets its surface term decoded alongside (one LEFT
+    vocab dimension join per var — the same join final decode performs)
+    and the whole tree evaluates as ONE three-valued boolean column.
+    SQL's NULL logic IS SPARQL §17.2's error logic here: an unbound
+    (OPTIONAL-null) variable makes its atom NULL; true||NULL = true,
+    false||NULL = NULL → row dropped, !NULL = NULL → dropped — exactly
+    the SPARQL error tables. (One documented divergence, shared with the
+    scalar path: a numeric-typed comparison on a non-numeric term is
+    FALSE rather than an error, so under ``!`` such a row survives.)"""
+    need = sorted(set(_filter_vars(tree)))
+    helpers = []
+    for var in need:
+        if var in multi_role or var in sub_numeric or var not in roles:
+            continue
+        role = next(iter(roles[var]))
+        v = vocabs[role].select(
+            F.col("id").alias(f"_fbid_{var}"), F.col("term").alias(f"_fterm_{var}")
+        )
+        acc = acc.join(v, acc[var] == v[f"_fbid_{var}"], "left").drop(f"_fbid_{var}")
+        helpers.append(f"_fterm_{var}")
+
+    def build(n):
+        if isinstance(n, BoolFilter):
+            if n.op == "not":
+                return ~build(n.kids[0])
+            out = build(n.kids[0])
+            for k in n.kids[1:]:
+                out = (out & build(k)) if n.op == "and" else (out | build(k))
+            return out
+        if n.var in sub_numeric:
+            return _typed_value_predicate(F.col(n.var), n)
+        term_typed = n.var in multi_role or n.var not in roles  # BIND vars too
+        col = F.col(n.var) if term_typed else F.col(f"_fterm_{n.var}")
+        return _term_predicate(col, n)
+
+    return acc.filter(build(tree)).drop(*helpers)
+
+
 def _expr_source_vars(e: tuple) -> list[str]:
     if e[0] == "var":
         return [e[1]]
@@ -1517,7 +1618,9 @@ def run_sparql(
             )
 
     for f in q.filters:
-        if f.var in sub_numeric:  # typed value column, no vocab dimension
+        if isinstance(f, BoolFilter):
+            acc = _apply_bool_filter(acc, f, roles, multi_role, vocabs, sub_numeric)
+        elif f.var in sub_numeric:  # typed value column, no vocab dimension
             acc = acc.filter(_typed_value_predicate(F.col(f.var), f))
         else:
             acc = _apply_filter(acc, f, roles, multi_role, vocabs)

@@ -1388,3 +1388,84 @@ def test_parse_string_builtin_errors():
         parse_sparql('SELECT ?x WHERE { ?x knows ?y . FILTER STRSTARTS(?x, ?y) }')
     with pytest.raises(ValueError):
         parse_sparql('SELECT ?x WHERE { ?x knows ?y . FILTER ( STRLEN(?x) > abc ) }')
+
+
+def test_filter_boolean_or_across_vars(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?y WHERE { ?x knows ?y . FILTER ( ?x = dave || ?y = carol ) }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob", "carol"), ("dave", "dave")]
+
+
+def test_filter_boolean_not_and_precedence(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x WHERE { ?x knows ?y . FILTER ( !STRSTARTS(?y, "c") ) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice",), ("dave",)]
+    # || is lower precedence than &&: a || (b && c)
+    out = run_sparql(
+        'SELECT ?x ?y WHERE { ?x knows ?y . '
+        'FILTER ( ?x = alice || ?x = dave && ?y = dave ) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", "bob"), ("dave", "dave")]
+    # parens override: (a || b) && c
+    out = run_sparql(
+        'SELECT ?x ?y WHERE { ?x knows ?y . '
+        'FILTER ( ( ?x = alice || ?x = dave ) && ?y = dave ) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("dave", "dave")]
+
+
+def test_filter_boolean_three_valued_with_optional(idx):
+    """SPARQL error-table semantics via SQL NULL logic: an unbound
+    OPTIONAL var's atom is an error — true||error keeps the row,
+    false||error and !error drop it."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?z WHERE { ?x knows ?y . OPTIONAL { ?x likes ?z } . "
+        'FILTER ( ?x = alice || CONTAINS(?z, "li") ) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", None), ("bob", "alice")]
+    out = run_sparql(
+        "SELECT ?x ?z WHERE { ?x knows ?y . OPTIONAL { ?x likes ?z } . "
+        'FILTER ( !CONTAINS(?z, "x") ) }',
+        tables,
+        vocabs,
+    )
+    # bob's z=alice passes !; alice's and dave's NULL z drops under !
+    assert _rows(out) == [("bob", "alice")]
+
+
+def test_filter_boolean_and_equals_two_filters(idx):
+    tables, vocabs = idx
+    a = run_sparql(
+        "SELECT ?x ?y WHERE { ?x knows ?y . FILTER ( ?x != dave && ?y != bob ) }",
+        tables,
+        vocabs,
+    )
+    b = run_sparql(
+        "SELECT ?x ?y WHERE { ?x knows ?y . FILTER ( ?x != dave ) . "
+        "FILTER ( ?y != bob ) }",
+        tables,
+        vocabs,
+    )
+    assert _rows(a) == _rows(b) == [("bob", "carol")]
+
+
+def test_filter_boolean_parse_errors():
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { ?x knows ?y . FILTER ( ?x = a || ) }")
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { ?x knows ?y . FILTER ( ?q = a || ?x = b ) }")
