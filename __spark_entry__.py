@@ -1355,6 +1355,21 @@ def _q_sparql_bool_filter(spark, sf_dir):
     )
 
 
+def _q_sparql_var_cmp(spark, sf_dir):
+    """G26: variable-variable FILTER over the shifted index — ?x = ?y
+    finds self-loops by TERM equality; the o-ids are shifted by 10^7, so
+    an id-level comparison would match NOTHING."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?y WHERE {{ ?x P{p0} ?y . FILTER ( ?x = ?y ) }}",
+        tables,
+        vocabs,
+    )
+
+
 def _q_sparql_subquery(spark, sf_dir):
     """G23: SPARQL 1.1 subquery — per-subject P1-degree computed in a
     nested SELECT, joined to the outer P0 pattern on the shared ?x, then
@@ -1491,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g22_sparql_filter_cmp": _q_sparql_filter_cmp,
         "g24_sparql_strfns": _q_sparql_strfns,
         "g25_sparql_bool_filter": _q_sparql_bool_filter,
+        "g26_sparql_var_cmp": _q_sparql_var_cmp,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -1809,6 +1825,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'E' || CAST(s AS VARCHAR) AS x, CAST(o AS VARCHAR) AS y "
             "FROM t, c, thr WHERE p = c.p0 AND o % 7 != 0 "
             "AND CAST(o AS DOUBLE) >= thr.v"
+        ),
+        "g26_sparql_var_cmp": (
+            # ?x = ?y by TERM: raw s = o (the shift cancels in the term)
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
+            "FROM t, c WHERE p = c.p0 AND s = o"
         ),
         "g25_sparql_bool_filter": (
             # boolean filter: a || (!b && c) — && binds tighter than ||

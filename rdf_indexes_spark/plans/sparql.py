@@ -26,6 +26,7 @@ usable at the string level end-to-end:
         [FILTER STRSTARTS|STRENDS|CONTAINS(?v, "lit")] ...
         [FILTER ( STRLEN(?v) op n )] ...
         [FILTER ( atom (|| / && / ! boolean combinations, parens) )] ...
+        [FILTER ( ?a op ?b )] (variable-variable, decoded-term compare) ...
         [FILTER EXISTS { s p o ... }] [FILTER NOT EXISTS { s p o ... }] ...
     } [GROUP BY ?v ...] [HAVING ( ?a op const ) ...]
       [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
@@ -286,6 +287,8 @@ class BoolFilter:
 def _filter_vars(f) -> list[str]:
     if isinstance(f, BoolFilter):
         return [v for k in f.kids for v in _filter_vars(k)]
+    if f.kind.startswith("var_"):  # ?a op ?b — arg is the second variable
+        return [f.var, f.arg]
     return [f.var]
 
 
@@ -701,9 +704,14 @@ def parse_sparql(text: str) -> SparqlQuery:
             if kk != "bare" or op not in kinds:
                 raise ValueError(f"unsupported FILTER operator {op!r}")
             kk, vv = take()
-            if kk not in ("iri", "lit", "bare"):
-                raise ValueError(f"FILTER comparison needs a constant, got {vv!r}")
-            f = Filter(kinds[op], var, _term(kk, vv).text)
+            if kk == "var":  # variable-variable comparison: ?a op ?b
+                f = Filter("var_" + kinds[op], var, vv[1:])
+            elif kk in ("iri", "lit", "bare"):
+                f = Filter(kinds[op], var, _term(kk, vv).text)
+            else:
+                raise ValueError(
+                    f"FILTER comparison needs a constant or ?variable, got {vv!r}"
+                )
         else:
             raise ValueError(f"unsupported FILTER expression starting at {v!r}")
         return f
@@ -1357,6 +1365,12 @@ def _apply_bool_filter(
         acc = acc.join(v, acc[var] == v[f"_fbid_{var}"], "left").drop(f"_fbid_{var}")
         helpers.append(f"_fterm_{var}")
 
+    def colof(var):
+        if var in sub_numeric:  # typed aggregate alias — string form
+            return F.col(var).cast("string")
+        term_typed = var in multi_role or var not in roles  # BIND vars too
+        return F.col(var) if term_typed else F.col(f"_fterm_{var}")
+
     def build(n):
         if isinstance(n, BoolFilter):
             if n.op == "not":
@@ -1365,11 +1379,14 @@ def _apply_bool_filter(
             for k in n.kids[1:]:
                 out = (out & build(k)) if n.op == "and" else (out | build(k))
             return out
+        if n.kind.startswith("var_"):
+            # ?a op ?b: decoded-term (codepoint) comparison — SPARQL's
+            # simple-literal ordering; eq/ne are exact term equality
+            ops = {"eq": lambda a, b: a == b, "ne": lambda a, b: a != b, **_CMP_OPS}
+            return ops[n.kind.removeprefix("var_")](colof(n.var), colof(n.arg))
         if n.var in sub_numeric:
             return _typed_value_predicate(F.col(n.var), n)
-        term_typed = n.var in multi_role or n.var not in roles  # BIND vars too
-        col = F.col(n.var) if term_typed else F.col(f"_fterm_{n.var}")
-        return _term_predicate(col, n)
+        return _term_predicate(colof(n.var), n)
 
     return acc.filter(build(tree)).drop(*helpers)
 
@@ -1618,7 +1635,8 @@ def run_sparql(
             )
 
     for f in q.filters:
-        if isinstance(f, BoolFilter):
+        if isinstance(f, BoolFilter) or f.kind.startswith("var_"):
+            # boolean trees AND var-var comparisons need decoded terms
             acc = _apply_bool_filter(acc, f, roles, multi_role, vocabs, sub_numeric)
         elif f.var in sub_numeric:  # typed value column, no vocab dimension
             acc = acc.filter(_typed_value_predicate(F.col(f.var), f))

@@ -1469,3 +1469,28 @@ def test_filter_boolean_parse_errors():
         parse_sparql("SELECT ?x WHERE { ?x knows ?y . FILTER ( ?x = a || ) }")
     with pytest.raises(ValueError):
         parse_sparql("SELECT ?x WHERE { ?x knows ?y . FILTER ( ?q = a || ?x = b ) }")
+
+
+def test_filter_var_var_comparison(idx):
+    """?a op ?b — decoded-term comparison, incl. cross-role equality
+    (id-level equality would be WRONG: the role id spaces differ)."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?y WHERE { ?x knows ?y . FILTER ( ?x = ?y ) }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("dave", "dave")]
+    out = run_sparql(
+        "SELECT ?x ?y WHERE { ?x knows ?y . FILTER ( ?x < ?y ) }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", "bob"), ("bob", "carol")]
+    # inside a boolean tree
+    out = run_sparql(
+        "SELECT ?x ?y WHERE { ?x knows ?y . FILTER ( ?x = ?y || ?x = alice ) }",
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", "bob"), ("dave", "dave")]
