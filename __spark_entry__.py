@@ -825,6 +825,17 @@ def _q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_split_corpus(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment — cumulative
+    variate intervals, leakage-stable under corpus growth."""
+    from rdf_indexes_spark.operators.sampling import split_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    return split_corpus(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
 def _q_mixture_report(spark, sf_dir):
     """Corpus-composition report per source: docs / tokens / chars /
     mean_chars — the numbers a mixture decision is made from."""
@@ -1474,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _q_hash_sample,
         "sample_mixture": _q_mixture_sample,
         "mixture_report": _q_mixture_report,
+        "split_corpus": _q_split_corpus,
         "a7_querylog_batched": _q_a7_querylog,
         "b3_hash_ids": _q_b3_hash_ids,
         "dedup_simhash_near": _q_simhash_near,
@@ -2012,6 +2024,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents JOIN r ON lang = r.s "
             "WHERE ((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
             "/ 2147483647.0 < rate"
+        ),
+        "split_corpus": (
+            # cumulative variate intervals: [0,.9) train, [.9,.95) val,
+            # rest test — same affine-hash contract as sample_hash
+            "SELECT doc_id, CASE "
+            "WHEN ((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
+            "/ 2147483647.0 < 0.9 THEN 'train' "
+            "WHEN ((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
+            "/ 2147483647.0 < 0.9500000000000001 THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
         ),
         "mixture_report": (
             "SELECT source, count(*) AS docs, "

@@ -131,3 +131,37 @@ def mixture_report(
         )
         .orderBy(*cols)
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    a: int = _A,
+    b: int = _B,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each key's variate falls
+    into one of the cumulative [0,1) intervals defined by ``fractions``
+    (insertion order; they must sum to ~1). Adds a ``split`` column.
+
+    Inherits every hash_sample property — reproducible across engines
+    and layouts, stable under corpus growth (a doc never migrates
+    between splits when other docs arrive: the leakage-safety property
+    random splits lack). Pure codegen CASE over the variate."""
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(w < 0 for w in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    v = _variate(F.col(key_col), a, b)
+    expr = None
+    acc = 0.0
+    for name, w in fractions.items():
+        acc += w
+        cond = v < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float-sum slack: the last interval absorbs rounding
+    last = list(fractions)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))

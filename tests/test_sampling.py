@@ -100,3 +100,26 @@ def test_mixture_report_matches_pandas(docs):
     assert list(g["tokens"]) == list(want["tokens"])
     assert list(g["chars"]) == list(want["chars"])
     assert (abs(g["mean_chars"] - g["chars"] / g["docs"]) < 1e-9).all()
+
+
+def test_split_corpus_deterministic_partition(docs):
+    """Every doc gets exactly one split; splits partition the corpus,
+    approximate the fractions, and never migrate under growth."""
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = S.split_corpus(docs, fr).select("doc_id", "split").toPandas()
+    assert len(out) == docs.count()
+    shares = out["split"].value_counts(normalize=True)
+    for k, w in fr.items():
+        assert abs(shares.get(k, 0) - w) < 0.1, (k, shares)
+    # growth stability: restricting the corpus never changes a verdict
+    import pyspark.sql.functions as F
+    half = docs.filter(F.col("doc_id") < 250)
+    small = S.split_corpus(half, fr).select("doc_id", "split").toPandas()
+    merged = small.merge(out, on="doc_id", suffixes=("_s", "_f"))
+    assert (merged["split_s"] == merged["split_f"]).all()
+    # errors
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        S.split_corpus(docs, {"train": 0.5})
+    with _pt.raises(ValueError):
+        S.split_corpus(docs, {})
