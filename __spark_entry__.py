@@ -795,6 +795,14 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_read(spark, sf_dir, "documents"), target_tokens=500)
 
 
+def _q_top_terms(spark, sf_dir):
+    """Per-doc tf-idf keywords (linear idf — exact integer score both
+    engines replay; see operators/textops.top_terms)."""
+    from rdf_indexes_spark.operators.textops import top_terms
+
+    return top_terms(_read(spark, sf_dir, "documents"), k=5)
+
+
 def _q_gopher_filter(spark, sf_dir):
     """Composed Gopher rule set (Rae et al. 2021 §A1.1) over the quality
     and repetition signal frames: keep/drop + fixed-order failure
@@ -1454,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_repetition": _q_repetition,
         "gopher_filter": _q_gopher_filter,
+        "text_top_terms": _q_top_terms,
         "chunk_documents": _q_chunk_documents,
         "redact_pii": _q_redact_pii,
         "winnow_fingerprints": _q_winnow,
@@ -2024,6 +2033,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents JOIN r ON lang = r.s "
             "WHERE ((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
             "/ 2147483647.0 < rate"
+        ),
+        "text_top_terms": (
+            # linear-idf tf-idf: score = floor(tf * N / df), top-5 per
+            # doc, ties by tf desc then term asc
+            "WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+            "lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT doc_id, term, tf, df, "
+            "CAST(floor(tf * n.n / df) AS BIGINT) AS score, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY floor(tf * n.n / df) DESC, "
+            "tf DESC, term ASC) AS rank FROM tf JOIN dft USING (term), n) "
+            "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, "
+            "CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score "
+            "FROM s WHERE rank <= 5"
         ),
         "split_corpus": (
             # cumulative variate intervals: [0,.9) train, [.9,.95) val,

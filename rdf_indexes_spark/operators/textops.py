@@ -421,3 +421,53 @@ def pack_sequences(
             (F.col("_pre") % F.lit(target_tokens)).cast("long").alias("start_tok"),
         )
     )
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction by tf·idf with a LINEAR idf
+    (score = tf · N / df, integer-floored): the linear form keeps the
+    score exact integer arithmetic — no log(), whose last-ulp libm
+    differences would defeat cross-engine verification — while
+    preserving the tf-idf ranking property that corpus-ubiquitous terms
+    (df → N) score near their bare tf and rare terms are boosted N/df-
+    fold. Returns (doc_id, rank, term, tf, df, score): the top ``k``
+    terms per document, ties broken by higher tf then codepoint order.
+
+    Scale shape: explode → (doc, term) hash-aggregate for tf; df is a
+    second aggregate over the SAME frame (distinct doc-term pairs →
+    term counts — term-keyed, bounded by vocabulary size); one join on
+    term (dimension-sized, broadcast-eligible) and a doc-keyed top-k
+    window. No Python anywhere."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    did = F.col(id_col).alias("doc_id")
+    toks = F.filter(_tokens(text_col), lambda t: F.length(t) > 0)
+    pairs = docs.select(did, F.explode(toks).alias("term"))
+    tf = pairs.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))  # tf rows ARE distinct pairs
+    n_docs = docs.count()
+    scored = tf.join(df_t, "term").withColumn(
+        "score", F.floor(F.col("tf") * F.lit(int(n_docs)) / F.col("df")).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+        )
+    )

@@ -360,3 +360,28 @@ def test_pack_sequences_matches_python_scan(spark, docs):
     # sequences are contiguous 0..max with no gaps
     seqs = sorted(out["seq_id"].unique())
     assert seqs == list(range(len(seqs)))
+
+
+def test_top_terms_golden_and_ranking(spark):
+    from rdf_indexes_spark.operators.textops import top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple rare the the the"),
+            (2, "the banana banana apple"),
+            (3, "the cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    # N=3; df: the=3, apple=2, banana=1, rare=1, cherry=1
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+           for r in top_terms(df, k=2).collect()}
+    # doc1: apple tf2 df2 -> 3; rare tf1 df1 -> 3; the tf3 df3 -> 3
+    #   all score 3 -> tie by tf desc: the (tf3), apple (tf2)
+    assert got[(1, 1)] == ("the", 3, 3, 3)
+    assert got[(1, 2)] == ("apple", 2, 2, 3)
+    # doc2: banana tf2 df1 -> 6 beats apple tf1 df2 -> 1 and the -> 1
+    assert got[(2, 1)] == ("banana", 2, 1, 6)
+    assert got[(2, 2)][0] == "apple"  # score 1 ties with 'the': tf equal, term asc
+    # doc3: cherry tf1 df1 -> 3 beats the tf1 df3 -> 1
+    assert got[(3, 1)] == ("cherry", 1, 1, 3)
