@@ -795,6 +795,17 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_read(spark, sf_dir, "documents"), target_tokens=500)
 
 
+def _q_bm25(spark, sf_dir):
+    """BM25 search for a fixed 3-term query; order-free exact-integer
+    scoring contract (per-term floor, see textops.bm25_search) so the
+    DuckDB twin reproduces every score bit-for-bit."""
+    from rdf_indexes_spark.operators.textops import bm25_search
+
+    return bm25_search(
+        _read(spark, sf_dir, "documents"), ["scan", "join", "merge"], k=10
+    )
+
+
 def _q_top_terms(spark, sf_dir):
     """Per-doc tf-idf keywords (linear idf — exact integer score both
     engines replay; see operators/textops.top_terms)."""
@@ -1463,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "gopher_filter": _q_gopher_filter,
         "text_top_terms": _q_top_terms,
+        "text_bm25_search": _q_bm25,
         "chunk_documents": _q_chunk_documents,
         "redact_pii": _q_redact_pii,
         "winnow_fingerprints": _q_winnow,
@@ -2033,6 +2045,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents JOIN r ON lang = r.s "
             "WHERE ((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
             "/ 2147483647.0 < rate"
+        ),
+        "text_bm25_search": (
+            # BM25 (rational idf, per-term integer floor; k1=1.2 b=0.75):
+            # every float op mirrors the Spark expression's association
+            "WITH base AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts FROM documents), "
+            "d AS (SELECT doc_id, len(ts) AS dl, ts FROM base), "
+            "st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d), "
+            "pairs AS (SELECT doc_id, dl, unnest(ts) AS term FROM d), "
+            "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM pairs "
+            "WHERE term IN ('scan', 'join', 'merge') GROUP BY 1, 2, 3), "
+            "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "c AS (SELECT doc_id, CAST(floor((1000000.0 * "
+            "(((CAST(st.n AS DOUBLE) - df) + 0.5) / (df + 0.5))) * "
+            "((tf * 2.2) / (tf + 1.2 * (0.25 + ((0.75 * dl) / st.avgdl))))) AS BIGINT) AS c "
+            "FROM tf JOIN dft USING (term), st), "
+            "sc AS (SELECT doc_id, sum(c) AS score_x1e6, count(*) AS n_matched FROM c GROUP BY doc_id) "
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY score_x1e6 DESC, doc_id) AS BIGINT) AS rank, "
+            "CAST(score_x1e6 AS BIGINT) AS score_x1e6, CAST(n_matched AS BIGINT) AS n_matched "
+            "FROM sc ORDER BY rank LIMIT 10"
         ),
         "text_top_terms": (
             # linear-idf tf-idf: score = floor(tf * N / df), top-5 per

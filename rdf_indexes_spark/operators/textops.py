@@ -471,3 +471,66 @@ def top_terms(
             "score",
         )
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 document search with an ORDER-FREE exact scoring contract:
+    per matched term the contribution is
+
+        floor(10^6 · idf_rational(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)))
+
+    with the rational idf (N−df+0.5)/(df+0.5) — no log(): last-ulp libm
+    drift across engines would break verification — and the FLOOR taken
+    PER TERM, so the document score is a sum of integers: exact,
+    independent of aggregation order (a raw double sum would differ in
+    the last ulp between engines/partitionings). Returns the top ``k``
+    documents: (doc_id, rank, score_x1e6, n_matched); ties by doc_id.
+
+    Scale shape: the query term list is a literal IN-filter pushed into
+    the (doc, term) tf aggregate (only matching postings survive the
+    map side), df/avgdl are two tiny aggregates, and the global top-k
+    is a window over the per-doc scores — |q|·N_matched rows at most."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    from pyspark.sql import Window
+
+    qt = [t.lower() for t in query_terms]
+    did = F.col(id_col).alias("doc_id")
+    toks = F.filter(_tokens(text_col), lambda t: F.length(t) > 0)
+    base = docs.select(did, toks.alias("_ts")).withColumn("_dl", F.size("_ts"))
+    n_docs = base.count()
+    avgdl = base.agg(F.avg("_dl")).first()[0] or 0.0
+    pairs = base.select(
+        "doc_id", "_dl", F.explode("_ts").alias("term")
+    ).filter(F.col("term").isin(qt))
+    tf = pairs.groupBy("doc_id", "_dl", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    sat = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(float(avgdl)))
+    )
+    per_term = tf.join(df_t, "term").withColumn(
+        "_c", F.floor(F.lit(1_000_000.0) * idf * sat).cast("long")
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("_c").alias("score_x1e6"), F.count("*").alias("n_matched")
+    )
+    # global top-k via TakeOrdered (per-partition k + driver merge), NOT a
+    # row_number window over everything (Exchange SinglePartition of every
+    # matched doc); the rank window then runs over k rows only
+    top = scored.orderBy(F.desc("score_x1e6"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_x1e6"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "score_x1e6",
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )

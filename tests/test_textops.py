@@ -385,3 +385,33 @@ def test_top_terms_golden_and_ranking(spark):
     assert got[(2, 2)][0] == "apple"  # score 1 ties with 'the': tf equal, term asc
     # doc3: cherry tf1 df1 -> 3 beats the tf1 df3 -> 1
     assert got[(3, 1)] == ("cherry", 1, 1, 3)
+
+
+def test_bm25_search_ranking_properties(spark):
+    from rdf_indexes_spark.operators.textops import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "scan scan scan join filler filler filler filler"),
+            (2, "scan join merge"),
+            (3, "merge merge merge merge"),
+            (4, "nothing relevant here at all whatsoever truly"),
+            (5, "scan"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(df, ["scan", "join", "merge"], k=10).toPandas()
+    # only matching docs appear, ranked 1..n with strictly ordered scores
+    assert set(out["doc_id"]) == {1, 2, 3, 5}
+    assert list(out["rank"]) == list(range(1, 5))
+    s = list(out.sort_values("rank")["score_x1e6"])
+    assert s == sorted(s, reverse=True)
+    # doc 2 matches all three query terms
+    assert int(out.set_index("doc_id").loc[2, "n_matched"]) == 3
+    # idf: 'merge' (df=2) contributes more than 'scan' (df=3) at equal tf
+    one_scan = bm25_search(df, ["scan"], k=10).toPandas().set_index("doc_id")
+    one_merge = bm25_search(df, ["merge"], k=10).toPandas().set_index("doc_id")
+    assert one_merge.loc[2, "score_x1e6"] > one_scan.loc[2, "score_x1e6"]
+    # determinism across runs
+    again = bm25_search(df, ["scan", "join", "merge"], k=10).toPandas()
+    assert out.sort_values("rank").equals(again.sort_values("rank"))
