@@ -855,6 +855,45 @@ def _q_split_corpus(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: 3-gram overlap of the training shard
+    (doc_id % 19 != 0) against the benchmark shard (doc_id % 19 == 0).
+    Gram keys are xxhash64 longs (the production scale path — the
+    oracle joins on raw gram strings; equality holds barring a 2^-64
+    collision); benchmark side broadcast, corpus text never shuffles."""
+    from rdf_indexes_spark.operators.contamination import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 19 != 0),
+        docs.filter(F.col("doc_id") % 19 == 0),
+        n=3,
+    )
+
+
+def _q_kg_pagerank(spark, sf_dir):
+    """Entity salience: PageRank over the customer→nation→region /
+    supplier→nation membership graph (node spaces disambiguated by
+    offset, mirroring the KG's per-role id spaces). Rows-only: the
+    operator is iterative float power iteration — pytest pins it
+    against a numpy oracle and closed-form symmetric cases."""
+    from rdf_indexes_spark.operators.graph import pagerank
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_nationkey").cast("long") + F.lit(10**9)).alias("dst"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey").cast("long") + F.lit(2 * 10**9)).alias("src"),
+        (F.col("s_nationkey").cast("long") + F.lit(10**9)).alias("dst"),
+    )
+    nat = _read(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") + F.lit(10**9)).alias("src"),
+        (F.col("n_regionkey").cast("long") + F.lit(3 * 10**9)).alias("dst"),
+    )
+    return pagerank(cust.union(supp).union(nat), iterations=10)
+
+
 def _q_mixture_report(spark, sf_dir):
     """Corpus-composition report per source: docs / tokens / chars /
     mean_chars — the numbers a mixture decision is made from."""
@@ -1507,6 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": _q_mixture_sample,
         "mixture_report": _q_mixture_report,
         "split_corpus": _q_split_corpus,
+        "decontaminate": _q_decontaminate,
+        "kg_pagerank": _q_kg_pagerank,
         "a7_querylog_batched": _q_a7_querylog,
         "b3_hash_ids": _q_b3_hash_ids,
         "dedup_simhash_near": _q_simhash_near,
@@ -2091,6 +2132,22 @@ def oracle_sql() -> dict[str, str]:
             "WHEN ((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
             "/ 2147483647.0 < 0.9500000000000001 THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "decontaminate": (
+            # distinct 3-grams of each training doc (doc_id % 19 != 0)
+            # that appear in ANY benchmark doc (doc_id % 19 == 0), plus
+            # the distinct benchmark docs hit; zeros for clean docs
+            "WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM documents), "
+            "p AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tk WHERE len(ts) >= 3), "
+            "g AS (SELECT doc_id, array_to_string(list_slice(ts, i, i + 2), ' ') AS gram FROM p), "
+            "cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 19 <> 0), "
+            "bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 19 = 0), "
+            "h AS (SELECT cg.doc_id, count(DISTINCT gram) AS n_hit_ngrams, "
+            "count(DISTINCT bench_id) AS n_bench_docs FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(h.n_hit_ngrams, 0) AS BIGINT) AS n_hit_ngrams, "
+            "CAST(coalesce(h.n_bench_docs, 0) AS BIGINT) AS n_bench_docs, "
+            "CAST(CASE WHEN coalesce(h.n_hit_ngrams, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated "
+            "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id WHERE d.doc_id % 19 <> 0"
         ),
         "mixture_report": (
             "SELECT source, count(*) AS docs, "

@@ -1,0 +1,59 @@
+"""Benchmark decontamination: ground-truth n-gram overlap semantics and
+the hashed-key (production) vs raw-string (audit) path equivalence."""
+
+from __future__ import annotations
+
+from rdf_indexes_spark.operators.contamination import decontaminate
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["n_hit_ngrams"], r["n_bench_docs"], r["contaminated"])
+        for r in df.collect()
+    )
+
+
+def test_decontaminate_ground_truth(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),  # grams: "a b c" (bench 10+12), "b c d" (12), "c d e"
+            (2, "x y z"),  # "x y z" (bench 11)
+            (3, "a b"),  # too short for 3-grams: clean, still present
+            (4, "m n o p"),  # no overlap: clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (10, "q a b c q"),
+            (11, "x y z x y z"),
+            (12, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _rows(decontaminate(corpus, bench, n=3))
+    assert got == [
+        (1, 2, 2, 1),  # {"a b c","b c d"} hit; bench docs {10, 12}
+        (2, 1, 1, 1),
+        (3, 0, 0, 0),
+        (4, 0, 0, 0),
+    ]
+
+
+def test_decontaminate_hashed_matches_raw(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id % 19 != 0")
+    bench = docs.filter("doc_id % 19 = 0")
+    hashed = _rows(decontaminate(corpus, bench, n=3, hashed_keys=True))
+    raw = _rows(decontaminate(corpus, bench, n=3, hashed_keys=False))
+    assert hashed == raw
+    # the synthetic vocabulary is tiny, so 3-gram contamination must be
+    # non-trivial in both directions (some hits, and per-doc zeros only
+    # if a doc is genuinely disjoint)
+    assert any(r[3] == 1 for r in hashed)
+
+
+def test_decontaminate_case_and_whitespace(spark):
+    corpus = spark.createDataFrame([(1, "  A  b\tC ")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    assert _rows(decontaminate(corpus, bench, n=3)) == [(1, 1, 1, 1)]
