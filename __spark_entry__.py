@@ -894,6 +894,41 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(cust.union(supp).union(nat), iterations=10)
 
 
+def _cc_edges(spark, sf_dir):
+    """Deterministic membership graph shared by cc_components and its
+    oracle: customer—nation, supplier—nation, nation—region (node
+    spaces offset like kg_pagerank). 5 components, one per region."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("a"),
+        (F.col("c_nationkey").cast("long") + F.lit(10**9)).alias("b"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey").cast("long") + F.lit(2 * 10**9)).alias("a"),
+        (F.col("s_nationkey").cast("long") + F.lit(10**9)).alias("b"),
+    )
+    nat = _read(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") + F.lit(10**9)).alias("a"),
+        (F.col("n_regionkey").cast("long") + F.lit(3 * 10**9)).alias("b"),
+    )
+    return cust.union(supp).union(nat)
+
+
+def _q_cc_components(spark, sf_dir):
+    """The canonicalization core as an oracle-checked query: salted
+    min-label connected components over the membership graph. The
+    DuckDB twin is a recursive reachability CTE + min label — exact
+    equality, not just component counts."""
+    from rdf_indexes_spark.operators.canonicalize import (
+        connected_components,
+        edge_endpoints,
+    )
+
+    edges = _cc_edges(spark, sf_dir)
+    return connected_components(edge_endpoints(edges), edges).select(
+        "surface", "component"
+    )
+
+
 def _q_mixture_report(spark, sf_dir):
     """Corpus-composition report per source: docs / tokens / chars /
     mean_chars — the numbers a mixture decision is made from."""
@@ -1548,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": _q_split_corpus,
         "decontaminate": _q_decontaminate,
         "kg_pagerank": _q_kg_pagerank,
+        "cc_components": _q_cc_components,
         "a7_querylog_batched": _q_a7_querylog,
         "b3_hash_ids": _q_b3_hash_ids,
         "dedup_simhash_near": _q_simhash_near,
@@ -2132,6 +2168,20 @@ def oracle_sql() -> dict[str, str]:
             "WHEN ((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
             "/ 2147483647.0 < 0.9500000000000001 THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "cc_components": (
+            # exact CC oracle: recursive reachability over the
+            # symmetrized membership graph, component = min reachable id.
+            # Quadratic in component size — fine at gate scale (the
+            # Spark operator itself is the scale path)
+            "WITH RECURSIVE e AS ("
+            "SELECT CAST(c_custkey AS BIGINT) AS a, CAST(c_nationkey + 1000000000 AS BIGINT) AS b FROM customer "
+            "UNION ALL SELECT CAST(s_suppkey + 2000000000 AS BIGINT), CAST(s_nationkey + 1000000000 AS BIGINT) FROM supplier "
+            "UNION ALL SELECT CAST(n_nationkey + 1000000000 AS BIGINT), CAST(n_regionkey + 3000000000 AS BIGINT) FROM nation), "
+            "sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e), "
+            "reach AS (SELECT DISTINCT src AS node, src AS lbl FROM sym "
+            "UNION SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node) "
+            "SELECT node AS surface, min(lbl) AS component FROM reach GROUP BY node"
         ),
         "decontaminate": (
             # distinct 3-grams of each training doc (doc_id % 19 != 0)
