@@ -894,6 +894,23 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(cust.union(supp).union(nat), iterations=10)
 
 
+def _q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination: cut exactly the token positions
+    covered by benchmark-overlapping 3-grams, keep the rest. Same
+    corpus/benchmark shards and hashed-gram scale path as
+    `decontaminate`."""
+    from rdf_indexes_spark.operators.contamination import (
+        remove_contaminated_spans,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_contaminated_spans(
+        docs.filter(F.col("doc_id") % 19 != 0),
+        docs.filter(F.col("doc_id") % 19 == 0),
+        n=3,
+    )
+
+
 def _cc_edges(spark, sf_dir):
     """Deterministic membership graph shared by cc_components and its
     oracle: customer—nation, supplier—nation, nation—region (node
@@ -1582,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_report": _q_mixture_report,
         "split_corpus": _q_split_corpus,
         "decontaminate": _q_decontaminate,
+        "decontaminate_spans": _q_decontaminate_spans,
         "kg_pagerank": _q_kg_pagerank,
         "cc_components": _q_cc_components,
         "a7_querylog_batched": _q_a7_querylog,
@@ -2198,6 +2216,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(h.n_bench_docs, 0) AS BIGINT) AS n_bench_docs, "
             "CAST(CASE WHEN coalesce(h.n_hit_ngrams, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated "
             "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id WHERE d.doc_id % 19 <> 0"
+        ),
+        "decontaminate_spans": (
+            # token positions covered by any benchmark-hit 3-gram are
+            # removed; text rebuilt from the survivors in position order
+            "WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM documents), "
+            "p AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tk WHERE len(ts) >= 3), "
+            "g AS (SELECT doc_id, i AS start, array_to_string(list_slice(ts, i, i + 2), ' ') AS gram FROM p), "
+            "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 19 = 0), "
+            "cov0 AS (SELECT doc_id, unnest(generate_series(start, start + 2)) AS pos "
+            "FROM g JOIN bg USING (gram) WHERE doc_id % 19 <> 0), "
+            "cov AS (SELECT DISTINCT doc_id, pos FROM cov0), "
+            "tok AS (SELECT doc_id, unnest(ts) AS tok, unnest(generate_series(1, len(ts))) AS pos "
+            "FROM tk WHERE doc_id % 19 <> 0), "
+            "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t LEFT JOIN cov c "
+            "ON c.doc_id = t.doc_id AND c.pos = t.pos WHERE c.pos IS NULL), "
+            "res AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text, count(*) AS n_kept "
+            "FROM kept GROUP BY doc_id), "
+            "nt AS (SELECT doc_id, len(ts) AS n_toks FROM tk WHERE doc_id % 19 <> 0) "
+            "SELECT nt.doc_id, coalesce(res.text, '') AS text, "
+            "CAST(nt.n_toks - coalesce(res.n_kept, 0) AS BIGINT) AS removed_tokens "
+            "FROM nt LEFT JOIN res ON res.doc_id = nt.doc_id"
         ),
         "mixture_report": (
             "SELECT source, count(*) AS docs, "

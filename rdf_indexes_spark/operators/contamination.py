@@ -33,20 +33,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ngram_set(text_col: str, n: int):
-    """Array of the DISTINCT space-joined token n-grams of ``text_col``.
+def tokens(text_col: str):
+    """Whitespace tokens of lower(trim(text)) — the module's normalizer
+    (same contract as operators/dedup.tokens_col)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def ngram_list(text_col: str, n: int):
+    """Array of ALL space-joined token n-grams of ``text_col`` in text
+    order (index k holds the gram starting at 1-based token k+1).
 
     Documents with fewer than n tokens contribute no n-grams. Pure
     column expression (codegen); 1-based F.slice with a lambda index.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = tokens(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def ngram_set(text_col: str, n: int):
+    """DISTINCT n-grams of ``text_col`` (order not meaningful)."""
+    return F.array_distinct(ngram_list(text_col, n))
 
 
 def decontaminate(
@@ -101,5 +113,93 @@ def decontaminate(
             .otherwise(F.lit(0))
             .cast("long")
             .alias("contaminated"),
+        )
+    )
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    hashed_keys: bool = True,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(doc_id, text, removed_tokens): the span-level decontamination
+    pass — instead of dropping whole documents, cut exactly the token
+    positions covered by any benchmark-overlapping n-gram and keep the
+    rest (the usual salvage step after `decontaminate` flags a doc).
+
+    The returned text is normalized (lowercase, single-space joined) —
+    the same normalization the n-gram match itself is defined over.
+    Every corpus document appears exactly once; a fully-contaminated
+    document comes back with empty text and removed_tokens = its
+    token count.
+
+    Scale shape: the corpus rides the lineage as (doc_id, pos, token)
+    triples — text is never a shuffle key; benchmark grams broadcast
+    as in `decontaminate`; covered positions are derived by exploding
+    each hit's [start, start+n-1] range and anti-joining.
+    """
+    key_of = (lambda c: F.xxhash64(c)) if hashed_keys else (lambda c: c)
+
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("toks"),
+        ngram_list(text_col, n).alias("grams"),
+    )
+    # (doc_id, start, gramkey): 1-based start of every corpus n-gram
+    cg = base.select(
+        "doc_id", F.posexplode("grams").alias("pos0", "gram")
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), key_of(F.col("gram")).alias("g"))
+
+    bg = (
+        benchmark.select(F.explode(ngram_set(bench_text_col, n)).alias("gram"))
+        .select(key_of(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+
+    covered = (
+        cg.join(bg, "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .dropDuplicates(["doc_id", "pos"])
+    )
+
+    tp = base.select("doc_id", F.posexplode("toks").alias("pos0", "tok")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    kept = (
+        tp.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("toks").alias("n_toks"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            (F.col("n_toks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
         )
     )

@@ -53,6 +53,51 @@ def test_decontaminate_hashed_matches_raw(spark):
     assert any(r[3] == 1 for r in hashed)
 
 
+def test_remove_contaminated_spans_ground_truth(spark):
+    from rdf_indexes_spark.operators.contamination import (
+        remove_contaminated_spans,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),  # "a b c" (bench 11) covers 1..3 and
+            # "b c d" (bench 10) covers 2..4 → cut pos 1..4
+            (2, "a b c"),  # fully covered → empty
+            (3, "m n o p"),  # clean → normalized passthrough
+            (4, "a b"),  # too short for grams → passthrough
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "x b c d y"), (11, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["removed_tokens"])
+        for r in remove_contaminated_spans(corpus, bench, n=3).collect()
+    }
+    assert got == {
+        1: ("e", 4),
+        2: ("", 3),
+        3: ("m n o p", 0),
+        4: ("a b", 0),
+    }
+
+
+def test_remove_spans_overlapping_hits_union(spark):
+    # two overlapping hits ("a b c" at 1, "b c d" at 2) cover pos 1..4 —
+    # union, not double-count
+    from rdf_indexes_spark.operators.contamination import (
+        remove_contaminated_spans,
+    )
+
+    corpus = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(10, "a b c"), (11, "b c d")], "doc_id long, text string"
+    )
+    [r] = remove_contaminated_spans(corpus, bench, n=3).collect()
+    assert (r["text"], r["removed_tokens"]) == ("e f", 4)
+
+
 def test_decontaminate_case_and_whitespace(spark):
     corpus = spark.createDataFrame([(1, "  A  b\tC ")], "doc_id long, text string")
     bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
