@@ -73,3 +73,34 @@ def test_winnow_array_path_zero_exchanges(docs):
 
     p = _plan(winnow_fingerprints(docs, k=5, w=4))
     assert "Exchange" not in p, p[:1500]
+
+
+def test_decontaminate_broadcasts_bench_and_never_ships_text(docs):
+    """Benchmark grams ride a BroadcastExchange; the corpus side's only
+    wide exchange is the per-doc aggregation keyed on doc_id — document
+    text must never appear in any exchange."""
+    from rdf_indexes_spark.operators.contamination import decontaminate
+
+    df = decontaminate(
+        docs.filter("doc_id % 19 != 0"), docs.filter("doc_id % 19 = 0"), n=3
+    )
+    p = _plan(df)
+    assert "BroadcastExchange" in p, p[:2000]
+    for l in p.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text" not in l, l
+
+
+def test_remove_spans_never_ships_text_wide(docs):
+    from rdf_indexes_spark.operators.contamination import (
+        remove_contaminated_spans,
+    )
+
+    df = remove_contaminated_spans(
+        docs.filter("doc_id % 19 != 0"), docs.filter("doc_id % 19 = 0"), n=3
+    )
+    p = _plan(df)
+    assert "BroadcastExchange" in p, p[:2000]
+    for l in p.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text#" not in l, l
