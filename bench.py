@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "g3_sparql_chain",
     "g9_sparql_path_seq",
     "g12_sparql_group_count",
+    "decontaminate",
+    "kg_pagerank",
     # g4_path_closure stays OUT of the bench set: on this table's random
     # quasi-bipartite edge graph the closure ANSWER is ~|V|^2 — timing it
     # measures output size, not the engine. Correctness gates at sf0.01.
