@@ -469,6 +469,17 @@ def _q_ann(spark, sf_dir):
     return brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def _q_knn_graph(spark, sf_dir):
+    """Exact kNN graph: every vector is a query — blocked matmul with
+    per-row boundary-tie-safe top-k, then a global window. blocks=2
+    forces the multi-block path even at tiny sf (the single-block case
+    degenerates to one task)."""
+    from rdf_indexes_spark.operators.similarity import knn_graph
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, blocks=2).select("query_id", "neighbor_id", "rank")
+
+
 def _q_ann_lsh(spark, sf_dir):
     from rdf_indexes_spark.operators.similarity import lsh_topk
 
@@ -1602,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": _q_decontaminate_spans,
         "kg_pagerank": _q_kg_pagerank,
         "cc_components": _q_cc_components,
+        "ann_knn_graph": _q_knn_graph,
         "a7_querylog_batched": _q_a7_querylog,
         "b3_hash_ids": _q_b3_hash_ids,
         "dedup_simhash_near": _q_simhash_near,
@@ -2265,6 +2277,16 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), "
             "x -> CAST(unicode(x) AS BIGINT))), (a, b) -> (a * 31 + b) % 2147483647) END AS BIGINT) AS fingerprint "
             "FROM documents"
+        ),
+        "ann_knn_graph": (
+            # full corpus as queries: quadratic oracle (gate-scale only;
+            # the Spark operator's blocked form is the scale path)
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            "s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+            "  list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos "
+            "  FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM s) "
+            "SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 5"
         ),
         "ann_cosine_topk": (
             "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "

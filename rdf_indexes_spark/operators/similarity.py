@@ -199,6 +199,108 @@ def embedding_near_dup_blocked(
     return pairs.groupBy("pi", "pj").applyInPandas(block_pairs, schema="a long, b long")
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 10,
+    blocks: int | None = None,
+    block_rows: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine): the exact k-nearest-
+    neighbor graph over the WHOLE corpus — every vector is a query.
+
+    brute_force_topk's collect-the-queries shape is wrong here (the
+    query set IS the corpus); this is the distributed block-matrix
+    form of embedding_near_dup_blocked with per-row top-k selection
+    instead of a threshold: each (block_i, block_j) pair is one numpy
+    matmul task emitting at most k candidates per row per partner
+    block, and a global window (|rows| * blocks * k candidates, not
+    |rows|^2) picks the final k. Tie rule matches the ANN family:
+    cosine desc, neighbor_id asc — in-block selection keeps EVERY
+    candidate tied at the k-boundary so the window never loses a
+    smaller-id tie to block partitioning.
+    """
+    import pandas as pd
+
+    if blocks is None:
+        n = corpus.count()
+        blocks = max(1, -(-n // block_rows))
+    nb = int(blocks)
+    kk = int(k)
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_bid", F.pmod(F.xxhash64(F.col("_id")), F.lit(nb)).cast("int"))
+    pairs = v.select(
+        "_id",
+        "_v",
+        "_bid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("_bid"), F.lit(i)).alias("pi"),
+                        F.greatest(F.col("_bid"), F.lit(i)).alias("pj"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("_pk"),
+    ).select("_pk.pi", "_pk.pj", "_bid", "_id", "_v")
+
+    def _row_topk(src_ids, dst_ids, C):
+        # per source row: candidates with cosine >= the kth value
+        # (ties at the boundary all survive to the global window)
+        oq, on, oc = [], [], []
+        for r in range(C.shape[0]):
+            row = C[r].copy()
+            row[dst_ids == src_ids[r]] = -np.inf
+            m = int(np.sum(np.isfinite(row)))
+            if m == 0:
+                continue
+            t = min(kk, m)
+            part = np.argpartition(-row, t - 1)
+            thresh = row[part[t - 1]]
+            cand = np.flatnonzero(row >= thresh)
+            keep = cand[np.lexsort((dst_ids[cand], -row[cand]))]
+            oq.extend([src_ids[r]] * len(keep))
+            on.extend(dst_ids[keep])
+            oc.extend(row[keep])
+        return oq, on, oc
+
+    def block_topk(key, pdf):
+        pi, pj = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        bid = pdf["_bid"].to_numpy()
+        if pi == pj:
+            C = Vn @ Vn.T
+            oq, on, oc = _row_topk(ids, ids, C)
+        else:
+            am, bm = bid == pi, bid == pj
+            C = Vn[am] @ Vn[bm].T
+            q1, n1, c1 = _row_topk(ids[am], ids[bm], C)
+            q2, n2, c2 = _row_topk(ids[bm], ids[am], np.ascontiguousarray(C.T))
+            oq, on, oc = q1 + q2, n1 + n2, c1 + c2
+        return pd.DataFrame({"query_id": oq, "neighbor_id": on, "cosine": oc})
+
+    cands = pairs.groupBy("pi", "pj").applyInPandas(
+        block_topk, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
+    )
+
+
 def embedding_near_dup_lsh(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -476,3 +476,18 @@ def test_pq_encode_shape(spark, emb):
     assert len(codes) == emb.count()
     assert all(len(c) == 8 for c in codes["codes"])
     assert all(0 <= v < 16 for c in codes["codes"] for v in c)
+
+
+def test_knn_graph_block_invariance_and_brute_parity(spark, emb):
+    from rdf_indexes_spark.operators.similarity import brute_force_topk, knn_graph
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+        )
+
+    g1 = key(knn_graph(emb, k=4, blocks=1))
+    g3 = key(knn_graph(emb, k=4, blocks=3))
+    assert g1 == g3  # block partitioning must not change the graph
+    brute = key(brute_force_topk(emb, emb, k=4))
+    assert g1 == brute  # every-vector-as-query == the collected-query path
