@@ -957,6 +957,30 @@ def _q_cc_components(spark, sf_dir):
     )
 
 
+def _q_sample_weighted(spark, sf_dir):
+    """Quality-weighted sampling: acceptance probability = the doc's
+    length-derived score least(n_chars/1000, 1) — kept iff the per-key
+    variate is below it."""
+    from rdf_indexes_spark.operators.sampling import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "w", F.least(F.col("n_chars") / F.lit(1000.0), F.lit(1.0))
+    )
+    return weighted_sample(docs, "w").select("doc_id")
+
+
+def _q_sample_upsampled(spark, sf_dir):
+    """Weighted multiplicity (data-mixing up-sampling): each doc appears
+    floor(w)+Bernoulli(frac(w)) times, w = 1 + (doc_id % 3)/2 — exact
+    expectation, deterministic per key, copy_idx distinguishes repeats."""
+    from rdf_indexes_spark.operators.sampling import upsample
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "w", F.lit(1.0) + (F.col("doc_id") % 3) / F.lit(2.0)
+    )
+    return upsample(docs, "w").select("doc_id", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
 def _q_mixture_report(spark, sf_dir):
     """Corpus-composition report per source: docs / tokens / chars /
     mean_chars — the numbers a mixture decision is made from."""
@@ -1614,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "cc_components": _q_cc_components,
         "ann_knn_graph": _q_knn_graph,
+        "sample_weighted": _q_sample_weighted,
+        "sample_upsampled": _q_sample_upsampled,
         "a7_querylog_batched": _q_a7_querylog,
         "b3_hash_ids": _q_b3_hash_ids,
         "dedup_simhash_near": _q_simhash_near,
@@ -2188,6 +2214,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, "
             "CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score "
             "FROM s WHERE rank <= 5"
+        ),
+        "sample_weighted": (
+            "SELECT doc_id FROM documents "
+            "WHERE ((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
+            "/ 2147483647.0 < least(n_chars / 1000.0, 1.0)"
+        ),
+        "sample_upsampled": (
+            "WITH w AS (SELECT doc_id, 1.0 + (doc_id % 3) / 2.0 AS wt FROM documents), "
+            "n AS (SELECT doc_id, least(CAST(floor(wt) AS BIGINT) + "
+            "CASE WHEN ((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
+            "/ 2147483647.0 < wt - floor(wt) THEN 1 ELSE 0 END, 16) AS n FROM w) "
+            "SELECT doc_id, unnest(generate_series(0, n - 1)) AS copy_idx "
+            "FROM n WHERE n > 0"
         ),
         "split_corpus": (
             # cumulative variate intervals: [0,.9) train, [.9,.95) val,

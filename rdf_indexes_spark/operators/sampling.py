@@ -165,3 +165,49 @@ def split_corpus(
     # float-sum slack: the last interval absorbs rounding
     last = list(fractions)[-1]
     return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    a: int = _A,
+    b: int = _B,
+) -> DataFrame:
+    """Per-row acceptance probability: keep row iff variate(key) <
+    weight (a quality score in [0, 1] — the quality-weighted sampling
+    step of CCNet/DCLM-style pipelines). Same determinism contract as
+    hash_sample: a row's fate depends only on its own key and weight,
+    so re-runs, repartitions, and corpus growth never flip it. Pure
+    map-side filter, no shuffle."""
+    return df.filter(
+        _variate(F.col(key_col), a, b) < F.col(weight_col).cast("double")
+    )
+
+
+def upsample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    max_copies: int = 16,
+    a: int = _A,
+    b: int = _B,
+) -> DataFrame:
+    """Weighted multiplicity (the up-sampling half of data mixing):
+    each row appears floor(w) + Bernoulli(frac(w)) times — the
+    expectation is exactly w — with a ``copy_idx`` column (0..n-1)
+    distinguishing repeats for downstream packing/shuffling. The
+    Bernoulli draw is the deterministic per-key variate, so the
+    materialized corpus is identical across runs and layouts.
+    ``max_copies`` caps a bad weight column from exploding the corpus;
+    weights <= 0 drop the row. Map-side generate (one explode), no
+    shuffle."""
+    w = F.col(weight_col).cast("double")
+    extra = (_variate(F.col(key_col), a, b) < (w - F.floor(w))).cast("long")
+    n = F.least(F.floor(w).cast("long") + extra, F.lit(int(max_copies)))
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )

@@ -123,3 +123,43 @@ def test_split_corpus_deterministic_partition(docs):
         S.split_corpus(docs, {"train": 0.5})
     with _pt.raises(ValueError):
         S.split_corpus(docs, {})
+
+
+def test_weighted_sample_is_variate_filter(docs):
+    w = docs.withColumn("w", F.least(F.col("n_chars") / F.lit(1000.0), F.lit(1.0)))
+    got = {r[0] for r in S.weighted_sample(w, "w").select("doc_id").collect()}
+    manual = {
+        r["doc_id"]
+        for r in w.select("doc_id", "w").collect()
+        if ((S._A * (r["doc_id"] % S._P) + S._B) % S._P) / S._P < r["w"]
+    }
+    assert got == manual
+    # weight 1.0 keeps everything, weight 0.0 keeps nothing
+    assert S.weighted_sample(w.withColumn("w", F.lit(1.0)), "w").count() == docs.count()
+    assert S.weighted_sample(w.withColumn("w", F.lit(0.0)), "w").count() == 0
+
+
+def test_upsample_multiplicity_and_determinism(docs):
+    w = docs.withColumn("w", F.lit(1.0) + (F.col("doc_id") % 3) / F.lit(2.0))
+    out = S.upsample(w, "w").select("doc_id", "copy_idx")
+    rows = out.groupBy("doc_id").count().collect()
+    by_doc = {r["doc_id"]: r["count"] for r in rows}
+    for doc_id, n in by_doc.items():
+        wt = 1.0 + (doc_id % 3) / 2.0
+        extra = 1 if ((S._A * (doc_id % S._P) + S._B) % S._P) / S._P < wt - int(wt) else 0
+        assert n == int(wt) + extra, doc_id
+    # copy_idx is 0..n-1 per doc
+    mx = out.groupBy("doc_id").agg(F.max("copy_idx").alias("m")).collect()
+    for r in mx:
+        assert r["m"] == by_doc[r["doc_id"]] - 1
+    # deterministic across invocations
+    again = {(r[0], r[1]) for r in S.upsample(w, "w").select("doc_id", "copy_idx").collect()}
+    assert {(r[0], r[1]) for r in out.collect()} == again
+
+
+def test_upsample_zero_weight_drops_and_cap_holds(docs):
+    zero = docs.withColumn("w", F.lit(0.0))
+    assert S.upsample(zero, "w").count() == 0
+    huge = docs.withColumn("w", F.lit(1000.0))
+    counts = S.upsample(huge, "w", max_copies=4).groupBy("doc_id").count().collect()
+    assert counts and all(r["count"] == 4 for r in counts)
