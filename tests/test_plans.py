@@ -104,3 +104,15 @@ def test_remove_spans_never_ships_text_wide(docs):
     for l in p.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "text#" not in l, l
+
+
+def test_weighted_sampling_ops_zero_exchange(docs):
+    from rdf_indexes_spark.operators.sampling import upsample, weighted_sample
+
+    w = docs.withColumn("w", F.least(F.col("n_chars") / F.lit(1000.0), F.lit(1.0)))
+    for name, df in (
+        ("weighted_sample", weighted_sample(w, "w")),
+        ("upsample", upsample(w, "w")),
+    ):
+        p = _plan(df)
+        assert "Exchange" not in p, f"{name} grew a shuffle:\n{p[:1500]}"
