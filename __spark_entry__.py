@@ -981,6 +981,15 @@ def _q_sample_upsampled(spark, sf_dir):
     return upsample(docs, "w").select("doc_id", F.col("copy_idx").cast("long").alias("copy_idx"))
 
 
+def _q_text_normalize(spark, sf_dir):
+    """Canonical text prep: NFC (Arrow pandas_udf — Spark has no
+    built-in) + control-strip + whitespace collapse + trim, replayed
+    by DuckDB nfc_normalize + RE2."""
+    from rdf_indexes_spark.operators.textops import normalize_text
+
+    return normalize_text(_read(spark, sf_dir, "documents"))
+
+
 def _q_mixture_report(spark, sf_dir):
     """Corpus-composition report per source: docs / tokens / chars /
     mean_chars — the numbers a mixture decision is made from."""
@@ -1639,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": _q_cc_components,
         "ann_knn_graph": _q_knn_graph,
         "sample_weighted": _q_sample_weighted,
+        "text_normalize": _q_text_normalize,
         "sample_upsampled": _q_sample_upsampled,
         "a7_querylog_batched": _q_a7_querylog,
         "b3_hash_ids": _q_b3_hash_ids,
@@ -2214,6 +2224,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, "
             "CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score "
             "FROM s WHERE rank <= 5"
+        ),
+        "text_normalize": (
+            "SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'), "
+            "'\\s+', ' ', 'g')) AS text FROM documents"
         ),
         "sample_weighted": (
             "SELECT doc_id FROM documents "

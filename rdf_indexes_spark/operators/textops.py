@@ -354,6 +354,44 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+# explicit ASCII control class (not \p{Cntrl}): identical bytes-level
+# meaning in Java regex, RE2, and DuckDB — engine-portable by
+# construction. \t \n \r are whitespace, handled by the collapse step.
+_CTRL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text): canonical text prep — Unicode NFC composition,
+    ASCII control characters stripped to spaces, whitespace runs
+    collapsed to single spaces, ends trimmed. The normalization every
+    downstream tokenizer/dedup/n-gram step should see exactly once.
+
+    NFC is the one step Spark has no built-in for — it runs as an
+    Arrow-batched pandas_udf (vectorized transfer; unicodedata.normalize
+    is the same Unicode algorithm DuckDB's nfc_normalize implements, so
+    the oracle replays it exactly). The control-strip and collapse stay
+    JVM-side regexp columns. No shuffle anywhere."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_batch(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    _nfc = pandas_udf(_nfc_batch, "string")
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(_nfc(F.col(text_col)), _CTRL, " "), r"\s+", " "
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), cleaned.alias("text"))
+
+
 def pack_sequences(
     docs: DataFrame,
     target_tokens: int = 2048,

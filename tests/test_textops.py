@@ -415,3 +415,36 @@ def test_bm25_search_ranking_properties(spark):
     # determinism across runs
     again = bm25_search(df, ["scan", "join", "merge"], k=10).toPandas()
     assert out.sort_values("rank").equals(again.sort_values("rank"))
+
+
+def test_normalize_text_golden(spark):
+    from rdf_indexes_spark.operators.textops import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "cafe\u0301  du\tmonde\n"),  # NFC composes e+combining acute
+            (2, "a\x00b\x07c\x7fd"),         # controls -> spaces -> collapse
+            (3, "  already   clean  "),
+            (4, "\u212b vs \u00c5"),          # ANGSTROM SIGN normalizes to A-ring
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in normalize_text(df).collect()}
+    assert got[1] == "caf\u00e9 du monde"
+    assert got[2] == "a b c d"
+    assert got[3] == "already clean"
+    assert got[4] == "\u00c5 vs \u00c5"
+    assert got[5] is None
+    assert got[6] == ""
+
+
+def test_normalize_text_idempotent(spark, docs):
+    from rdf_indexes_spark.operators.textops import normalize_text
+
+    once = normalize_text(docs).toPandas().set_index("doc_id")["text"]
+    twice = (
+        normalize_text(normalize_text(docs)).toPandas().set_index("doc_id")["text"]
+    )
+    assert once.sort_index().equals(twice.sort_index())
