@@ -1535,6 +1535,24 @@ def _q_sparql_var_cmp(spark, sf_dir):
     )
 
 
+def _q_sparql_in(spark, sf_dir):
+    """G27: FILTER [NOT] IN — ?x IN (...) pushes into the s-vocab
+    dimension (one semi join on the long id); ?y NOT IN (...) cuts by
+    decoded TERM over the shifted index, where id-level membership would
+    match nothing (o-ids displaced by 10^7)."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?y WHERE {{ ?x P{p0} ?y . "
+        f'FILTER ( ?x IN ("E1", "E2", "E3", "E5", "E8", "E13") ) . '
+        f'FILTER ( ?y NOT IN ("E7", "E17", "E1013") ) }}',
+        tables,
+        vocabs,
+    )
+
+
 def _q_sparql_subquery(spark, sf_dir):
     """G23: SPARQL 1.1 subquery — per-subject P1-degree computed in a
     nested SELECT, joined to the outer P0 pattern on the shared ?x, then
@@ -1683,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g24_sparql_strfns": _q_sparql_strfns,
         "g25_sparql_bool_filter": _q_sparql_bool_filter,
         "g26_sparql_var_cmp": _q_sparql_var_cmp,
+        "g27_sparql_in": _q_sparql_in,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -2007,6 +2026,13 @@ def oracle_sql() -> dict[str, str]:
             f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
             "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
             "FROM t, c WHERE p = c.p0 AND s = o"
+        ),
+        "g27_sparql_in": (
+            # IN/NOT IN by TERM == raw-id membership (the shift cancels)
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
+            "FROM t, c WHERE p = c.p0 AND s IN (1, 2, 3, 5, 8, 13) "
+            "AND o NOT IN (7, 17, 1013)"
         ),
         "g25_sparql_bool_filter": (
             # boolean filter: a || (!b && c) — && binds tighter than ||

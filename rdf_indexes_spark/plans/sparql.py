@@ -27,6 +27,7 @@ usable at the string level end-to-end:
         [FILTER ( STRLEN(?v) op n )] ...
         [FILTER ( atom (|| / && / ! boolean combinations, parens) )] ...
         [FILTER ( ?a op ?b )] (variable-variable, decoded-term compare) ...
+        [FILTER ( ?v [NOT] IN (term, term, ...) )] ...
         [FILTER EXISTS { s p o ... }] [FILTER NOT EXISTS { s p o ... }] ...
     } [GROUP BY ?v ...] [HAVING ( ?a op const ) ...]
       [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
@@ -270,8 +271,10 @@ class PathExpr:
 class Filter:
     kind: str  # "regex" | "eq" | "ne" | "lt" | "le" | "gt" | "ge"
     #          | "strstarts" | "strends" | "contains" | "strlen_<cmp>"
+    #          | "in" | "not_in" (arg = tuple of term texts)
     var: str
-    arg: str  # regex pattern, literal, length bound, or constant term text
+    arg: str  # regex pattern, literal, length bound, constant term
+    #           text, or (for in/not_in) a tuple of term texts
 
 
 @dataclass(frozen=True)
@@ -700,6 +703,30 @@ def parse_sparql(text: str) -> SparqlQuery:
         elif k == "var":
             var = v[1:]
             kk, op = take()
+            # ?v [NOT] IN (term, term, ...) — SPARQL 1.1 §17.4.1.9/.10;
+            # an empty list is legal (IN () = false, NOT IN () = true)
+            if kk == "bare" and op.upper() in ("IN", "NOT"):
+                neg = op.upper() == "NOT"
+                if neg:
+                    kk2, v2 = take()
+                    if kk2 != "bare" or v2.upper() != "IN":
+                        raise ValueError("FILTER ?v NOT must be followed by IN")
+                expect("punct", "(")
+                terms: list[str] = []
+                if peek() != ("punct", ")"):
+                    while True:
+                        kk2, v2 = take()
+                        if kk2 not in ("iri", "lit", "bare"):
+                            raise ValueError(
+                                f"IN list needs constant terms, got {v2!r}"
+                            )
+                        terms.append(_term(kk2, v2).text)
+                        if peek() == ("punct", ","):
+                            take()
+                            continue
+                        break
+                expect("punct", ")")
+                return Filter("not_in" if neg else "in", var, tuple(terms))
             kinds = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}
             if kk != "bare" or op not in kinds:
                 raise ValueError(f"unsupported FILTER operator {op!r}")
@@ -1263,6 +1290,14 @@ def _typed_value_predicate(col, f: Filter):
         return col.cast("string").rlike(f.arg)
     if f.kind in _STR_FNS or f.kind.startswith("strlen_"):
         return _string_fn_predicate(col.cast("string"), f)
+    if f.kind in ("in", "not_in"):
+        if not f.arg:
+            return F.lit(f.kind == "not_in")
+        if all(_NUM_PAT.fullmatch(a) for a in f.arg):
+            cond = col.cast("double").isin([float(a) for a in f.arg])
+        else:
+            cond = col.cast("string").isin(list(f.arg))
+        return cond if f.kind == "in" else ~cond
     ops = {"eq": lambda a, b: a == b, "ne": lambda a, b: a != b, **_CMP_OPS}
     op = ops[f.kind]
     if _NUM_PAT.fullmatch(f.arg):
@@ -1300,6 +1335,15 @@ def _term_predicate(col, f: Filter):
         return col.rlike(f.arg)
     if f.kind in _STR_FNS or f.kind.startswith("strlen_"):
         return _string_fn_predicate(col, f)
+    if f.kind in ("in", "not_in"):
+        # IN ≡ chained = over term texts (consistent with this subset's
+        # exact-term eq); unbound is an error → drop in BOTH polarities
+        # (isin yields NULL; ~NULL is NULL); empty list is constant
+        # false / true per SPARQL 1.1 §17.4.1.9/.10
+        if not f.arg:
+            return F.lit(f.kind == "not_in")
+        cond = col.isin(list(f.arg))
+        return cond if f.kind == "in" else ~cond
     if f.kind == "eq":
         return col == F.lit(f.arg)
     if f.kind == "ne":

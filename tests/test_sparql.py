@@ -1494,3 +1494,78 @@ def test_filter_var_var_comparison(idx):
         vocabs,
     )
     assert _rows(out) == [("alice", "bob"), ("dave", "dave")]
+
+
+def test_filter_in(idx):
+    """?v IN (...) — exact term membership, pushed into the vocab
+    dimension for single-role vars; absent terms exclude nothing extra."""
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x ?y WHERE { ?x knows ?y . FILTER ( ?x IN ("alice", "dave") ) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", "bob"), ("dave", "dave")]
+    # an absent term in the list is harmless
+    out = run_sparql(
+        'SELECT ?x WHERE { ?x knows ?y . FILTER ( ?y IN ("carol", "zz") ) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob",)]
+    # empty list = constant false
+    out = run_sparql(
+        "SELECT ?x WHERE { ?x knows ?y . FILTER ( ?x IN () ) }", tables, vocabs
+    )
+    assert _rows(out) == []
+
+
+def test_filter_not_in(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?x ?y WHERE { ?x knows ?y . FILTER ( ?x NOT IN ("alice", "bob") ) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("dave", "dave")]
+    # multi-role var: membership evaluated on the decoded TERM — ids
+    # collide across roles, so id-level membership would be wrong
+    out = run_sparql(
+        "SELECT ?x ?z WHERE { ?x knows ?y . ?y likes ?z . "
+        'FILTER ( ?y NOT IN ("carol") ) }',
+        tables,
+        vocabs,
+    )
+    # bridges: y=bob -> (alice, alice), y=carol -> (bob, dave); carol cut
+    assert _rows(out) == [("alice", "alice")]
+
+
+def test_filter_in_boolean_tree(idx):
+    """IN composes inside || / && / ! trees (decoded-term evaluation)."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?y WHERE { ?x knows ?y . "
+        'FILTER ( ?x IN ("dave") || STRSTARTS(?y, "bo") ) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", "bob"), ("dave", "dave")]
+    out = run_sparql(
+        'SELECT ?x WHERE { ?x knows ?y . FILTER ( !(?y IN ("bob", "dave")) ) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob",)]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT ?x WHERE { ?x knows ?y . FILTER ( ?x NOT EQ () ) }",
+        'SELECT ?x WHERE { ?x knows ?y . FILTER ( ?x IN ("a" "b") ) }',
+        "SELECT ?x WHERE { ?x knows ?y . FILTER ( ?x IN (?y) ) }",
+    ],
+)
+def test_filter_in_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
