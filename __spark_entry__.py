@@ -1553,6 +1553,23 @@ def _q_sparql_in(spark, sf_dir):
     )
 
 
+def _q_sparql_strbind(spark, sf_dir):
+    """G28: BIND string functions — SUBSTR/LCASE/STRAFTER composed under
+    CONCAT plus a regex REPLACE, all over decoded terms of the shifted
+    index; the DuckDB twin replays each function literally."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, _, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?r ?m WHERE {{ ?x P{p0} ?y . "
+        f'BIND( CONCAT(LCASE(SUBSTR(?x, 1, 1)), STRAFTER(?y, "E")) AS ?r ) . '
+        f'BIND( REPLACE(?y, "7", "#") AS ?m ) }}',
+        tables,
+        vocabs,
+    )
+
+
 def _q_sparql_subquery(spark, sf_dir):
     """G23: SPARQL 1.1 subquery — per-subject P1-degree computed in a
     nested SELECT, joined to the outer P0 pattern on the shared ?x, then
@@ -1702,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g25_sparql_bool_filter": _q_sparql_bool_filter,
         "g26_sparql_var_cmp": _q_sparql_var_cmp,
         "g27_sparql_in": _q_sparql_in,
+        "g28_sparql_strbind": _q_sparql_strbind,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -2033,6 +2051,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
             "FROM t, c WHERE p = c.p0 AND s IN (1, 2, 3, 5, 8, 13) "
             "AND o NOT IN (7, 17, 1013)"
+        ),
+        "g28_sparql_strbind": (
+            # literal replay of the BIND string fns over the decoded terms
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "
+            "d AS (SELECT 'E' || CAST(s AS VARCHAR) AS x, "
+            "'E' || CAST(o AS VARCHAR) AS y FROM t, c WHERE p = c.p0) "
+            "SELECT x, lower(substr(x, 1, 1)) || "
+            "CASE WHEN strpos(y, 'E') > 0 THEN substr(y, strpos(y, 'E') + 1) "
+            "ELSE '' END AS r, "
+            "regexp_replace(y, '7', '#', 'g') AS m FROM d"
         ),
         "g25_sparql_bool_filter": (
             # boolean filter: a || (!b && c) — && binds tighter than ||

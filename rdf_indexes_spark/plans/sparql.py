@@ -20,7 +20,10 @@ usable at the string level end-to-end:
         [OPTIONAL { s p o ... }] ...
         [MINUS { s p o ... }] ...
         [VALUES ?v { term ... }] ...
-        [BIND( (?v | term | CONCAT(arg, ...)) AS ?new )] ...
+        [BIND( expr AS ?new )] ...
+            expr := ?v | term | CONCAT(expr, ...) | UCASE/LCASE(expr)
+                  | SUBSTR(expr, start[, len]) | REPLACE(expr, "re", "rep")
+                  | STRBEFORE/STRAFTER(expr, "lit")
         [FILTER regex(?v, "pattern")] [FILTER ( ?v op term )] ...
             op := = | != | < | <= | > | >=
         [FILTER STRSTARTS|STRENDS|CONTAINS(?v, "lit")] ...
@@ -832,12 +835,25 @@ def parse_sparql(text: str) -> SparqlQuery:
                 take()
                 expect("punct", "(")
 
+                def bind_lit(fn: str) -> str:
+                    kk, vv = take()
+                    if kk != "lit":
+                        raise ValueError(f'{fn}() needs a quoted "literal" here')
+                    return _term(kk, vv).text
+
+                def bind_int(fn: str) -> int:
+                    kk, vv = take()
+                    if kk != "bare" or not vv.isdigit():
+                        raise ValueError(f"{fn}() needs an integer constant here")
+                    return int(vv)
+
                 def bind_atom() -> tuple:
                     kk, vv = take()
                     if kk == "var":
                         return ("var", vv[1:])
                     if kk in ("iri", "lit", "bare"):
-                        if kk == "bare" and vv.upper() == "CONCAT":
+                        fn = vv.upper() if kk == "bare" else ""
+                        if fn == "CONCAT":
                             expect("punct", "(")
                             args: list[tuple] = []
                             while True:
@@ -850,8 +866,45 @@ def parse_sparql(text: str) -> SparqlQuery:
                                 expect("punct", ")")
                                 break
                             return ("concat", tuple(args))
+                        if fn in ("UCASE", "LCASE"):
+                            expect("punct", "(")
+                            arg = bind_atom()
+                            expect("punct", ")")
+                            return (fn.lower(), (arg,))
+                        if fn == "SUBSTR":
+                            # SUBSTR(expr, start [, len]) — 1-based (§17.4.3.3)
+                            expect("punct", "(")
+                            arg = bind_atom()
+                            expect("punct", ",")
+                            start = bind_int("SUBSTR")
+                            length = None
+                            if peek() == ("punct", ","):
+                                take()
+                                length = bind_int("SUBSTR")
+                            expect("punct", ")")
+                            return ("substr", (arg,), start, length)
+                        if fn == "REPLACE":
+                            # REPLACE(expr, "regex", "replacement") (§17.4.3.15)
+                            expect("punct", "(")
+                            arg = bind_atom()
+                            expect("punct", ",")
+                            pat = bind_lit("REPLACE")
+                            expect("punct", ",")
+                            rep = bind_lit("REPLACE")
+                            expect("punct", ")")
+                            return ("replace", (arg,), pat, rep)
+                        if fn in ("STRBEFORE", "STRAFTER"):
+                            # literal (non-regex) split (§17.4.3.7/.8)
+                            expect("punct", "(")
+                            arg = bind_atom()
+                            expect("punct", ",")
+                            lit = bind_lit(fn)
+                            expect("punct", ")")
+                            return (fn.lower(), (arg,), lit)
                         return ("const", _term(kk, vv).text)
-                    raise ValueError(f"BIND expects ?var, constant or CONCAT, got {vv!r}")
+                    raise ValueError(
+                        f"BIND expects ?var, constant or a string function, got {vv!r}"
+                    )
 
                 expr = bind_atom()
                 k2, v2 = take()
@@ -981,11 +1034,7 @@ def parse_sparql(text: str) -> SparqlQuery:
     pattern_vars |= {v for sub in q.subqueries for v in (sub.variables or [])}
 
     def _expr_vars(e: tuple) -> list[str]:
-        if e[0] == "var":
-            return [e[1]]
-        if e[0] == "concat":
-            return [v for sub in e[1] for v in _expr_vars(sub)]
-        return []
+        return _expr_source_vars(e)
 
     bind_aliases: list[str] = []
     for expr, alias in q.binds:
@@ -1438,20 +1487,48 @@ def _apply_bool_filter(
 def _expr_source_vars(e: tuple) -> list[str]:
     if e[0] == "var":
         return [e[1]]
-    if e[0] == "concat":
-        return [v for sub in e[1] for v in _expr_source_vars(sub)]
-    return []
+    if e[0] == "const":
+        return []
+    # concat and the string functions all keep child exprs in e[1]
+    return [v for sub in e[1] for v in _expr_source_vars(sub)]
 
 
 def _bind_column(e: tuple):
-    """BIND expression over DECODED term columns. F.concat is NULL if
-    any input is NULL — exactly SPARQL's error propagation through
-    CONCAT over an unbound argument."""
+    """BIND expression over DECODED term columns. Every function here is
+    NULL-in → NULL-out (Spark's semantics match SPARQL's error
+    propagation through string functions over an unbound argument)."""
     if e[0] == "var":
         return F.col(e[1])
     if e[0] == "const":
         return F.lit(e[1])
-    return F.concat(*[_bind_column(sub) for sub in e[1]])
+    if e[0] == "concat":
+        return F.concat(*[_bind_column(sub) for sub in e[1]])
+    col = _bind_column(e[1][0])
+    if e[0] == "ucase":
+        return F.upper(col)
+    if e[0] == "lcase":
+        return F.lower(col)
+    if e[0] == "substr":
+        start, length = e[2], e[3]
+        return F.substring(col, start, 2147483647 if length is None else length)
+    if e[0] == "replace":
+        return F.regexp_replace(col, e[2], e[3])
+    # STRBEFORE/STRAFTER: literal (non-regex) search; when the needle is
+    # absent the result is "" (§17.4.3.7/.8), but an unbound input stays
+    # unbound — the isNull arm keeps NULL out of the otherwise("")
+    lit = e[2]
+    if lit == "":
+        # STRBEFORE(x, "") = "", STRAFTER(x, "") = x (empty-pattern rule)
+        return F.when(col.isNull(), F.lit(None)).otherwise(
+            F.lit("") if e[0] == "strbefore" else col
+        )
+    pos = F.instr(col, lit)
+    hit = (
+        F.substring(col, 1, pos - 1)
+        if e[0] == "strbefore"
+        else F.substring(col, pos + len(lit), 2147483647)
+    )
+    return F.when(col.isNull(), F.lit(None)).when(pos > 0, hit).otherwise(F.lit(""))
 
 
 def _run_describe(

@@ -1569,3 +1569,99 @@ def test_filter_in_boolean_tree(idx):
 def test_filter_in_parse_errors(bad):
     with pytest.raises(ValueError):
         parse_sparql(bad)
+
+
+def test_bind_string_functions(idx):
+    """UCASE/LCASE/SUBSTR/REPLACE/STRBEFORE/STRAFTER in BIND — evaluated
+    over decoded terms, nullable-correct, nestable under CONCAT args."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?u WHERE { ?x knows ?y . BIND( UCASE(?x) AS ?u ) }",
+        tables,
+        vocabs,
+    )
+    assert ("alice", "ALICE") in _rows(out) and ("dave", "DAVE") in _rows(out)
+    # SUBSTR is 1-based; omitted length runs to the end
+    out = run_sparql(
+        "SELECT ?x ?a ?b WHERE { ?x knows ?y . "
+        "BIND( SUBSTR(?x, 2, 3) AS ?a ) . BIND( SUBSTR(?x, 3) AS ?b ) }",
+        tables,
+        vocabs,
+    )
+    rows = {r[0]: (r[1], r[2]) for r in _rows(out)}
+    assert rows["alice"] == ("lic", "ice")
+    assert rows["bob"] == ("ob", "b")
+    # REPLACE is regex-based
+    out = run_sparql(
+        'SELECT ?x ?r WHERE { ?x knows ?y . BIND( REPLACE(?x, "[aeiou]", "_") AS ?r ) }',
+        tables,
+        vocabs,
+    )
+    assert dict(_rows(out))["dave"] == "d_v_"
+    # STRBEFORE/STRAFTER: literal search; absent needle -> ""
+    out = run_sparql(
+        'SELECT ?x ?b ?a WHERE { ?x knows ?y . '
+        'BIND( STRBEFORE(?x, "o") AS ?b ) . BIND( STRAFTER(?x, "o") AS ?a ) }',
+        tables,
+        vocabs,
+    )
+    rows = {r[0]: (r[1], r[2]) for r in _rows(out)}
+    assert rows["bob"] == ("b", "b")
+    assert rows["dave"] == ("", "")  # no 'o' in dave -> both empty
+    assert rows["alice"] == ("", "")  # no 'o' in alice -> both empty
+    # composition: string fn inside CONCAT, and LCASE(UCASE(...)) nesting
+    out = run_sparql(
+        'SELECT ?x ?c WHERE { ?x knows ?y . '
+        'BIND( CONCAT(UCASE(SUBSTR(?x, 1, 1)), SUBSTR(?x, 2)) AS ?c ) }',
+        tables,
+        vocabs,
+    )
+    assert dict(_rows(out))["dave"] == "Dave"
+
+
+def test_bind_string_functions_unbound(idx):
+    """An OPTIONAL-unbound input propagates NULL through every string
+    function (SPARQL error propagation), never the absent-needle ''."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?b WHERE { ?x likes ?y . "
+        "OPTIONAL { ?y knows ?z } . "
+        'BIND( STRAFTER(?z, "a") AS ?b ) }',
+        tables,
+        vocabs,
+    )
+    rows = dict(_rows(out))
+    # carol likes dave; dave knows dave -> z=dave -> "ve"
+    assert rows["carol"] == "ve"
+    # bob likes alice; alice knows bob -> z=bob, no 'a' -> ""
+    assert rows["bob"] == ""
+
+
+def test_bind_string_functions_unbound_null(idx):
+    tables, vocabs = idx
+    # nobody likes carol-the-subject's targets... construct a genuinely
+    # unbound case: x likes y, OPTIONAL y likes z (dave likes nothing)
+    out = run_sparql(
+        "SELECT ?y ?u WHERE { ?x likes ?y . "
+        "OPTIONAL { ?y likes ?z } . BIND( UCASE(?z) AS ?u ) }",
+        tables,
+        vocabs,
+    )
+    rows = dict(_rows(out))
+    assert rows["dave"] is None  # carol likes dave; dave likes nothing
+    assert rows["alice"] is None  # bob likes alice; alice likes nothing
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT ?u WHERE { ?x knows ?y . BIND( SUBSTR(?x) AS ?u ) }",
+        'SELECT ?u WHERE { ?x knows ?y . BIND( SUBSTR(?x, "a") AS ?u ) }',
+        "SELECT ?u WHERE { ?x knows ?y . BIND( REPLACE(?x, ?y, \"z\") AS ?u ) }",
+        'SELECT ?u WHERE { ?x knows ?y . BIND( STRBEFORE(?x) AS ?u ) }',
+        'SELECT ?u WHERE { ?x knows ?y . BIND( UCASE() AS ?u ) }',
+    ],
+)
+def test_bind_string_fn_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_sparql(bad)
