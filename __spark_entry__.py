@@ -905,6 +905,23 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(cust.union(supp).union(nat), iterations=10)
 
 
+def _q_kg_triangles(spark, sf_dir):
+    """Per-node triangle counts over a deterministic entity co-occurrence
+    graph (order/part keys folded into one 9973-node space). Exercises
+    the degree-ordered orientation: the mod creates genuine hubs, whose
+    wedge fan-out the orientation bounds to O(sqrt(m))."""
+    from rdf_indexes_spark.operators.graph import triangle_count
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 9973).alias("src"),
+        (F.col("l_partkey") % 9973).alias("dst"),
+    )
+    return triangle_count(edges).select(
+        "node", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
 def _q_decontaminate_spans(spark, sf_dir):
     """Span-level decontamination: cut exactly the token positions
     covered by benchmark-overlapping 3-grams, keep the rest. Same
@@ -1680,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "decontaminate_spans": _q_decontaminate_spans,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         "cc_components": _q_cc_components,
         "ann_knn_graph": _q_knn_graph,
         "sample_weighted": _q_sample_weighted,
@@ -2051,6 +2069,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
             "FROM t, c WHERE p = c.p0 AND s IN (1, 2, 3, 5, 8, 13) "
             "AND o NOT IN (7, 17, 1013)"
+        ),
+        "kg_triangles": (
+            # brute-force enumeration with canonical u<v ordering: each
+            # triangle appears once as x<y<z, then corners are counted
+            "WITH raw AS (SELECT DISTINCT "
+            "LEAST(l_orderkey % 9973, l_partkey % 9973) AS u, "
+            "GREATEST(l_orderkey % 9973, l_partkey % 9973) AS v "
+            "FROM lineitem WHERE l_orderkey % 9973 <> l_partkey % 9973), "
+            "tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM raw a "
+            "JOIN raw b ON b.u = a.v "
+            "JOIN raw c ON c.u = a.u AND c.v = b.v), "
+            "corners AS (SELECT x AS node FROM tri "
+            "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+            "SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node"
         ),
         "g28_sparql_strbind": (
             # literal replay of the BIND string fns over the decoded terms

@@ -97,3 +97,72 @@ def pagerank(
     for df in (nodes, w_edges, dangling):
         df.unpersist()
     return out
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, triangles) — per-node triangle counts over the UNDIRECTED
+    simple graph of ``edges`` (direction, duplicates, and self-loops are
+    dropped first). Sum of the column = 3 × the global triangle count.
+
+    Scale design (billions of edges): the classic degree-ordered
+    orientation (Cohen 2009 MapReduce triangle enumeration). Each
+    undirected edge is oriented from the lower-(degree, id) endpoint to
+    the higher; every out-neighborhood then has size O(sqrt(m)), so the
+    wedge (2-path) frame — the only quadratic-ish intermediate — is
+    bounded by sum(out_deg^2) = O(m^1.5) TOTAL and, crucially, a
+    degree-10^7 hub contributes only its sqrt(m)-bounded out-wedges, not
+    deg^2: orientation IS the skew handling, no salting needed. Three
+    hash joins on node keys; no broadcast, no driver state.
+    """
+    u, v = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    e = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orientation key (degree, id): total order, ties broken by id
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    keyed = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint(eager=False)
+    # wedges at the minimum-order corner: (a; b, c) with order(b) < order(c);
+    # the closing edge b—c is itself oriented b→c (b is the middle corner),
+    # so one equi-join on (b, c) finds each triangle exactly once
+    o1 = oriented.select(
+        F.col("a"), F.col("b"), F.col("db").alias("kb")
+    )
+    o2 = oriented.select(
+        F.col("a"), F.col("b").alias("c"), F.col("db").alias("kc")
+    )
+    wedges = o1.join(o2, "a").filter(
+        (F.col("kb") < F.col("kc"))
+        | ((F.col("kb") == F.col("kc")) & (F.col("b") < F.col("c")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+    ).select("a", "b", "c")
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))

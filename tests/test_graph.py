@@ -79,3 +79,68 @@ def test_pagerank_star_prefers_hub(spark):
     assert got[2] == pytest.approx(got[3], abs=1e-12)
     assert got[3] == pytest.approx(got[4], abs=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------- triangles
+
+from rdf_indexes_spark.operators.graph import triangle_count
+
+
+def _tri_counts(df) -> dict[int, int]:
+    return {r["node"]: r["triangles"] for r in df.collect()}
+
+
+def _python_triangles(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Brute-force per-node triangle counts over the simple undirected graph."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {n: 0 for n in adj}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in (n for n in adj[x] if n > x):
+            for z in (n for n in adj[x] & adj[y] if n > y):
+                for c in (x, y, z):
+                    counts[c] += 1
+    return {n: c for n, c in counts.items() if c > 0}
+
+
+def test_triangle_count_golden(spark):
+    # K4 minus one edge: two triangles sharing edge (0,1); plus noise:
+    # a self-loop, a duplicate, and a reversed duplicate — all ignored
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 2), (1, 0), (0, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = _tri_counts(triangle_count(e))
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_triangle_count_triangle_free(spark):
+    # bipartite graphs have no triangles
+    e = spark.createDataFrame(
+        [(i, 100 + j) for i in range(5) for j in range(5)], "src long, dst long"
+    )
+    assert triangle_count(e).count() == 0
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    # deterministic random graph, dense enough for many triangles
+    rng = np.random.RandomState(11)
+    edges = [tuple(map(int, p)) for p in rng.randint(0, 40, size=(300, 2))]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    assert _tri_counts(triangle_count(e)) == _python_triangles(edges)
+
+
+def test_triangle_count_skew_hub(spark):
+    # a hub in every triangle: star + rim cycle (wheel graph) — the hub's
+    # count equals the rim length, each rim node sees 2 wheel triangles
+    rim = 20
+    edges = [(100, i) for i in range(rim)] + [
+        (i, (i + 1) % rim) for i in range(rim)
+    ]
+    got = _tri_counts(triangle_count(spark.createDataFrame(edges, "src long, dst long")))
+    assert got[100] == rim
+    assert all(got[i] == 2 for i in range(rim))
+    assert _python_triangles(edges) == got

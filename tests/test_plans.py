@@ -116,3 +116,17 @@ def test_weighted_sampling_ops_zero_exchange(docs):
     ):
         p = _plan(df)
         assert "Exchange" not in p, f"{name} grew a shuffle:\n{p[:1500]}"
+
+
+def test_triangle_count_no_cartesian_no_global_exchange(spark):
+    from rdf_indexes_spark.operators.graph import triangle_count
+
+    e = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 50) for i in range(200)], "src long, dst long"
+    )
+    p = _plan(triangle_count(e))
+    # all three triangle joins are hash equi-joins on node keys — a
+    # cartesian or nested-loop join here would be quadratic in |V|
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # no single-partition global exchange anywhere
+    assert "SinglePartition" not in p
