@@ -1250,6 +1250,25 @@ def _q_sparql_minus(spark, sf_dir):
     )
 
 
+def _q_sparql_optional(spark, sf_dir):
+    """G29: OPTIONAL left-join over the shifted-id index — every
+    required solution survives; ?z is unbound (NULL) where the optional
+    pattern finds no ?y match and multiplies per-match otherwise (bag
+    semantics, oracle: LEFT JOIN). The shared ?y is an object outside
+    and a subject inside, so the join must align TERMS across the
+    independent id spaces (mirrors sparql.cpp-free reference semantics:
+    /root/reference has no SPARQL engine; spec §8, left-join algebra)."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?y ?z WHERE {{ ?x P{p0} ?y . OPTIONAL {{ ?y P{p1} ?z }} }}",
+        tables,
+        vocabs,
+    )
+
+
 def _q_sparql_values(spark, sf_dir):
     """G8: VALUES inline restriction — one listed term resolves through
     the s-vocab (pushed-down IN-scan + id semi-join), the other is absent
@@ -1738,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g26_sparql_var_cmp": _q_sparql_var_cmp,
         "g27_sparql_in": _q_sparql_in,
         "g28_sparql_strbind": _q_sparql_strbind,
+        "g29_sparql_optional": _q_sparql_optional,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -1927,6 +1947,17 @@ def oracle_sql() -> dict[str, str]:
             f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL} "
             "SELECT 'E' || CAST(s AS VARCHAR) AS x, 'E' || CAST(o AS VARCHAR) AS y "
             "FROM t, c WHERE p = c.p0 AND s = (SELECT min(s) FROM t, c WHERE p = c.p0)"
+        ),
+        "g29_sparql_optional": (
+            # left-join twin: unmatched required rows keep z = NULL
+            # ('E' || NULL is NULL in DuckDB, matching the unbound var)
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "
+            "req AS (SELECT s, o FROM t, c WHERE p = c.p0), "
+            "opt AS (SELECT s, o FROM t, c WHERE p = c.p1) "
+            "SELECT 'E' || CAST(req.s AS VARCHAR) AS x, "
+            "'E' || CAST(req.o AS VARCHAR) AS y, "
+            "'E' || CAST(opt.o AS VARCHAR) AS z "
+            "FROM req LEFT JOIN opt ON opt.s = req.o"
         ),
         "g9_sparql_path_seq": (
             # sequence path == the term-level chain, bag semantics (the

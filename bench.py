@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "g12_sparql_group_count",
     "decontaminate",
     "kg_pagerank",
+    "kg_triangles",
     # g4_path_closure stays OUT of the bench set: on this table's random
     # quasi-bipartite edge graph the closure ANSWER is ~|V|^2 — timing it
     # measures output size, not the engine. Correctness gates at sf0.01.
