@@ -825,6 +825,31 @@ def _q_top_terms(spark, sf_dir):
     return top_terms(_read(spark, sf_dir, "documents"), k=5)
 
 
+def _q_c4_filter(spark, sf_dir):
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2): line-level
+    terminal-punctuation / ≥3-word / no-javascript rules, page-level
+    brace / min-surviving-lines rules; emits the cleaned text so the
+    kept corpus needs no second pass. The synthetic documents carry no
+    sentence punctuation, so the wrapper derives line structure with
+    literal (non-regex) replaces — identical semantics in both engines —
+    making every rule fire at gate scale."""
+    from rdf_indexes_spark.operators.textops import c4_clean
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit(" table "), F.lit(" table.\n")),
+                F.lit(" window "),
+                F.lit(" javascript window "),
+            ),
+            F.lit(" hash "),
+            F.lit(" { hash "),
+        ).alias("text"),
+    )
+    return c4_clean(docs)
+
+
 def _q_gopher_filter(spark, sf_dir):
     """Composed Gopher rule set (Rae et al. 2021 §A1.1) over the quality
     and repetition signal frames: keep/drop + fixed-order failure
@@ -920,6 +945,20 @@ def _q_kg_triangles(spark, sf_dir):
     return triangle_count(edges).select(
         "node", F.col("triangles").cast("long").alias("triangles")
     )
+
+
+def _q_kg_clustering(spark, sf_dir):
+    """Local clustering profile (degree, triangles, wedges — exact
+    integers) over the same folded entity co-occurrence graph as
+    kg_triangles; triangle-free nodes still emit their degree row."""
+    from rdf_indexes_spark.operators.graph import clustering_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 9973).alias("src"),
+        (F.col("l_partkey") % 9973).alias("dst"),
+    )
+    return clustering_profile(edges)
 
 
 def _q_decontaminate_spans(spark, sf_dir):
@@ -1679,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_repetition": _q_repetition,
         "gopher_filter": _q_gopher_filter,
+        "c4_filter": _q_c4_filter,
         "text_top_terms": _q_top_terms,
         "text_bm25_search": _q_bm25,
         "chunk_documents": _q_chunk_documents,
@@ -1717,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": _q_decontaminate_spans,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
+        "kg_clustering": _q_kg_clustering,
         "cc_components": _q_cc_components,
         "ann_knn_graph": _q_knn_graph,
         "sample_weighted": _q_sample_weighted,
@@ -2114,6 +2155,26 @@ def oracle_sql() -> dict[str, str]:
             "corners AS (SELECT x AS node FROM tri "
             "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) "
             "SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node"
+        ),
+        "kg_clustering": (
+            # degree + wedges from the canonical edge set; triangles via
+            # the same x<y<z enumeration twin as kg_triangles, 0-filled
+            "WITH raw AS (SELECT DISTINCT "
+            "LEAST(l_orderkey % 9973, l_partkey % 9973) AS u, "
+            "GREATEST(l_orderkey % 9973, l_partkey % 9973) AS v "
+            "FROM lineitem WHERE l_orderkey % 9973 <> l_partkey % 9973), "
+            "deg AS (SELECT n, COUNT(*) AS d FROM "
+            "(SELECT u AS n FROM raw UNION ALL SELECT v FROM raw) GROUP BY n), "
+            "tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM raw a "
+            "JOIN raw b ON b.u = a.v "
+            "JOIN raw c ON c.u = a.u AND c.v = b.v), "
+            "corners AS (SELECT x AS node FROM tri "
+            "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+            "cnt AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY node) "
+            "SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree, "
+            "CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles, "
+            "CAST((deg.d * (deg.d - 1)) // 2 AS BIGINT) AS wedges "
+            "FROM deg LEFT JOIN cnt ON cnt.node = deg.n"
         ),
         "g28_sparql_strbind": (
             # literal replay of the BIND string fns over the decoded terms
@@ -2535,6 +2596,25 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN r.top_token_ratio_x1000 > 150 THEN 'top_token' END, "
         "CASE WHEN r.dup_bigram_ratio_x1000 > 150 THEN 'dup_bigrams' END"
         ") AS reasons FROM q JOIN r USING (doc_id)) s"
+    )
+    # C4 cleaning: the line lambda is the SAME predicate in both engines
+    # (regex terminal punct, \s+ word count, javascript substring)
+    sql["c4_filter"] = (
+        "WITH d AS (SELECT doc_id, replace(replace(replace(text, "
+        "' table ', ' table.' || chr(10)), "
+        "' window ', ' javascript window '), "
+        "' hash ', ' { hash ') AS text FROM documents), "
+        "L AS (SELECT doc_id, text, "
+        "list_filter(string_split(text, chr(10)), l -> "
+        "regexp_matches(trim(l), '[.!?\"]$') "
+        "AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3 "
+        "AND NOT contains(lower(trim(l)), 'javascript')) AS kept "
+        "FROM d) "
+        "SELECT doc_id, "
+        "(len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum') "
+        "AND NOT contains(text, '{')) AS keep, "
+        "CAST(len(kept) AS BIGINT) AS n_kept_lines, "
+        "COALESCE(array_to_string(kept, chr(10)), '') AS clean_text FROM L"
     )
     # winnow candidates: composes the fingerprint twin verbatim — only
     # the bucket cap + shared-gram pair count is new logic under test

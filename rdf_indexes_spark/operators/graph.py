@@ -118,18 +118,33 @@ def triangle_count(
     deg^2: orientation IS the skew handling, no salting needed. Three
     hash joins on node keys; no broadcast, no driver state.
     """
+    e = _simple_edges(edges, src_col, dst_col)
+    return _triangle_corners(e, _degrees(e))
+
+
+def _simple_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Canonical (u < v) simple undirected edge frame: direction,
+    duplicates, and self-loops dropped."""
     u, v = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
-    e = (
+    return (
         edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    deg = (
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    """(n, d) — simple-graph degree per node."""
+    return (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
+
+
+def _triangle_corners(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-node triangle counts over a canonical edge frame + its degrees."""
     # orientation key (degree, id): total order, ties broken by id
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
@@ -166,3 +181,35 @@ def triangle_count(
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def clustering_profile(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, degree, triangles, wedges) — the local-clustering signal
+    per node over the simple undirected graph, as EXACT integers:
+    ``wedges`` = d(d-1)/2 (closable pairs), ``triangles`` = closed ones
+    (0 where triangle-free). Local clustering coefficient is
+    triangles/wedges — left to the consumer so every emitted column
+    stays engine-portable integral (no float drift vs a SQL oracle).
+
+    Cost shape: the triangle pipeline (see ``triangle_count``) plus one
+    node-keyed left join of its output onto the degree frame — no new
+    scale surface. ``shiftright(d*(d-1), 1)`` keeps the even product
+    exact where a double division would lose precision past 2^53.
+    """
+    e = _simple_edges(edges, src_col, dst_col).localCheckpoint(eager=False)
+    deg = _degrees(e).localCheckpoint(eager=False)
+    tri = _triangle_corners(e, deg)
+    d = F.col("d")
+    return (
+        deg.join(tri, deg["n"] == tri["node"], "left")
+        .select(
+            F.col("n").alias("node"),
+            d.cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.shiftright(d * (d - F.lit(1)), 1).cast("long").alias("wedges"),
+        )
+    )

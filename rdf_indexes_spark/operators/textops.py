@@ -267,6 +267,47 @@ def gopher_filter(
     )
 
 
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020 §2.2), line level
+    then document level: keep only lines that end in terminal punctuation
+    (``. ! ? "``), contain ≥3 whitespace words, and don't mention
+    "javascript"; drop whole documents containing "lorem ipsum" or a
+    curly brace, or with fewer than ``min_lines`` surviving lines (the
+    paper's ≥5-sentence rule, approximated at line granularity).
+
+    Returns (doc_id, keep, n_kept_lines, clean_text) — ``clean_text`` is
+    the surviving lines rejoined, so the kept corpus needs no second
+    pass. Pure JVM column expressions (one array filter, zero shuffle);
+    the same lambda runs in the DuckDB oracle via list_filter.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _line_ok(l: Column) -> Column:
+        t = F.trim(l)
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= 3)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    n_kept = F.size(kept)
+    bad_doc = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
+        text_col
+    ).contains("{")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ((n_kept >= min_lines) & ~bad_doc).alias("keep"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

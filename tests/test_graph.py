@@ -144,3 +144,51 @@ def test_triangle_count_skew_hub(spark):
     assert got[100] == rim
     assert all(got[i] == 2 for i in range(rim))
     assert _python_triangles(edges) == got
+
+
+# ------------------------------------------------------- clustering profile
+
+from rdf_indexes_spark.operators.graph import clustering_profile
+
+
+def test_clustering_profile_golden(spark):
+    # K4 minus edge (2,3): degrees 3,3,2,2; wedges 3,3,1,1; triangles 2,2,1,1
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)], "src long, dst long"
+    )
+    got = {
+        r.node: (r.degree, r.triangles, r.wedges)
+        for r in clustering_profile(e).collect()
+    }
+    assert got == {0: (3, 2, 3), 1: (3, 2, 3), 2: (2, 1, 1), 3: (2, 1, 1)}
+
+
+def test_clustering_profile_triangle_free_rows_present(spark):
+    # star: hub degree 4, leaves degree 1 (0 wedges), all triangles 0
+    e = spark.createDataFrame([(9, i) for i in range(4)], "src long, dst long")
+    got = {
+        r.node: (r.degree, r.triangles, r.wedges)
+        for r in clustering_profile(e).collect()
+    }
+    assert got[9] == (4, 0, 6)
+    assert all(got[i] == (1, 0, 0) for i in range(4))
+
+
+def test_clustering_profile_matches_bruteforce(spark):
+    rng = np.random.RandomState(23)
+    edges = [tuple(map(int, p)) for p in rng.randint(0, 35, size=(250, 2))]
+    tri_want = _python_triangles(edges)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.degree, r.triangles, r.wedges)
+        for r in clustering_profile(e).collect()
+    }
+    assert set(got) == set(adj)
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        assert got[n] == (d, tri_want.get(n, 0), d * (d - 1) // 2)

@@ -448,3 +448,66 @@ def test_normalize_text_idempotent(spark, docs):
         normalize_text(normalize_text(docs)).toPandas().set_index("doc_id")["text"]
     )
     assert once.sort_index().equals(twice.sort_index())
+
+
+# ------------------------------------------------------------------- c4
+
+import re
+
+
+def _c4_python(text: str, min_lines: int = 3):
+    """Reference recompute of c4_clean for one document."""
+    kept = []
+    for line in text.split("\n"):
+        t = line.strip()
+        if (
+            re.search(r'[.!?"]$', t)
+            and len(re.split(r"\s+", t)) >= 3
+            and "javascript" not in t.lower()
+        ):
+            kept.append(line)  # the ORIGINAL line, not the trimmed probe
+    bad = "lorem ipsum" in text.lower() or "{" in text
+    return (len(kept) >= min_lines and not bad, len(kept), "\n".join(kept))
+
+
+def test_c4_clean_golden(spark):
+    from rdf_indexes_spark.operators.textops import c4_clean
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines -> kept verbatim
+            (1, "This is a sentence.\nAnother good line!\nIs this kept?"),
+            # punct rule kills line 2, word-count rule kills "Short one."
+            (2, "This is a sentence.\nno punctuation here\nShort one."),
+            # <3 words and javascript rules
+            (3, "Too short.\nEnable javascript to view this page.\nA fine closing line.\nAnd one more line.\nKeep me too."),
+            # lorem ipsum kills the whole page even with good lines
+            (4, "Lorem ipsum dolor sit amet.\nA perfectly good line here.\nAnd another good one.\nThird good line here."),
+            # curly brace kills the page
+            (5, 'function f() { return 1; }\nA good line is here.\nAnd another one too.\nClosing line here.'),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.keep, r.n_kept_lines, r.clean_text)
+        for r in c4_clean(docs).collect()
+    }
+    assert got[1] == (True, 3, "This is a sentence.\nAnother good line!\nIs this kept?")
+    assert got[2][0] is False and got[2][1] == 1
+    # doc 3: 'Too short.' (2 words) and the javascript line drop; 3 survive
+    assert got[3] == (True, 3, "A fine closing line.\nAnd one more line.\nKeep me too.")
+    assert got[4][0] is False and got[4][1] == 4  # lines fine, page killed
+    assert got[5][0] is False  # brace
+    assert got[6] == (False, 0, "")
+
+
+def test_c4_clean_matches_python(spark, docs):
+    from rdf_indexes_spark.operators.textops import c4_clean
+
+    got = c4_clean(docs).toPandas().set_index("doc_id")
+    pdf = docs.select("doc_id", "text").toPandas()
+    for r in pdf.itertuples():
+        want = _c4_python(str(r.text or ""))
+        row = got.loc[r.doc_id]
+        assert (bool(row.keep), int(row.n_kept_lines), row.clean_text) == want, r.doc_id
