@@ -24,6 +24,7 @@ usable at the string level end-to-end:
             expr := ?v | term | CONCAT(expr, ...) | UCASE/LCASE(expr)
                   | SUBSTR(expr, start[, len]) | REPLACE(expr, "re", "rep")
                   | STRBEFORE/STRAFTER(expr, "lit")
+                  | COALESCE(expr, ...) | IF(BOUND(?v), expr, expr)
         [FILTER regex(?v, "pattern")] [FILTER ( ?v op term )] ...
             op := = | != | < | <= | > | >=
         [FILTER STRSTARTS|STRENDS|CONTAINS(?v, "lit")] ...
@@ -31,6 +32,7 @@ usable at the string level end-to-end:
         [FILTER ( atom (|| / && / ! boolean combinations, parens) )] ...
         [FILTER ( ?a op ?b )] (variable-variable, decoded-term compare) ...
         [FILTER ( ?v [NOT] IN (term, term, ...) )] ...
+        [FILTER BOUND(?v)] (and !BOUND — the OPTIONAL negation idiom) ...
         [FILTER EXISTS { s p o ... }] [FILTER NOT EXISTS { s p o ... }] ...
     } [GROUP BY ?v ...] [HAVING ( ?a op const ) ...]
       [ORDER BY (?v | ASC(?v) | DESC(?v)) ...] [LIMIT n] [OFFSET n]
@@ -687,6 +689,15 @@ def parse_sparql(text: str) -> SparqlQuery:
                 raise ValueError(f'{fn}() needs a quoted "literal"')
             expect("punct", ")")
             f = Filter(fn, var, _term("lit", lit).text)
+        elif k == "bare" and v.lower() == "bound":
+            # BOUND(?v) (§17.4.1.1) — true iff the variable is bound;
+            # with ! this is the pre-1.1 negation idiom over OPTIONAL
+            expect("punct", "(")
+            kk, vv = take()
+            if kk != "var":
+                raise ValueError("BOUND() needs a ?variable")
+            expect("punct", ")")
+            f = Filter("bound", vv[1:], None)
         elif k == "bare" and v.lower() == "strlen":
             # STRLEN(?v) <op> n — length comparison against an integer
             expect("punct", "(")
@@ -866,6 +877,40 @@ def parse_sparql(text: str) -> SparqlQuery:
                                 expect("punct", ")")
                                 break
                             return ("concat", tuple(args))
+                        if fn == "COALESCE":
+                            # first bound argument (§17.4.1.3); with
+                            # NULL-as-error this is exactly SQL COALESCE
+                            expect("punct", "(")
+                            args = []
+                            while True:
+                                args.append(bind_atom())
+                                if peek() == ("punct", ","):
+                                    take()
+                                    continue
+                                expect("punct", ")")
+                                break
+                            return ("coalesce", tuple(args))
+                        if fn == "IF":
+                            # IF(BOUND(?v), then, else) (§17.4.1.2 with a
+                            # §17.4.1.1 condition — the OPTIONAL idiom)
+                            expect("punct", "(")
+                            k3, v3 = take()
+                            if not (k3 == "bare" and v3.upper() == "BOUND"):
+                                raise ValueError(
+                                    "IF() condition supports BOUND(?var) only"
+                                )
+                            expect("punct", "(")
+                            k3, v3 = take()
+                            if k3 != "var":
+                                raise ValueError("BOUND() needs a ?variable")
+                            cond = ("var", v3[1:])
+                            expect("punct", ")")
+                            expect("punct", ",")
+                            then_e = bind_atom()
+                            expect("punct", ",")
+                            else_e = bind_atom()
+                            expect("punct", ")")
+                            return ("if_bound", (cond, then_e, else_e))
                         if fn in ("UCASE", "LCASE"):
                             expect("punct", "(")
                             arg = bind_atom()
@@ -1335,6 +1380,8 @@ def _typed_value_predicate(col, f: Filter):
     """FILTER over a TYPED value column (a subquery COUNT/SUM/AVG alias):
     numeric constant ⇒ numeric comparison on the native type, otherwise
     compare the value's string form; regex matches the string form."""
+    if f.kind == "bound":
+        return col.isNotNull()
     if f.kind == "regex":
         return col.cast("string").rlike(f.arg)
     if f.kind in _STR_FNS or f.kind.startswith("strlen_"):
@@ -1380,6 +1427,10 @@ def _term_predicate(col, f: Filter):
     follow SPARQL operand typing: a numeric constant forces a numeric
     comparison (non-numeric terms are a type error — row dropped), a
     non-numeric constant compares codepoint strings."""
+    if f.kind == "bound":
+        # BOUND never errors: a plain (non-NULL) boolean, so !BOUND
+        # keeps the unmatched-OPTIONAL rows (the pre-1.1 negation idiom)
+        return col.isNotNull()
     if f.kind == "regex":
         return col.rlike(f.arg)
     if f.kind in _STR_FNS or f.kind.startswith("strlen_"):
@@ -1417,6 +1468,10 @@ def _apply_filter(
     vocab scan) and applied as a left-semi join on the long id. NULLs
     (unmatched OPTIONAL vars) never satisfy a filter — SPARQL's
     error-on-unbound semantics."""
+    if f.kind == "bound":
+        # boundness is visible on the id/term column itself — no vocab
+        # dimension needed regardless of typing
+        return acc.filter(F.col(f.var).isNotNull())
     if f.var in multi_role:
         return acc.filter(_term_predicate(F.col(f.var), f))
     role = next(iter(roles[f.var]))
@@ -1503,6 +1558,15 @@ def _bind_column(e: tuple):
         return F.lit(e[1])
     if e[0] == "concat":
         return F.concat(*[_bind_column(sub) for sub in e[1]])
+    if e[0] == "coalesce":
+        return F.coalesce(*[_bind_column(sub) for sub in e[1]])
+    if e[0] == "if_bound":
+        # IF(BOUND(?v), then, else): BOUND never errors, so the branch
+        # chooses cleanly; the chosen branch's own NULL (error) flows out
+        cond, then_e, else_e = e[1]
+        return F.when(
+            _bind_column(cond).isNotNull(), _bind_column(then_e)
+        ).otherwise(_bind_column(else_e))
     col = _bind_column(e[1][0])
     if e[0] == "ucase":
         return F.upper(col)

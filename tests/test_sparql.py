@@ -1665,3 +1665,81 @@ def test_bind_string_functions_unbound_null(idx):
 def test_bind_string_fn_parse_errors(bad):
     with pytest.raises(ValueError):
         parse_sparql(bad)
+
+
+# ------------------------------------------------- BOUND / COALESCE / IF
+
+
+def test_filter_bound_and_negation_split_optional(idx):
+    """FILTER BOUND keeps matched-OPTIONAL rows; !BOUND keeps the rest
+    (the pre-1.1 negation idiom) — together they partition the left join."""
+    tables, vocabs = idx
+    base = "SELECT ?x ?z WHERE { ?x knows ?y . OPTIONAL { ?x likes ?z } %s }"
+    assert _rows(run_sparql(base % "FILTER BOUND(?z)", tables, vocabs)) == [
+        ("bob", "alice")
+    ]
+    assert _rows(run_sparql(base % "FILTER ( !BOUND(?z) )", tables, vocabs)) == [
+        ("alice", None),
+        ("dave", None),
+    ]
+
+
+def test_filter_bound_in_boolean_tree(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?z WHERE { ?x knows ?y . OPTIONAL { ?x likes ?z } "
+        'FILTER ( BOUND(?z) || ?x = "dave" ) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("bob", "alice"), ("dave", None)]
+
+
+def test_bind_coalesce_optional_fallback(idx):
+    """COALESCE returns the first BOUND argument — ?z where the optional
+    matched, else ?y; the constant tail never fires here."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?v WHERE { ?x knows ?y . OPTIONAL { ?x likes ?z } "
+        'BIND(COALESCE(?z, ?y, "never") AS ?v) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", "bob"), ("bob", "alice"), ("dave", "dave")]
+
+
+def test_bind_coalesce_constant_shortcircuits(idx):
+    tables, vocabs = idx
+    out = run_sparql(
+        'SELECT ?v WHERE { ?x likes ?y . BIND(COALESCE("k", ?y) AS ?v) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("k",), ("k",)]
+
+
+def test_bind_if_bound_branches(idx):
+    """IF(BOUND(?z), then, else) — then-branch functions apply only to
+    matched rows; unmatched rows take the else constant."""
+    tables, vocabs = idx
+    out = run_sparql(
+        "SELECT ?x ?w WHERE { ?x knows ?y . OPTIONAL { ?x likes ?z } "
+        'BIND(IF(BOUND(?z), UCASE(?z), "none") AS ?w) }',
+        tables,
+        vocabs,
+    )
+    assert _rows(out) == [("alice", "none"), ("bob", "ALICE"), ("dave", "none")]
+
+
+def test_bound_coalesce_if_parse_errors(idx):
+    for bad in (
+        'SELECT ?x WHERE { ?x knows ?y . BIND(IF(?x = ?y, "a", "b") AS ?w) }',
+        'SELECT ?x WHERE { ?x knows ?y . FILTER BOUND("lit") }',
+        "SELECT ?x WHERE { ?x knows ?y . BIND(IF(BOUND(?y)) AS ?w) }",
+        "SELECT ?x WHERE { ?x knows ?y . BIND(COALESCE() AS ?w) }",
+        "SELECT ?x WHERE { ?x knows ?y . FILTER BOUND(?nosuch) }",
+    ):
+        with pytest.raises(ValueError):
+            q = parse_sparql(bad)
+            tables, vocabs = idx
+            run_sparql(q, tables, vocabs)
