@@ -961,6 +961,21 @@ def _q_kg_clustering(spark, sf_dir):
     return clustering_profile(edges)
 
 
+def _q_kg_cooccurrence(spark, sf_dir):
+    """Entity co-occurrence PMI signals over document tokens: for every
+    unordered token pair, the documents containing both + marginals +
+    the document total, all exact integers (PMI's log left to the
+    consumer). Presence counting — within-doc duplicates collapse."""
+    from rdf_indexes_spark.operators.graph import cooccurrence_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    items = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        F.col("doc_id").alias("group_id"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("item"),
+    )
+    return cooccurrence_counts(items)
+
+
 def _q_decontaminate_spans(spark, sf_dir):
     """Span-level decontamination: cut exactly the token positions
     covered by benchmark-overlapping 3-grams, keep the rest. Same
@@ -1303,6 +1318,24 @@ def _q_sparql_optional(spark, sf_dir):
     p0, p1, _ = _bgp_consts(spark, sf_dir)
     return run_sparql(
         f"SELECT ?x ?y ?z WHERE {{ ?x P{p0} ?y . OPTIONAL {{ ?y P{p1} ?z }} }}",
+        tables,
+        vocabs,
+    )
+
+
+def _q_sparql_bound(spark, sf_dir):
+    """G30: functional forms over the OPTIONAL left join (SPARQL 1.1
+    §17.4.1.1–.3): IF(BOUND(?z), UCASE(?z), "none") and COALESCE(?z, ?y)
+    — branch selection and first-bound fallback evaluate per solution
+    over the shifted-id index (unbound ?z on unmatched rows)."""
+    from rdf_indexes_spark.plans.sparql import run_sparql
+
+    tables, vocabs = _sparql_shifted_index(spark, sf_dir)
+    p0, p1, _ = _bgp_consts(spark, sf_dir)
+    return run_sparql(
+        f"SELECT ?x ?w ?v WHERE {{ ?x P{p0} ?y . OPTIONAL {{ ?y P{p1} ?z }} "
+        f'BIND(IF(BOUND(?z), UCASE(?z), "none") AS ?w) '
+        f"BIND(COALESCE(?z, ?y) AS ?v) }}",
         tables,
         vocabs,
     )
@@ -1758,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_clustering": _q_kg_clustering,
+        "kg_cooccurrence": _q_kg_cooccurrence,
         "cc_components": _q_cc_components,
         "ann_knn_graph": _q_knn_graph,
         "sample_weighted": _q_sample_weighted,
@@ -1799,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g27_sparql_in": _q_sparql_in,
         "g28_sparql_strbind": _q_sparql_strbind,
         "g29_sparql_optional": _q_sparql_optional,
+        "g30_sparql_bound": _q_sparql_bound,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -2000,6 +2035,20 @@ def oracle_sql() -> dict[str, str]:
             "'E' || CAST(opt.o AS VARCHAR) AS z "
             "FROM req LEFT JOIN opt ON opt.s = req.o"
         ),
+        "g30_sparql_bound": (
+            # IF(BOUND(...)) = CASE WHEN ... IS NOT NULL; COALESCE is
+            # COALESCE — unmatched left-join rows exercise both branches
+            f"WITH t AS ({_TRIPLES_SQL}), {_BGP_CONST_SQL}, "
+            "req AS (SELECT s, o FROM t, c WHERE p = c.p0), "
+            "opt AS (SELECT s, o FROM t, c WHERE p = c.p1), "
+            "j AS (SELECT req.s AS s, req.o AS y, opt.o AS z "
+            "FROM req LEFT JOIN opt ON opt.s = req.o) "
+            "SELECT 'E' || CAST(s AS VARCHAR) AS x, "
+            "CASE WHEN z IS NOT NULL THEN UPPER('E' || CAST(z AS VARCHAR)) "
+            "ELSE 'none' END AS w, "
+            "COALESCE('E' || CAST(z AS VARCHAR), 'E' || CAST(y AS VARCHAR)) AS v "
+            "FROM j"
+        ),
         "g9_sparql_path_seq": (
             # sequence path == the term-level chain, bag semantics (the
             # join's multiset IS the path multiset)
@@ -2155,6 +2204,22 @@ def oracle_sql() -> dict[str, str]:
             "corners AS (SELECT x AS node FROM tri "
             "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) "
             "SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node"
+        ),
+        "kg_cooccurrence": (
+            # presence-deduped (doc, token) frame, pair expansion on the
+            # doc key, marginals + total over the SAME deduped frame
+            "WITH gi AS (SELECT DISTINCT doc_id AS g, "
+            "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS i "
+            "FROM documents WHERE trim(text) <> ''), "
+            "nab AS (SELECT l.i AS a, r.i AS b, COUNT(*) AS n_ab FROM gi l "
+            "JOIN gi r ON l.g = r.g AND l.i < r.i GROUP BY l.i, r.i), "
+            "ni AS (SELECT i, COUNT(*) AS n FROM gi GROUP BY i), "
+            "ng AS (SELECT COUNT(DISTINCT g) AS n_groups FROM gi) "
+            "SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab, "
+            "CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b, "
+            "CAST(ng.n_groups AS BIGINT) AS n_groups "
+            "FROM nab JOIN ni na ON na.i = nab.a "
+            "JOIN ni nb ON nb.i = nab.b CROSS JOIN ng"
         ),
         "kg_clustering": (
             # degree + wedges from the canonical edge set; triangles via

@@ -213,3 +213,55 @@ def clustering_profile(
             F.shiftright(d * (d - F.lit(1)), 1).cast("long").alias("wedges"),
         )
     )
+
+
+def cooccurrence_counts(
+    items: DataFrame,
+    group_col: str = "group_id",
+    item_col: str = "item",
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """(a, b, n_ab, n_a, n_b, n_groups) — exact-integer co-occurrence
+    signals for PMI-style entity relatedness: for every unordered item
+    pair, the number of groups containing both, each item's group count,
+    and the total group count. PMI(a,b) = log(n_ab·n_groups / (n_a·n_b))
+    is left to the consumer so every emitted column stays integral
+    (engine-portable, no log drift vs a SQL oracle). Presence counting:
+    duplicates within a group collapse first.
+
+    Scale design: the only quadratic surface is the per-group pair
+    expansion (one equi-join of the deduped (group, item) frame with
+    itself on group). ``max_group_size`` drops groups above the cap
+    BEFORE pairing — the same quadratic-blowup guard as LSH's
+    max_bucket: one mega-group of 10^6 items would otherwise emit 10^12
+    pairs. Marginals and the group total still count ALL groups (the
+    cap changes candidate pairs, not the statistics' denominator).
+    n_groups rides as a broadcast one-row frame — no driver action.
+    """
+    g = (
+        items.select(F.col(group_col).alias("g"), F.col(item_col).alias("i"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    paired = g
+    if max_group_size is not None:
+        sizes = g.groupBy("g").agg(F.count("*").alias("_gsz"))
+        paired = (
+            g.join(sizes.filter(F.col("_gsz") <= max_group_size), "g")
+            .drop("_gsz")
+        )
+    l, r = paired.alias("l"), paired.alias("r")
+    n_ab = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.i") < F.col("r.i")))
+        .select(F.col("l.i").alias("a"), F.col("r.i").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ni = g.groupBy("i").agg(F.count("*").alias("n"))
+    ng = g.agg(F.countDistinct("g").alias("n_groups"))
+    return (
+        n_ab.join(ni.select(F.col("i").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(ni.select(F.col("i").alias("b"), F.col("n").alias("n_b")), "b")
+        .crossJoin(F.broadcast(ng))
+        .select("a", "b", "n_ab", "n_a", "n_b", "n_groups")
+    )

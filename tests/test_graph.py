@@ -192,3 +192,66 @@ def test_clustering_profile_matches_bruteforce(spark):
     for n, nbrs in adj.items():
         d = len(nbrs)
         assert got[n] == (d, tri_want.get(n, 0), d * (d - 1) // 2)
+
+
+# ------------------------------------------------------- co-occurrence
+
+from rdf_indexes_spark.operators.graph import cooccurrence_counts
+
+
+def test_cooccurrence_golden(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"), (1, "a"),  # dup (1,a) collapses
+        (2, "a"), (2, "b"),
+        (3, "a"),
+    ]
+    df = spark.createDataFrame(rows, "group_id long, item string")
+    got = {
+        (r.a, r.b): (r.n_ab, r.n_a, r.n_b, r.n_groups)
+        for r in cooccurrence_counts(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 3, 2, 3),
+        ("a", "c"): (1, 3, 1, 3),
+        ("b", "c"): (1, 2, 1, 3),
+    }
+
+
+def test_cooccurrence_group_cap_guards_pairs_not_stats(spark):
+    """A group above the cap contributes NO pairs, but its members still
+    count in the marginals and it still counts in n_groups."""
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c")]
+    df = spark.createDataFrame(rows, "group_id long, item string")
+    got = {
+        (r.a, r.b): (r.n_ab, r.n_a, r.n_b, r.n_groups)
+        for r in cooccurrence_counts(df, max_group_size=2).collect()
+    }
+    # only group 1 (size 2) pairs; group 2 (size 3) is capped out
+    assert got == {("a", "b"): (1, 2, 2, 2)}
+
+
+def test_cooccurrence_matches_bruteforce(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    rng = np.random.RandomState(7)
+    rows = [(int(g), f"i{rng.randint(0, 12)}") for g in rng.randint(0, 25, 400)]
+    groups: dict[int, set[str]] = {}
+    for g, i in rows:
+        groups.setdefault(g, set()).add(i)
+    n_ab = Counter()
+    n_i = Counter()
+    for g, its in groups.items():
+        for i in its:
+            n_i[i] += 1
+        for a, b in combinations(sorted(its), 2):
+            n_ab[(a, b)] += 1
+    df = spark.createDataFrame(rows, "group_id long, item string")
+    got = {
+        (r.a, r.b): (r.n_ab, r.n_a, r.n_b, r.n_groups)
+        for r in cooccurrence_counts(df).collect()
+    }
+    want = {
+        (a, b): (c, n_i[a], n_i[b], len(groups)) for (a, b), c in n_ab.items()
+    }
+    assert got == want
