@@ -961,6 +961,21 @@ def _q_kg_clustering(spark, sf_dir):
     return clustering_profile(edges)
 
 
+def _q_kg_kcore(spark, sf_dir):
+    """k-core pruning of the folded entity co-occurrence graph (k=4):
+    iterative synchronous peeling — rows-only at the driver gate (the
+    fixpoint is not SQL-expressible); exact brute-force oracle in
+    tests/test_graph.py."""
+    from rdf_indexes_spark.operators.graph import k_core
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 9973).alias("src"),
+        (F.col("l_partkey") % 9973).alias("dst"),
+    )
+    return k_core(edges, k=4)
+
+
 def _q_kg_cooccurrence(spark, sf_dir):
     """Entity co-occurrence PMI signals over document tokens: for every
     unordered token pair, the documents containing both + marginals +
@@ -1792,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_clustering": _q_kg_clustering,
         "kg_cooccurrence": _q_kg_cooccurrence,
+        "kg_kcore": _q_kg_kcore,
         "cc_components": _q_cc_components,
         "ann_knn_graph": _q_knn_graph,
         "sample_weighted": _q_sample_weighted,

@@ -265,3 +265,41 @@ def cooccurrence_counts(
         .crossJoin(F.broadcast(ng))
         .select("a", "b", "n_ab", "n_a", "n_b", "n_groups")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node,) — the k-core of the simple undirected graph: the maximal
+    subgraph where every node has degree ≥ k within the subgraph,
+    computed by synchronous peeling (repeatedly delete all nodes of
+    current degree < k). The classic KG-pruning signal: entities outside
+    a small core are long-tail leaves.
+
+    Scale design: each round is one degree aggregate + two semi-joins on
+    node keys over a strictly shrinking edge frame — no driver-side
+    state beyond the loop counter and a per-round emptiness probe on the
+    REMOVED set (count of a frame that is usually tiny and soon empty).
+    Peeling rounds are bounded by the degeneracy ordering's depth; for
+    real graphs that is tens of rounds, and ``max_rounds`` caps
+    pathological chains (correct result requires convergence — asserted
+    by the final round finding nothing to remove; a cap hit raises).
+    Lineage is cut every round (iterative plans otherwise stack
+    exponentially in the optimizer).
+    """
+    e = _simple_edges(edges, src_col, dst_col).localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        deg = _degrees(e)
+        low = deg.filter(F.col("d") < k).localCheckpoint(eager=True)
+        if low.isEmpty():
+            return deg.select(F.col("n").alias("node"))
+        e = (
+            e.join(low.select(F.col("n").alias("u")), "u", "left_anti")
+            .join(low.select(F.col("n").alias("v")), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")

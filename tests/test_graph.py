@@ -255,3 +255,59 @@ def test_cooccurrence_matches_bruteforce(spark):
         (a, b): (c, n_i[a], n_i[b], len(groups)) for (a, b), c in n_ab.items()
     }
     assert got == want
+
+
+# ------------------------------------------------------------------ k-core
+
+from rdf_indexes_spark.operators.graph import k_core
+
+
+def _python_kcore(edges: list[tuple[int, int]], k: int) -> set[int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return set(adj)
+
+
+def test_k_core_golden_chain_of_peels(spark):
+    """Triangle + pendant path: peeling the path must cascade (node 3
+    becomes low-degree only after 4 is removed) — exercises multi-round
+    convergence, not just one filter pass."""
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node for r in k_core(e, k=2).collect()}
+    assert got == {0, 1, 2}
+    assert _python_kcore(edges, 2) == got
+
+
+def test_k_core_whole_graph_survives(spark):
+    # K4: every node has degree 3 — the 3-core is the whole graph
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    assert {r.node for r in k_core(e, k=3).collect()} == {0, 1, 2, 3}
+
+
+def test_k_core_empty_result(spark):
+    # a tree has no 2-core
+    edges = [(0, 1), (1, 2), (1, 3), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    assert k_core(e, k=2).count() == 0
+
+
+def test_k_core_matches_bruteforce(spark):
+    rng = np.random.RandomState(5)
+    edges = [tuple(map(int, p)) for p in rng.randint(0, 30, size=(120, 2))]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {r.node for r in k_core(e, k=k).collect()}
+        assert got == _python_kcore(edges, k), k
