@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "decontaminate",
     "kg_pagerank",
     "kg_triangles",
+    "kg_cooccurrence",
+    "c4_filter",
     # g4_path_closure stays OUT of the bench set: on this table's random
     # quasi-bipartite edge graph the closure ANSWER is ~|V|^2 — timing it
     # measures output size, not the engine. Correctness gates at sf0.01.

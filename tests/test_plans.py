@@ -130,3 +130,25 @@ def test_triangle_count_no_cartesian_no_global_exchange(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # no single-partition global exchange anywhere
     assert "SinglePartition" not in p
+
+
+def test_c4_clean_zero_exchange(docs):
+    from rdf_indexes_spark.operators.textops import c4_clean
+
+    p = _plan(c4_clean(docs))
+    assert "Exchange" not in p, f"c4_clean grew a shuffle:\n{p[:1500]}"
+
+
+def test_cooccurrence_no_text_in_wide_exchanges(spark):
+    """Pair expansion joins on the group key and aggregates on item
+    pairs — hash partitioned exchanges only, no single-partition funnel
+    except the broadcast one-row total."""
+    from rdf_indexes_spark.operators.graph import cooccurrence_counts
+
+    df = spark.createDataFrame(
+        [(i % 17, f"t{i % 7}") for i in range(300)], "group_id long, item string"
+    )
+    p = _plan(cooccurrence_counts(df))
+    assert "CartesianProduct" not in p
+    # the only nested-loop join is the broadcast of the one-row n_groups
+    assert p.count("BroadcastNestedLoopJoin") <= 1
