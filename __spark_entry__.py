@@ -787,6 +787,25 @@ def _q_chunk_documents(spark, sf_dir):
     return chunk_documents(_read(spark, sf_dir, "documents"), 32, 24)
 
 
+def _q_validate_turns(spark, sf_dir):
+    """Chat-format hygiene validation over an events-derived
+    pseudo-transcript (conv = user, turn_idx = event_id % 13 — dirty by
+    construction: duplicates, gaps, late starts; role folded from the
+    event type). Exercises every counter and the tiebreak ordering."""
+    from rdf_indexes_spark.operators.dialogue import validate_turns
+
+    ev = _read(spark, sf_dir, "events")
+    pseudo = ev.select(
+        F.col("user_id").alias("conv_id"),
+        (F.col("event_id") % 13).alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .otherwise("assistant")
+        .alias("role"),
+        "event_id",
+    )
+    return validate_turns(pseudo, tiebreak_col="event_id")
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream per user (30-minute
     gap) via the native session_window; the oracle replays it as the
@@ -1776,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialogue_pairs": _q_dialogue_pairs,
         "pack_sequences": _q_pack_sequences,
         "sessionize_events": _q_sessionize,
+        "validate_turns": _q_validate_turns,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -2220,6 +2240,28 @@ def oracle_sql() -> dict[str, str]:
             "corners AS (SELECT x AS node FROM tri "
             "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) "
             "SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node"
+        ),
+        "validate_turns": (
+            # window twin: rep flag + first_value over the identical
+            # (idx, role, tiebreak) total order; NULL-lag first rows add
+            # 0 either way (Spark sum skips NULL, the CASE yields 0)
+            "WITH p AS (SELECT user_id AS conv_id, event_id % 13 AS idx, "
+            "CASE WHEN event_type IN ('click','view') THEN 'user' "
+            "ELSE 'assistant' END AS role, event_id AS tb FROM events), "
+            "r AS (SELECT *, "
+            "CASE WHEN lag(role) OVER w = role THEN 1 ELSE 0 END AS rep, "
+            "first_value(role) OVER w AS fr FROM p "
+            "WINDOW w AS (PARTITION BY conv_id ORDER BY idx, role, tb)) "
+            "SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, "
+            "CAST(COUNT(*) - COUNT(DISTINCT idx) AS BIGINT) AS n_idx_dups, "
+            "CAST(MAX(idx) - MIN(idx) + 1 - COUNT(DISTINCT idx) AS BIGINT) AS n_idx_gaps, "
+            "CAST(MIN(idx) AS BIGINT) AS first_idx, "
+            "MAX(fr) AS first_role, "
+            "CAST(SUM(rep) AS BIGINT) AS n_role_repeats, "
+            "(COUNT(*) = COUNT(DISTINCT idx) "
+            "AND MAX(idx) - MIN(idx) + 1 = COUNT(DISTINCT idx) "
+            "AND MIN(idx) = 0 AND SUM(rep) = 0) AS ok "
+            "FROM r GROUP BY conv_id"
         ),
         "kg_cooccurrence": (
             # presence-deduped (doc, token) frame, pair expansion on the

@@ -84,3 +84,61 @@ def sessionize(
             F.col("n_rows").cast("long").alias("n_rows"),
         )
     )
+
+
+def validate_turns(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(conv_id, n_turns, n_idx_dups, n_idx_gaps, first_idx, first_role,
+    n_role_repeats, ok) — chat-format hygiene per conversation, the
+    pre-training-pack validation a fine-tune pipeline runs on every
+    transcript batch: turn indices must start at 0 and be contiguous
+    and duplicate-free, and the same role must never speak twice in a
+    row. ``ok`` summarizes; the counters localize the violation so a
+    repair pass can target it.
+
+    Determinism under dirty data: the role-repeat scan orders by
+    (idx, role[, tiebreak]) — with duplicate indices the order is still
+    total given a ``tiebreak_col`` (e.g. a message id), so the emitted
+    counters are stable run-to-run. All counters are exact integers.
+
+    Scale shape: ONE conversation-keyed exchange feeding a window pass
+    (lag + first_value) and the final aggregate — the same shuffle any
+    per-conversation op pays; per-row state is O(1). Conversations are
+    bounded (≪ partition size) and hash-spread; no hub key.
+    """
+    conv, idx, role = F.col(conv_col), F.col(idx_col), F.col(role_col)
+    tb = [F.col(tiebreak_col).alias("_tb")] if tiebreak_col is not None else []
+    order = ["idx", "role"] + (["_tb"] if tiebreak_col is not None else [])
+    w = Window.partitionBy("conv_id").orderBy(*order)
+    rows = transcripts.select(
+        conv.alias("conv_id"),
+        idx.cast("long").alias("idx"),
+        role.alias("role"),
+        *tb,
+    ).select(
+        "*",
+        (F.lag("role").over(w) == F.col("role")).cast("long").alias("_rep"),
+        F.first("role").over(w).alias("_first_role"),
+    )
+    agg = rows.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        (F.count("*") - F.countDistinct("idx")).alias("n_idx_dups"),
+        (
+            F.max("idx") - F.min("idx") + 1 - F.countDistinct("idx")
+        ).alias("n_idx_gaps"),
+        F.min("idx").alias("first_idx"),
+        F.max("_first_role").alias("first_role"),
+        F.coalesce(F.sum("_rep"), F.lit(0)).alias("n_role_repeats"),
+    )
+    ok = (
+        (F.col("n_idx_dups") == 0)
+        & (F.col("n_idx_gaps") == 0)
+        & (F.col("first_idx") == 0)
+        & (F.col("n_role_repeats") == 0)
+    )
+    return agg.select("*", ok.alias("ok"))

@@ -291,3 +291,60 @@ def test_sessionize_batch_python_model(spark, transcripts):
         for r in sessionize(transcripts, key_col="conv_id", gap="15 seconds").collect()
     }
     assert got == want
+
+
+def test_validate_turns_golden(spark):
+    """Each hygiene rule fires on a purpose-built conversation; a clean
+    conversation passes with zeroed counters."""
+    from rdf_indexes_spark.operators.dialogue import validate_turns
+
+    df = spark.createDataFrame(
+        [
+            # clean alternation from 0
+            ("ok", 0, "user"), ("ok", 1, "assistant"), ("ok", 2, "user"),
+            # duplicate idx 1 (also a same-role adjacency after ordering)
+            ("dup", 0, "user"), ("dup", 1, "assistant"), ("dup", 1, "assistant"),
+            # gap: 0,1,3
+            ("gap", 0, "user"), ("gap", 1, "assistant"), ("gap", 3, "user"),
+            # starts at 1
+            ("late", 1, "user"), ("late", 2, "assistant"),
+            # double assistant turn
+            ("rep", 0, "user"), ("rep", 1, "assistant"), ("rep", 2, "assistant"),
+        ],
+        "conv_id string, turn_idx long, role string",
+    )
+    got = {
+        r.conv_id: (
+            r.n_turns, r.n_idx_dups, r.n_idx_gaps, r.first_idx,
+            r.first_role, r.n_role_repeats, r.ok,
+        )
+        for r in validate_turns(df).collect()
+    }
+    assert got["ok"] == (3, 0, 0, 0, "user", 0, True)
+    assert got["dup"] == (3, 1, 0, 0, "user", 1, False)
+    assert got["gap"] == (3, 0, 1, 0, "user", 0, False)
+    assert got["late"] == (2, 0, 0, 1, "user", 0, False)
+    assert got["rep"] == (3, 0, 0, 0, "user", 1, False)
+
+
+def test_validate_turns_on_synthetic_transcripts(spark, transcripts):
+    """The KG pipeline's own synthetic corpus guarantees the INDEX
+    invariants (contiguous from 0, duplicate-free — the stable
+    (conv_id, turn_idx) ordering contract) but deliberately includes
+    consecutive same-role turns (tool call chains): role repeats must
+    be the ONLY violation class the validator reports."""
+    from rdf_indexes_spark.operators.dialogue import validate_turns
+
+    out = validate_turns(transcripts)
+    assert out.count() == transcripts.select("conv_id").distinct().count()
+    assert (
+        out.filter(
+            (F.col("n_idx_dups") > 0)
+            | (F.col("n_idx_gaps") > 0)
+            | (F.col("first_idx") != 0)
+        ).count()
+        == 0
+    )
+    assert out.filter(~F.col("ok")).exceptAll(
+        out.filter(F.col("n_role_repeats") > 0)
+    ).count() == 0
