@@ -806,6 +806,26 @@ def _q_validate_turns(spark, sf_dir):
     return validate_turns(pseudo, tiebreak_col="event_id")
 
 
+def _q_merge_consecutive_roles(spark, sf_dir):
+    """Repair pass for the role-repeat violations validate_turns counts:
+    the same dirty events-derived pseudo-transcript, with consecutive
+    same-role turns merged into one turn (texts joined in (idx,
+    tiebreak) order) and blocks reindexed contiguously from 0."""
+    from rdf_indexes_spark.operators.dialogue import merge_consecutive_roles
+
+    ev = _read(spark, sf_dir, "events")
+    pseudo = ev.select(
+        F.col("user_id").alias("conv_id"),
+        (F.col("event_id") % 13).alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("event_type").alias("text"),
+        "event_id",
+    )
+    return merge_consecutive_roles(pseudo, tiebreak_col="event_id")
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream per user (30-minute
     gap) via the native session_window; the oracle replays it as the
@@ -1796,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "sessionize_events": _q_sessionize,
         "validate_turns": _q_validate_turns,
+        "merge_consecutive_roles": _q_merge_consecutive_roles,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -2262,6 +2283,26 @@ def oracle_sql() -> dict[str, str]:
             "AND MAX(idx) - MIN(idx) + 1 = COUNT(DISTINCT idx) "
             "AND MIN(idx) = 0 AND SUM(rep) = 0) AS ok "
             "FROM r GROUP BY conv_id"
+        ),
+        "merge_consecutive_roles": (
+            # identical gaps-and-islands twin: role-change flag via lag
+            # over the (idx, tb) total order (tb = event_id, unique, so
+            # RANGE vs ROWS framing can't diverge), running sum → block
+            # id, in-block text order = the same (idx, tb) order Spark's
+            # sort_array(struct(idx, _tb, text)) imposes
+            "WITH p AS (SELECT user_id AS conv_id, event_id % 13 AS idx, "
+            "CASE WHEN event_type IN ('click','view') THEN 'user' "
+            "ELSE 'assistant' END AS role, event_type AS text, "
+            "event_id AS tb FROM events), "
+            "r AS (SELECT *, CASE WHEN lag(role) OVER w IS NULL "
+            "OR lag(role) OVER w <> role THEN 1 ELSE 0 END AS chg "
+            "FROM p WINDOW w AS (PARTITION BY conv_id ORDER BY idx, tb)), "
+            "b AS (SELECT *, SUM(chg) OVER "
+            "(PARTITION BY conv_id ORDER BY idx, tb) AS blk FROM r) "
+            "SELECT conv_id, CAST(blk - 1 AS BIGINT) AS turn_idx, "
+            "MIN(role) AS role, "
+            "string_agg(text, chr(10) ORDER BY idx, tb, text) AS text "
+            "FROM b GROUP BY conv_id, blk"
         ),
         "kg_cooccurrence": (
             # presence-deduped (doc, token) frame, pair expansion on the

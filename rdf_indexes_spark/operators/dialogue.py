@@ -142,3 +142,65 @@ def validate_turns(
         & (F.col("n_role_repeats") == 0)
     )
     return agg.select("*", ok.alias("ok"))
+
+
+def merge_consecutive_roles(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tiebreak_col: str | None = None,
+    sep: str = "\n",
+) -> DataFrame:
+    """(conv_id, turn_idx, role, text) — the repair pass for the
+    role-repeat violations ``validate_turns`` counts: consecutive
+    same-role turns merge into ONE turn (texts joined by ``sep`` in turn
+    order) and the merged turns reindex contiguously from 0, yielding a
+    strictly-alternating-capable transcript for chat-template packing.
+
+    Gaps-and-islands: a role-change flag (lag) and its running sum
+    assign each row a block id in one window pass; blocks then aggregate
+    with the in-block text order fixed by sort_array over (idx,
+    tiebreak) structs — deterministic under duplicate indices given a
+    ``tiebreak_col``, never dependent on shuffle order. Scale shape: the
+    same single conversation-keyed exchange any per-conversation op
+    pays; per-row window state is O(1) and per-block text is bounded by
+    the conversation's own size.
+    """
+    tb = [F.col(tiebreak_col).alias("_tb")] if tiebreak_col is not None else []
+    order = ["idx"] + (["_tb"] if tiebreak_col is not None else [])
+    w = Window.partitionBy("conv_id").orderBy(*order)
+    rows = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).cast("long").alias("idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("text"),
+        *tb,
+    ).select(
+        "*",
+        F.when(F.lag("role").over(w).isNull(), F.lit(1))
+        .when(F.lag("role").over(w) != F.col("role"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_chg"),
+    ).select("*", F.sum("_chg").over(w).alias("_blk"))
+    sort_key = (
+        F.struct("idx", "_tb", "text")
+        if tiebreak_col is not None
+        else F.struct("idx", "text")
+    )
+    merged = rows.groupBy("conv_id", "_blk").agg(
+        F.min("role").alias("role"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(sort_key)), lambda s: s["text"]
+            ),
+            sep,
+        ).alias("text"),
+    )
+    return merged.select(
+        "conv_id",
+        (F.col("_blk") - 1).cast("long").alias("turn_idx"),
+        "role",
+        "text",
+    )

@@ -348,3 +348,58 @@ def test_validate_turns_on_synthetic_transcripts(spark, transcripts):
     assert out.filter(~F.col("ok")).exceptAll(
         out.filter(F.col("n_role_repeats") > 0)
     ).count() == 0
+
+
+def test_merge_consecutive_roles_golden(spark):
+    """Consecutive same-role turns collapse into one turn (texts joined
+    in turn order), blocks reindex contiguously from 0, and an
+    already-alternating conversation passes through unchanged."""
+    from rdf_indexes_spark.operators.dialogue import merge_consecutive_roles
+
+    df = spark.createDataFrame(
+        [
+            # already alternating — identity
+            ("ok", 0, "user", "hi"), ("ok", 1, "assistant", "hello"),
+            # double assistant + trailing user triple
+            ("rep", 0, "user", "q"),
+            ("rep", 1, "assistant", "a1"), ("rep", 2, "assistant", "a2"),
+            ("rep", 3, "user", "u1"), ("rep", 4, "user", "u2"),
+            ("rep", 5, "user", "u3"),
+            # starts with a repeated role and a gap — merge is index-gap
+            # agnostic (adjacency in the ordered stream is what counts)
+            ("gap", 2, "system", "s1"), ("gap", 5, "system", "s2"),
+            ("gap", 9, "user", "u"),
+        ],
+        "conv_id string, turn_idx long, role string, text string",
+    )
+    got = {
+        (r.conv_id, r.turn_idx): (r.role, r.text)
+        for r in merge_consecutive_roles(df).collect()
+    }
+    assert got == {
+        ("ok", 0): ("user", "hi"),
+        ("ok", 1): ("assistant", "hello"),
+        ("rep", 0): ("user", "q"),
+        ("rep", 1): ("assistant", "a1\na2"),
+        ("rep", 2): ("user", "u1\nu2\nu3"),
+        ("gap", 0): ("system", "s1\ns2"),
+        ("gap", 1): ("user", "u"),
+    }
+
+
+def test_merge_consecutive_roles_fixes_validate_violations(spark, transcripts):
+    """Repair contract on the synthetic corpus: after merging, the
+    validator reports ZERO violations of any class — merge output is a
+    fully clean transcript (the corpus's only dirt is role repeats)."""
+    from rdf_indexes_spark.operators.dialogue import (
+        merge_consecutive_roles,
+        validate_turns,
+    )
+
+    merged = merge_consecutive_roles(transcripts)
+    out = validate_turns(merged)
+    assert out.filter(~F.col("ok")).count() == 0
+    # conversations and total text are preserved (merge never drops)
+    assert merged.select("conv_id").distinct().count() == (
+        transcripts.select("conv_id").distinct().count()
+    )
