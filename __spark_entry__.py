@@ -787,6 +787,46 @@ def _q_chunk_documents(spark, sf_dir):
     return chunk_documents(_read(spark, sf_dir, "documents"), 32, 24)
 
 
+def _q_predicate_profile(spark, sf_dir):
+    """KG schema induction over an events-derived triple set with all
+    four cardinality classes present by construction: event_type edges
+    are N:M, has_user / has_props are functional (one value per event),
+    and has_user is additionally non-inverse-functional (users repeat)."""
+    from rdf_indexes_spark.operators.schema import predicate_profile
+
+    ev = _read(spark, sf_dir, "events")
+    u = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    e = F.concat(F.lit("e"), F.col("event_id").cast("string"))
+    triples = (
+        ev.select(u.alias("s"), F.col("event_type").alias("p"), F.col("props").alias("o"))
+        .unionAll(ev.select(e.alias("s"), F.lit("has_user").alias("p"), u.alias("o")))
+        .unionAll(ev.select(e.alias("s"), F.lit("has_props").alias("p"), F.col("props").alias("o")))
+    )
+    return predicate_profile(triples)
+
+
+def _q_fact_provenance(spark, sf_dir):
+    """Assertion-stream collapse: events replayed as (s, p, o)
+    assertions with a derived conversation id (event_id div 50) and the
+    event timestamp; timestamps surfaced as epoch seconds for the
+    cross-engine hash."""
+    from rdf_indexes_spark.operators.schema import fact_provenance
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("p"),
+        F.col("props").alias("o"),
+        F.floor(F.col("event_id") / 50).cast("long").alias("conv_id"),
+        "ts",
+    )
+    out = fact_provenance(ev)
+    return out.select(
+        "s", "p", "o", "n_assertions", "n_conversations",
+        F.unix_timestamp("first_ts").alias("first_epoch"),
+        F.unix_timestamp("last_ts").alias("last_epoch"),
+    )
+
+
 def _q_validate_turns(spark, sf_dir):
     """Chat-format hygiene validation over an events-derived
     pseudo-transcript (conv = user, turn_idx = event_id % 13 — dirty by
@@ -1817,6 +1857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "validate_turns": _q_validate_turns,
         "merge_consecutive_roles": _q_merge_consecutive_roles,
+        "kg_predicate_profile": _q_predicate_profile,
+        "kg_fact_provenance": _q_fact_provenance,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -2303,6 +2345,37 @@ def oracle_sql() -> dict[str, str]:
             "MIN(role) AS role, "
             "string_agg(text, chr(10) ORDER BY idx, tb, text) AS text "
             "FROM b GROUP BY conv_id, blk"
+        ),
+        "kg_predicate_profile": (
+            # the same dedup → (p,s)/(p,o) group → per-p reduce → join
+            "WITH ev AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS u, "
+            "'e' || CAST(event_id AS VARCHAR) AS e, event_type, props FROM events), "
+            "t AS (SELECT DISTINCT s, p, o FROM ("
+            "SELECT u AS s, event_type AS p, props AS o FROM ev "
+            "UNION ALL SELECT e, 'has_user', u FROM ev "
+            "UNION ALL SELECT e, 'has_props', props FROM ev)), "
+            "bs AS (SELECT p, SUM(outd) AS n_triples, COUNT(*) AS n_subjects, "
+            "MAX(outd) AS max_out FROM (SELECT p, s, COUNT(*) AS outd FROM t "
+            "GROUP BY p, s) GROUP BY p), "
+            "bo AS (SELECT p, COUNT(*) AS n_objects, MAX(ind) AS max_in FROM "
+            "(SELECT p, o, COUNT(*) AS ind FROM t GROUP BY p, o) GROUP BY p) "
+            "SELECT bs.p, CAST(n_triples AS BIGINT) AS n_triples, "
+            "CAST(n_subjects AS BIGINT) AS n_subjects, "
+            "CAST(n_objects AS BIGINT) AS n_objects, "
+            "CAST(max_out AS BIGINT) AS max_out, CAST(max_in AS BIGINT) AS max_in, "
+            "max_out = 1 AS is_functional, max_in = 1 AS is_inverse_functional, "
+            "CASE WHEN max_out = 1 AND max_in = 1 THEN '1:1' "
+            "WHEN max_out = 1 THEN 'N:1' WHEN max_in = 1 THEN '1:N' "
+            "ELSE 'N:M' END AS card "
+            "FROM bs JOIN bo ON bs.p = bo.p"
+        ),
+        "kg_fact_provenance": (
+            "SELECT 'u' || CAST(user_id AS VARCHAR) AS s, event_type AS p, "
+            "props AS o, COUNT(*) AS n_assertions, "
+            "COUNT(DISTINCT event_id // 50) AS n_conversations, "
+            "CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_epoch, "
+            "CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch "
+            "FROM events GROUP BY 1, 2, 3"
         ),
         "kg_cooccurrence": (
             # presence-deduped (doc, token) frame, pair expansion on the

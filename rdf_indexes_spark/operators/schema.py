@@ -1,0 +1,143 @@
+"""KG schema induction + fact provenance — the profiling passes a
+knowledge-graph construction pipeline runs AFTER materializing triples.
+
+The reference computes global triple statistics only (7 counts,
+src/statistics.cpp via tools/stats — distinct s/p/o and pair counts);
+a KG builder additionally needs PER-PREDICATE structure to validate the
+extracted graph: cardinality classes (is `manages` functional? is
+`aka` symmetric-ish N:M?) drive canonicalization key choice (functional
++ inverse-functional predicates are entity-resolution keys, the same
+role owl:InverseFunctionalProperty plays in linked-data ER), and
+assertion provenance (how many independent conversations asserted this
+triple, over what time span) is the confidence signal that decides
+which extracted facts survive into the published graph.
+
+Both are single-aggregation shapes:
+
+- ``predicate_profile``: two hash aggregates keyed (p, s) and (p, o) —
+  the SAME keys the SPO/POS permutation sorts already cluster, so at
+  100 TB these aggregations shuffle nothing new — reduced to a
+  predicate-sized frame (|P| rows, thousands at most) joined on p.
+  Exact integers and booleans only: ratios like functionality are left
+  to the consumer (float division is the one thing two engines never
+  agree on bit-for-bit).
+- ``fact_provenance``: one hash aggregate keyed (s, p, o) — map-side
+  partials absorb the per-fact repetition (hot facts are exactly the
+  high-n_assertions ones, so the combiner eats the skew before the
+  exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def predicate_profile(
+    triples: DataFrame,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """Per-predicate cardinality profile over a (s, p, o) triple table.
+
+    Returns one row per predicate:
+
+      p, n_triples, n_subjects, n_objects,
+      max_out  (largest object count a single subject reaches),
+      max_in   (largest subject count a single object reaches),
+      is_functional          (every subject has exactly one object),
+      is_inverse_functional  (every object has exactly one subject),
+      card  ('1:1' | '1:N' | 'N:1' | 'N:M' from the two flags)
+
+    Works on encoded (int) or decoded (string) triples — the columns
+    ride opaque. Duplicate triples are collapsed first (a triple table
+    is a SET; assertion multiplicity is ``fact_provenance``'s job).
+    """
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    ).distinct()
+    # (p, s) grouping: per-subject out-degrees, reduced to per-p shape
+    by_s = (
+        t.groupBy("p", "s")
+        .agg(F.count(F.lit(1)).alias("outd"))
+        .groupBy("p")
+        .agg(
+            F.sum("outd").alias("n_triples"),
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.max("outd").alias("max_out"),
+        )
+    )
+    by_o = (
+        t.groupBy("p", "o")
+        .agg(F.count(F.lit(1)).alias("ind"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.max("ind").alias("max_in"),
+        )
+    )
+    prof = by_s.join(by_o, "p")  # |P|-sized both sides; any join works
+    fun = F.col("max_out") == 1
+    inv = F.col("max_in") == 1
+    return prof.select(
+        "p",
+        F.col("n_triples").cast("long").alias("n_triples"),
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("n_objects").cast("long").alias("n_objects"),
+        F.col("max_out").cast("long").alias("max_out"),
+        F.col("max_in").cast("long").alias("max_in"),
+        fun.alias("is_functional"),
+        inv.alias("is_inverse_functional"),
+        F.when(fun & inv, "1:1")
+        .when(fun, "N:1")
+        .when(inv, "1:N")
+        .otherwise("N:M")
+        .alias("card"),
+    )
+
+
+def fact_provenance(
+    assertions: DataFrame,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Collapse an ASSERTION stream (one row per time a triple was
+    stated, carrying which conversation said it and when) into one row
+    per distinct fact with its evidence:
+
+      s, p, o, n_assertions, n_conversations (distinct),
+      first_ts, last_ts
+
+    ``n_conversations`` is the independent-evidence count a confidence
+    policy thresholds on (the same fact repeated inside ONE
+    conversation is weaker than the same fact from ten); first/last
+    give the fact's observed validity span. Exact countDistinct — at
+    |facts| granularity the expand is per-group tiny (a fact's
+    conversation list, not the corpus's).
+    """
+    return (
+        assertions.groupBy(
+            F.col(s_col).alias("s"),
+            F.col(p_col).alias("p"),
+            F.col(o_col).alias("o"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_assertions"),
+            F.countDistinct(F.col(conv_col)).alias("n_conversations"),
+            F.min(F.col(ts_col)).alias("first_ts"),
+            F.max(F.col(ts_col)).alias("last_ts"),
+        )
+        .select(
+            "s",
+            "p",
+            "o",
+            F.col("n_assertions").cast("long").alias("n_assertions"),
+            F.col("n_conversations").cast("long").alias("n_conversations"),
+            "first_ts",
+            "last_ts",
+        )
+    )

@@ -1,0 +1,112 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_predicate_profile_golden(spark):
+    """Each cardinality class on a purpose-built predicate; duplicate
+    triples collapse before counting."""
+    from rdf_indexes_spark.operators.schema import predicate_profile
+
+    df = spark.createDataFrame(
+        [
+            # 1:1 — ssn: every subject one object, every object one subject
+            ("a", "ssn", "s1"), ("b", "ssn", "s2"),
+            # N:1 (functional, not inverse): born_in — dup asserted twice
+            ("a", "born_in", "rome"), ("b", "born_in", "rome"),
+            ("b", "born_in", "rome"),
+            # 1:N (inverse-functional, not functional): manages
+            ("a", "manages", "x"), ("a", "manages", "y"),
+            # N:M: knows
+            ("a", "knows", "b"), ("a", "knows", "c"), ("b", "knows", "c"),
+            ("c", "knows", "c"),
+        ],
+        "s string, p string, o string",
+    )
+    got = {r.p: r.asDict() for r in predicate_profile(df).collect()}
+    assert got["ssn"]["card"] == "1:1"
+    assert got["ssn"]["is_functional"] and got["ssn"]["is_inverse_functional"]
+    assert got["born_in"]["card"] == "N:1"
+    assert got["born_in"]["n_triples"] == 2  # dup collapsed
+    assert got["born_in"]["n_subjects"] == 2
+    assert got["born_in"]["n_objects"] == 1
+    assert got["born_in"]["max_in"] == 2
+    assert got["manages"]["card"] == "1:N"
+    assert got["manages"]["max_out"] == 2
+    assert got["knows"]["card"] == "N:M"
+    assert got["knows"] == dict(
+        p="knows", n_triples=4, n_subjects=3, n_objects=2, max_out=2,
+        max_in=3, is_functional=False, is_inverse_functional=False,
+        card="N:M",
+    )
+
+
+def test_predicate_profile_on_pipeline_triples(spark, transcripts, workdir):
+    """Profile the actual KG pipeline's encoded triples: per-predicate
+    n_triples must sum to the global triple count and every count must
+    be bounded by the global distinct counts (consistency with D1)."""
+    import os
+
+    from rdf_indexes_spark.operators.schema import predicate_profile
+    from rdf_indexes_spark.pipeline import run_pipeline
+
+    art = run_pipeline(
+        spark, transcripts, os.path.join(workdir, "schema_prof"), input_id="sp"
+    )
+    stats = art.stats.first()
+    prof = predicate_profile(art.triples).collect()
+    assert len(prof) == stats.distinct_predicates
+    assert sum(r.n_triples for r in prof) == stats.num_triples
+    assert all(r.n_subjects <= stats.distinct_subjects for r in prof)
+    assert all(r.n_objects <= stats.distinct_objects for r in prof)
+    assert all(r.max_out <= r.n_triples for r in prof)
+
+
+def test_fact_provenance_golden(spark):
+    from rdf_indexes_spark.operators.schema import fact_provenance
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    df = spark.createDataFrame(
+        [
+            # same fact, three assertions across two conversations
+            ("a", "knows", "b", "c1", ts(0)),
+            ("a", "knows", "b", "c1", ts(5)),
+            ("a", "knows", "b", "c2", ts(60)),
+            # singleton fact
+            ("a", "knows", "c", "c1", ts(1)),
+        ],
+        "s string, p string, o string, conv_id string, ts timestamp",
+    )
+    got = {
+        (r.s, r.p, r.o): (r.n_assertions, r.n_conversations, r.first_ts, r.last_ts)
+        for r in fact_provenance(df).collect()
+    }
+    assert got[("a", "knows", "b")] == (3, 2, ts(0), ts(60))
+    assert got[("a", "knows", "c")] == (1, 1, ts(1), ts(1))
+
+
+def test_fact_provenance_confidence_ordering(spark, transcripts):
+    """On the synthetic corpus: collapse assertions from the raw
+    transcript mention stream — n_conversations never exceeds
+    n_assertions, and the collapsed fact set is duplicate-free."""
+    from rdf_indexes_spark.operators.extract import extract_mentions
+    from rdf_indexes_spark.operators.schema import fact_provenance
+
+    m = extract_mentions(transcripts)
+    assertions = m.select(
+        F.col("subj").alias("s"),
+        F.col("pred").alias("p"),
+        F.col("obj").alias("o"),
+        "conv_id",
+        F.lit(dt.datetime(2024, 1, 1)).alias("ts"),
+    )
+    out = fact_provenance(assertions)
+    assert out.filter(F.col("n_conversations") > F.col("n_assertions")).count() == 0
+    assert out.groupBy("s", "p", "o").count().filter("count > 1").count() == 0
+    assert out.agg(F.sum("n_assertions")).first()[0] == assertions.count()
