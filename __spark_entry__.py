@@ -787,6 +787,39 @@ def _q_chunk_documents(spark, sf_dir):
     return chunk_documents(_read(spark, sf_dir, "documents"), 32, 24)
 
 
+def _events_transcript(spark, sf_dir):
+    """The shared events→pseudo-transcript derivation (same shape as
+    dialogue_pairs'): conv per user, contiguous turn_idx by event order,
+    role folded from the event type, text = props."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("props").alias("text"),
+    )
+
+
+def _q_render_chat(spark, sf_dir):
+    """ChatML-style SFT export of the events-derived transcript."""
+    from rdf_indexes_spark.operators.dialogue import render_chat
+
+    return render_chat(_events_transcript(spark, sf_dir))
+
+
+def _q_loss_spans(spark, sf_dir):
+    """Loss-mask spans for the same render — codepoint offsets of every
+    assistant turn's content inside the rendered string."""
+    from rdf_indexes_spark.operators.dialogue import loss_spans
+
+    return loss_spans(_events_transcript(spark, sf_dir))
+
+
 def _q_predicate_profile(spark, sf_dir):
     """KG schema induction over an events-derived triple set with all
     four cardinality classes present by construction: event_type edges
@@ -1859,6 +1892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_consecutive_roles": _q_merge_consecutive_roles,
         "kg_predicate_profile": _q_predicate_profile,
         "kg_fact_provenance": _q_fact_provenance,
+        "render_chat": _q_render_chat,
+        "loss_spans": _q_loss_spans,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -2345,6 +2380,38 @@ def oracle_sql() -> dict[str, str]:
             "MIN(role) AS role, "
             "string_agg(text, chr(10) ORDER BY idx, tb, text) AS text "
             "FROM b GROUP BY conv_id, blk"
+        ),
+        "render_chat": (
+            # piece build + ordered string_agg; lengths are codepoints
+            # in both engines
+            "WITH t AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS turn_idx, "
+            "CASE WHEN event_type IN ('click','view') THEN 'user' "
+            "ELSE 'assistant' END AS role, props AS text FROM events), "
+            "p AS (SELECT conv_id, turn_idx, '<|im_start|>' || role || chr(10) "
+            "|| text || '<|im_end|>' || chr(10) AS piece FROM t) "
+            "SELECT conv_id, string_agg(piece, '' ORDER BY turn_idx) AS text, "
+            "COUNT(*) AS n_turns, "
+            "CAST(length(string_agg(piece, '' ORDER BY turn_idx)) AS BIGINT) AS n_chars "
+            "FROM p GROUP BY conv_id"
+        ),
+        "loss_spans": (
+            # exclusive prefix sum of piece lengths over the identical
+            # turn order; header = len('<|im_start|>') + len(role) + 1,
+            # piece = header + len(text) + len('<|im_end|>\n') = +11
+            "WITH t AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS turn_idx, "
+            "CASE WHEN event_type IN ('click','view') THEN 'user' "
+            "ELSE 'assistant' END AS role, props AS text FROM events), "
+            "p AS (SELECT conv_id, turn_idx, role, length(text) AS tlen, "
+            "12 + length(role) + 1 AS hdr, "
+            "12 + length(role) + 1 + length(text) + 11 AS plen FROM t), "
+            "o AS (SELECT *, COALESCE(SUM(plen) OVER (PARTITION BY conv_id "
+            "ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off "
+            "FROM p) "
+            "SELECT conv_id, turn_idx, CAST(off + hdr AS BIGINT) AS start, "
+            "CAST(off + hdr + tlen AS BIGINT) AS \"end\" "
+            "FROM o WHERE role = 'assistant'"
         ),
         "kg_predicate_profile": (
             # the same dedup → (p,s)/(p,o) group → per-p reduce → join

@@ -204,3 +204,112 @@ def merge_consecutive_roles(
         "role",
         "text",
     )
+
+
+def render_chat(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    start_tag: str = "<|im_start|>",
+    end_tag: str = "<|im_end|>\n",
+) -> DataFrame:
+    """Render each conversation to ONE training string in a
+    ChatML-style template — the SFT-export step that turns a validated
+    transcript table into tokenizer-ready rows:
+
+        <|im_start|>{role}\\n{text}<|im_end|>\\n   per turn, in turn order
+
+    Returns (conv_id, text, n_turns, n_chars) with n_chars =
+    length(text) in CODEPOINTS (the unit ``loss_spans`` offsets use).
+    Turn texts are embedded verbatim (no tag escaping — run a hygiene
+    filter upstream if the corpus may contain the sentinels).
+
+    Scale shape: pieces are built map-side; ONE conversation-keyed
+    aggregation concatenates them with the in-conversation order fixed
+    by sort_array over (idx, piece) structs — no window pass, no second
+    exchange. Per-group payload is the conversation's own text (the
+    contract every per-conversation op here shares).
+    """
+    piece = F.concat(
+        F.lit(start_tag),
+        F.col(role_col),
+        F.lit("\n"),
+        F.col(text_col),
+        F.lit(end_tag),
+    )
+    rows = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.struct(F.col(idx_col).cast("long").alias("idx"), piece.alias("piece")).alias("_t"),
+    )
+    return (
+        rows.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("_t")), lambda s: s["piece"]),
+                "",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .select(
+            "conv_id",
+            "text",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def loss_spans(
+    transcripts: DataFrame,
+    response_role: str = "assistant",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    start_tag: str = "<|im_start|>",
+    end_tag: str = "<|im_end|>\n",
+) -> DataFrame:
+    """Loss-mask spans for ``render_chat``'s output: one row per
+    ``response_role`` turn with the half-open codepoint interval
+    [start, end) of that turn's CONTENT (after the role header, before
+    the end tag) inside the rendered conversation string — the
+    positions an SFT trainer unmasks.
+
+    Offsets come from an exclusive running sum of rendered piece
+    lengths over the (conv, idx) order — one conversation-keyed window
+    pass, the same single exchange ``render_chat`` pays, so the two
+    operators can share a shuffle when composed. Must be called with
+    the SAME template arguments as the render (the contract is checked
+    in tests by substring-extracting the spans).
+    """
+    role, text = F.col(role_col), F.col(text_col)
+    piece_len = (
+        F.lit(len(start_tag))
+        + F.length(role)
+        + F.lit(1)
+        + F.length(text)
+        + F.lit(len(end_tag))
+    ).cast("long")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = transcripts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).cast("long").alias("turn_idx"),
+        role.alias("role"),
+        F.length(text).cast("long").alias("_tlen"),
+        (F.lit(len(start_tag)) + F.length(role) + F.lit(1)).cast("long").alias("_hdr"),
+        piece_len.alias("_plen"),
+    ).select(
+        "*", F.coalesce(F.sum("_plen").over(w), F.lit(0)).alias("_off")
+    )
+    return rows.filter(F.col("role") == response_role).select(
+        "conv_id",
+        "turn_idx",
+        (F.col("_off") + F.col("_hdr")).alias("start"),
+        (F.col("_off") + F.col("_hdr") + F.col("_tlen")).alias("end"),
+    )

@@ -403,3 +403,64 @@ def test_merge_consecutive_roles_fixes_validate_violations(spark, transcripts):
     assert merged.select("conv_id").distinct().count() == (
         transcripts.select("conv_id").distinct().count()
     )
+
+
+def test_render_chat_golden(spark):
+    from rdf_indexes_spark.operators.dialogue import render_chat
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "hi"),
+            ("c", 1, "assistant", "hello there"),
+        ],
+        "conv_id string, turn_idx long, role string, text string",
+    )
+    r = render_chat(df).first()
+    want = (
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello there<|im_end|>\n"
+    )
+    assert r.text == want
+    assert r.n_turns == 2
+    assert r.n_chars == len(want)
+
+
+def test_loss_spans_extract_response_text(spark, transcripts):
+    """The contract: substring(rendered, start, end) == the response
+    turn's text, for EVERY response turn of the real synthetic corpus
+    (offsets in codepoints, half-open)."""
+    from rdf_indexes_spark.operators.dialogue import loss_spans, render_chat
+
+    rendered = render_chat(transcripts)
+    spans = loss_spans(transcripts, response_role="assistant")
+    j = spans.join(rendered.select("conv_id", "text"), "conv_id").select(
+        "conv_id",
+        "turn_idx",
+        F.substring(
+            F.col("text"), (F.col("start") + 1).cast("int"), (F.col("end") - F.col("start")).cast("int")
+        ).alias("extracted"),
+    )
+    orig = transcripts.filter(F.col("role") == "assistant").select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"), F.col("text").alias("want")
+    )
+    cmp = j.join(orig, ["conv_id", "turn_idx"], "full")
+    assert cmp.count() == orig.count()  # one span per assistant turn
+    assert cmp.filter(
+        F.col("extracted").isNull()
+        | F.col("want").isNull()
+        | (F.col("extracted") != F.col("want"))
+    ).count() == 0
+
+
+def test_loss_spans_unicode_codepoints(spark):
+    """Multi-byte text before a response: offsets must count
+    codepoints, not bytes."""
+    from rdf_indexes_spark.operators.dialogue import loss_spans, render_chat
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "héllo ☃ 漢字"), ("c", 1, "assistant", "réponse ✓")],
+        "conv_id string, turn_idx long, role string, text string",
+    )
+    text = render_chat(df).first().text
+    s = loss_spans(df).first()
+    assert text[s.start : s.end] == "réponse ✓"
