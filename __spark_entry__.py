@@ -805,6 +805,13 @@ def _events_transcript(spark, sf_dir):
     )
 
 
+def _q_fim_transform(spark, sf_dir):
+    """FIM rewrite of half the documents corpus (PSM format)."""
+    from rdf_indexes_spark.operators.textops import fim_transform
+
+    return fim_transform(_read(spark, sf_dir, "documents"), rate=0.5)
+
+
 def _q_render_chat(spark, sf_dir):
     """ChatML-style SFT export of the events-derived transcript."""
     from rdf_indexes_spark.operators.dialogue import render_chat
@@ -1894,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_provenance": _q_fact_provenance,
         "render_chat": _q_render_chat,
         "loss_spans": _q_loss_spans,
+        "fim_transform": _q_fim_transform,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,
@@ -2380,6 +2388,25 @@ def oracle_sql() -> dict[str, str]:
             "MIN(role) AS role, "
             "string_agg(text, chr(10) ORDER BY idx, tb, text) AS text "
             "FROM b GROUP BY conv_id, blk"
+        ),
+        "fim_transform": (
+            # the chained affine hashes and codepoint substr replayed
+            # exactly (A=625341585, B=461845907, P=2^31-1); h2 chains
+            # off h1, cuts are mod (n+1), swapped into order
+            "WITH h AS (SELECT doc_id, text, length(text) AS n, "
+            "(625341585 * (doc_id % 2147483647) + 461845907) % 2147483647 AS h1 "
+            "FROM documents), "
+            "c AS (SELECT doc_id, text, n, h1, "
+            "(625341585 * h1 + 461845907) % 2147483647 AS h2, "
+            "((625341585 * (doc_id % 2147483647) + 461845907) % 2147483647) "
+            "/ 2147483647.0 < 0.5 AS fim FROM h), "
+            "k AS (SELECT *, least(h1 % (n + 1), h2 % (n + 1)) AS lo, "
+            "greatest(h1 % (n + 1), h2 % (n + 1)) AS hi FROM c) "
+            "SELECT doc_id, fim, CASE WHEN fim THEN "
+            "'<fim_prefix>' || substr(text, 1, lo) "
+            "|| '<fim_suffix>' || substr(text, hi + 1, n - hi) "
+            "|| '<fim_middle>' || substr(text, lo + 1, hi - lo) "
+            "ELSE text END AS text FROM k"
         ),
         "render_chat": (
             # piece build + ordered string_agg; lengths are codepoints

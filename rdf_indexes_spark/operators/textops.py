@@ -613,3 +613,69 @@ def bm25_search(
         "score_x1e6",
         F.col("n_matched").cast("long").alias("n_matched"),
     )
+
+
+def fim_transform(
+    docs: DataFrame,
+    rate: float = 0.5,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    fmt: str = "psm",
+    prefix_tag: str = "<fim_prefix>",
+    middle_tag: str = "<fim_middle>",
+    suffix_tag: str = "<fim_suffix>",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022): rewrite a
+    deterministic ``rate``-share of documents into the FIM training
+    format; the rest pass through verbatim.
+
+    Two codepoint cut positions come from the repo's engine-portable
+    affine-hash contract (operators/sampling._variate family) chained
+    twice over the doc key — lo = h1 mod (n+1), hi = h2 mod (n+1),
+    swapped into order — so the SAME document is split the SAME way in
+    every run, at every parallelism, on every engine (the DuckDB oracle
+    replays the transform string-for-string). Degenerate cuts (empty
+    middle when lo == hi, empty prefix/suffix at the boundaries) are
+    legitimate FIM samples and kept as-is, matching the paper's uniform
+    character-level splitting.
+
+    fmt='psm'  → prefix_tag P suffix_tag S middle_tag M   (the mode
+    models train on: the middle comes LAST so loss flows onto it)
+    fmt='spm'  → suffix_tag S prefix_tag P middle_tag M
+
+    Pure SELECT-side expressions: the FIM decision is the hash_sample
+    predicate, cuts are integer arithmetic, assembly is substring +
+    concat — whole-stage codegen, zero shuffle, trivially scale-free.
+    """
+    from .dedup import _P
+    from .sampling import _A, _B, _variate
+
+    if fmt not in ("psm", "spm"):
+        raise ValueError(f"fmt must be 'psm' or 'spm', got {fmt!r}")
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    key, text = F.col(key_col), F.col(text_col)
+    n = F.length(text).cast("long")
+    h = F.pmod(key.cast("long"), F.lit(_P))
+    h1 = F.pmod(F.lit(_A) * h + F.lit(_B), F.lit(_P))
+    h2 = F.pmod(F.lit(_A) * h1 + F.lit(_B), F.lit(_P))
+    c1 = F.pmod(h1, n + 1)
+    c2 = F.pmod(h2, n + 1)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    pre = F.substring(text, F.lit(1), lo.cast("int"))
+    mid = F.substring(text, (lo + 1).cast("int"), (hi - lo).cast("int"))
+    suf = F.substring(text, (hi + 1).cast("int"), (n - hi).cast("int"))
+    if fmt == "psm":
+        fim_text = F.concat(
+            F.lit(prefix_tag), pre, F.lit(suffix_tag), suf, F.lit(middle_tag), mid
+        )
+    else:
+        fim_text = F.concat(
+            F.lit(suffix_tag), suf, F.lit(prefix_tag), pre, F.lit(middle_tag), mid
+        )
+    is_fim = _variate(key) < F.lit(float(rate))
+    return docs.select(
+        key.alias("doc_id"),
+        is_fim.alias("fim"),
+        F.when(is_fim, fim_text).otherwise(text).alias("text"),
+    )

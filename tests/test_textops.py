@@ -511,3 +511,63 @@ def test_c4_clean_matches_python(spark, docs):
         want = _c4_python(str(r.text or ""))
         row = got.loc[r.doc_id]
         assert (bool(row.keep), int(row.n_kept_lines), row.clean_text) == want, r.doc_id
+
+
+def test_fim_transform_reconstruction(spark, docs):
+    """On real documents: every FIM'd row reassembles to its original
+    text (PSM: prefix+middle+suffix == original), pass-through rows are
+    untouched, and the fim decision is the hash_sample contract."""
+    from rdf_indexes_spark.operators.sampling import hash_sample
+    from rdf_indexes_spark.operators.textops import fim_transform
+
+    out = fim_transform(docs, rate=0.5).collect()
+    orig = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    fim_ids = {r.doc_id for r in hash_sample(docs, 0.5).select("doc_id").collect()}
+    assert {r.doc_id for r in out if r.fim} == fim_ids
+    for r in out:
+        if not r.fim:
+            assert r.text == orig[r.doc_id]
+            continue
+        assert r.text.startswith("<fim_prefix>")
+        body = r.text[len("<fim_prefix>"):]
+        pre, rest = body.split("<fim_suffix>", 1)
+        suf, mid = rest.split("<fim_middle>", 1)
+        assert pre + mid + suf == orig[r.doc_id]
+
+
+def test_fim_transform_spm_and_determinism(spark):
+    from rdf_indexes_spark.operators.textops import fim_transform
+
+    df = spark.createDataFrame(
+        [(i, "abcdefghij") for i in range(50)], "doc_id long, text string"
+    )
+    psm1 = {r.doc_id: r.text for r in fim_transform(df, rate=1.0).collect()}
+    psm2 = {
+        r.doc_id: r.text
+        for r in fim_transform(df.repartition(7), rate=1.0).collect()
+    }
+    assert psm1 == psm2  # layout-independent
+    spm = {r.doc_id: r.text for r in fim_transform(df, rate=1.0, fmt="spm").collect()}
+    for i in range(50):
+        body = psm1[i][len("<fim_prefix>"):]
+        pre, rest = body.split("<fim_suffix>", 1)
+        suf, mid = rest.split("<fim_middle>", 1)
+        assert pre + mid + suf == "abcdefghij"
+        assert spm[i] == f"<fim_suffix>{suf}<fim_prefix>{pre}<fim_middle>{mid}"
+    # same key → same cut; different keys spread cuts around
+    cuts = {psm1[i] for i in range(50)}
+    assert len(cuts) > 5
+
+
+def test_fim_transform_edges(spark):
+    from rdf_indexes_spark.operators.textops import fim_transform
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = fim_transform(df, rate=1.0).first()
+    assert r.fim and r.text == "<fim_prefix><fim_suffix><fim_middle>"
+    with _pytest.raises(ValueError):
+        fim_transform(df, rate=1.0, fmt="mps")
+    with _pytest.raises(ValueError):
+        fim_transform(df, rate=1.5)
