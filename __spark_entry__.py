@@ -1095,6 +1095,20 @@ def _q_kg_kcore(spark, sf_dir):
     return k_core(edges, k=4)
 
 
+def _q_kg_communities(spark, sf_dir):
+    """Deterministic label-propagation communities over the same folded
+    entity graph as kg_kcore — rows-only at the driver gate (iterative
+    fixpoint); exact python-model parity oracle in tests/test_graph.py."""
+    from rdf_indexes_spark.operators.graph import label_propagation
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 9973).alias("src"),
+        (F.col("l_partkey") % 9973).alias("dst"),
+    )
+    return label_propagation(edges)
+
+
 def _q_kg_cooccurrence(spark, sf_dir):
     """Entity co-occurrence PMI signals over document tokens: for every
     unordered token pair, the documents containing both + marginals +
@@ -1934,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering": _q_kg_clustering,
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_kcore": _q_kg_kcore,
+        "kg_communities": _q_kg_communities,
         "cc_components": _q_cc_components,
         "ann_knn_graph": _q_knn_graph,
         "sample_weighted": _q_sample_weighted,

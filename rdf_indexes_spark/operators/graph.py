@@ -303,3 +303,64 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, community) — community detection by synchronous label
+    propagation (Raghavan et al. 2007) over the simple undirected
+    graph, with every tie broken DETERMINISTICALLY so the result is a
+    pure function of the edge set (the published algorithm's random
+    tie-breaks and visit order make runs non-reproducible — useless as
+    a pipeline stage):
+
+      - every node votes with its neighbors' labels AND its own
+        (self-inclusion also damps the classic bipartite 2-cycle);
+      - a node adopts the SMALLEST label among those of maximal
+        frequency (min-of-struct over (-count, label));
+      - all nodes update simultaneously; the loop stops when no label
+        changed. A ``max_rounds`` hit raises — a silently truncated
+        propagation is NOT a fixpoint and must not be mistaken for one.
+
+    Scale shape per round: one join of the directed-both-ways edge list
+    against the label frame (keyed on the neighbor — hub labels fan out
+    via the join, no broadcast of node-scale state), one (node, label)
+    hash aggregate with map-side partials absorbing hub in-degree, one
+    per-node min reduce, and a changed-count probe. Labels frame is
+    node-scale; lineage cut every round.
+    """
+    e = _simple_edges(edges, src_col, dst_col)
+    both = (
+        e.select(F.col("u").alias("n"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        both.select("n").distinct().select("n", F.col("n").alias("lbl"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        votes = both.join(
+            labels.select(F.col("n").alias("nbr"), "lbl"), "nbr"
+        ).select("n", "lbl").unionAll(labels)
+        counted = votes.groupBy("n", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        new = (
+            counted.groupBy("n")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("m"))
+            .select("n", F.col("m.lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "n")
+            .filter(F.col("lbl") != F.col("old"))
+            .isEmpty()
+        )
+        labels = new
+        if converged:
+            return labels.select("n", F.col("lbl").alias("community"))
+    raise RuntimeError(
+        f"label_propagation did not converge within {max_rounds} rounds"
+    )

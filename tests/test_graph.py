@@ -311,3 +311,84 @@ def test_k_core_matches_bruteforce(spark):
     for k in (2, 3, 4):
         got = {r.node for r in k_core(e, k=k).collect()}
         assert got == _python_kcore(edges, k), k
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must find exactly
+    the two cliques (the bridge can't outvote 3 in-clique neighbors),
+    each labeled by its minimum member."""
+    from rdf_indexes_spark.operators.graph import label_propagation
+
+    import itertools
+    c1, c2 = [0, 1, 2, 3], [10, 11, 12, 13]
+    edges = (
+        list(itertools.combinations(c1, 2))
+        + list(itertools.combinations(c2, 2))
+        + [(3, 10)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.n: r.community for r in label_propagation(df).collect()}
+    assert {got[n] for n in c1} == {0}
+    assert {got[n] for n in c2} == {10}
+
+
+def test_label_propagation_deterministic_and_layout_free(spark):
+    from rdf_indexes_spark.operators.graph import label_propagation
+
+    import random
+    rng = random.Random(5)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted((r.n, r.community) for r in label_propagation(df).collect())
+    b = sorted(
+        (r.n, r.community)
+        for r in label_propagation(df.repartition(13)).collect()
+    )
+    assert a == b
+
+
+def test_label_propagation_components_never_merge(spark):
+    """Communities refine connected components: two disconnected paths
+    can never share a label (labels only flow along edges)."""
+    from rdf_indexes_spark.operators.graph import label_propagation
+
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.n: r.community for r in label_propagation(df).collect()}
+    assert {got[0], got[1], got[2], got[3]}.isdisjoint({got[10], got[11], got[12]})
+    # bipartite path: self-inclusion damping must still converge
+    assert len(got) == 7
+
+
+def test_label_propagation_matches_python_model(spark):
+    """Exact parity with a python replay of the same synchronous
+    min-tie-break vote on a random graph."""
+    from rdf_indexes_spark.operators.graph import label_propagation
+
+    import random
+    from collections import Counter
+
+    rng = random.Random(11)
+    raw = {(rng.randrange(40), rng.randrange(40)) for _ in range(80)}
+    edges = {(min(u, v), max(u, v)) for u, v in raw if u != v}
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    lbl = {n: n for n in nbrs}
+    for _ in range(30):
+        new = {}
+        for n in nbrs:
+            votes = Counter(lbl[m] for m in nbrs[n])
+            votes[lbl[n]] += 1
+            top = max(votes.values())
+            new[n] = min(l for l, c in votes.items() if c == top)
+        if new == lbl:
+            break
+        lbl = new
+    else:
+        raise AssertionError("python model did not converge")
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r.n: r.community for r in label_propagation(df).collect()}
+    assert got == lbl
