@@ -89,7 +89,10 @@ BENCH_QUERIES = [
     "kg_pagerank",
     "kg_triangles",
     "kg_cooccurrence",
+    "kg_predicate_profile",
     "c4_filter",
+    "fim_transform",
+    "render_chat",
     # g4_path_closure stays OUT of the bench set: on this table's random
     # quasi-bipartite edge graph the closure ANSWER is ~|V|^2 — timing it
     # measures output size, not the engine. Correctness gates at sf0.01.

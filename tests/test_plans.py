@@ -152,3 +152,51 @@ def test_cooccurrence_no_text_in_wide_exchanges(spark):
     assert "CartesianProduct" not in p
     # the only nested-loop join is the broadcast of the one-row n_groups
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_fim_transform_zero_exchange(docs):
+    from rdf_indexes_spark.operators.textops import fim_transform
+
+    p = _plan(fim_transform(docs, rate=0.5))
+    assert "Exchange" not in p, p[:1500]
+
+
+def test_render_chat_single_keyed_exchange(spark):
+    """Render = ONE conversation-keyed hash exchange (sort_array inside
+    the aggregate — no sort exchange, no window)."""
+    from rdf_indexes_spark.operators.dialogue import render_chat
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "x")], "conv_id string, turn_idx long, role string, text string"
+    )
+    p = _plan(render_chat(df))
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    assert "SinglePartition" not in p
+
+
+def test_loss_spans_no_text_in_exchange(spark):
+    """Offsets ride as precomputed lengths: the window exchange carries
+    longs, never the turn text."""
+    from rdf_indexes_spark.operators.dialogue import loss_spans
+
+    df = spark.createDataFrame(
+        [("c", 0, "assistant", "x")],
+        "conv_id string, turn_idx long, role string, text string",
+    )
+    p = _plan(loss_spans(df))
+    ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex, p[:1500]
+    for l in ex:
+        assert "text" not in l, l
+
+
+def test_predicate_profile_no_single_partition(spark):
+    """Both groupings are (p, ·)-keyed hash aggregates; the final join
+    of two |P|-sized frames must not collapse to SinglePartition on the
+    data path (SMJ/SHJ/BHJ all fine)."""
+    from rdf_indexes_spark.operators.schema import predicate_profile
+
+    df = spark.createDataFrame([("a", "p", "b")], "s string, p string, o string")
+    p = _plan(predicate_profile(df))
+    assert "Exchange SinglePartition" not in p, p[:2000]
+    assert "CartesianProduct" not in p
