@@ -1109,6 +1109,20 @@ def _q_kg_communities(spark, sf_dir):
     return label_propagation(edges)
 
 
+def _q_kg_negative_samples(spark, sf_dir):
+    """Filtered object-corruption negatives (2 per triple) over a
+    lineitem-folded triple set — deterministic affine-hash draws."""
+    from rdf_indexes_spark.operators.sampling import negative_samples
+
+    li = _read(spark, sf_dir, "lineitem")
+    t = li.select(
+        (F.col("l_orderkey") % 9973).alias("s"),
+        F.col("l_linenumber").cast("long").alias("p"),
+        (F.col("l_partkey") % 9973).alias("o"),
+    )
+    return negative_samples(t, n_neg=2)
+
+
 def _q_kg_cooccurrence(spark, sf_dir):
     """Entity co-occurrence PMI signals over document tokens: for every
     unordered token pair, the documents containing both + marginals +
@@ -1949,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_kcore": _q_kg_kcore,
         "kg_communities": _q_kg_communities,
+        "kg_negative_samples": _q_kg_negative_samples,
         "cc_components": _q_cc_components,
         "ann_knn_graph": _q_knn_graph,
         "sample_weighted": _q_sample_weighted,
@@ -2454,6 +2469,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, CAST(off + hdr AS BIGINT) AS start, "
             "CAST(off + hdr + tlen AS BIGINT) AS \"end\" "
             "FROM o WHERE role = 'assistant'"
+        ),
+        "kg_negative_samples": (
+            # draw/bump/filter replayed exactly: rank = sorted-pool
+            # row_number-1; H = (s%P*A1 + p%P*A2 + o%P*A3 + j*C + D) % P
+            # with A1=625341585 A2=461845907 A3=1000003 C=69069 D=12345
+            "WITH t AS (SELECT l_orderkey % 9973 AS s, "
+            "CAST(l_linenumber AS BIGINT) AS p, l_partkey % 9973 AS o "
+            "FROM lineitem), "
+            "ranked AS (SELECT o AS neg, row_number() OVER (ORDER BY o) - 1 "
+            "AS rank FROM (SELECT DISTINCT o FROM t)), "
+            "nn AS (SELECT COUNT(*) AS n FROM ranked), "
+            "d AS (SELECT s, p, o, j.neg_idx, "
+            "((s % 2147483647) * 625341585 + (p % 2147483647) * 461845907 "
+            "+ (o % 2147483647) * 1000003 + j.neg_idx * 69069 + 12345) "
+            "% 2147483647 AS h FROM t CROSS JOIN "
+            "(VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) j(neg_idx)), "
+            "r AS (SELECT d.s, d.p, d.o, d.neg_idx, "
+            "CASE WHEN d.h % nn.n = ro.rank THEN (d.h % nn.n + 1) % nn.n "
+            "ELSE d.h % nn.n END AS rank FROM d, nn "
+            "JOIN ranked ro ON ro.neg = d.o) "
+            "SELECT r.s, r.p, rk.neg AS o, r.neg_idx FROM r "
+            "JOIN ranked rk ON rk.rank = r.rank "
+            "WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.s = r.s "
+            "AND t.p = r.p AND t.o = rk.neg)"
         ),
         "kg_predicate_profile": (
             # the same dedup → (p,s)/(p,o) group → per-p reduce → join

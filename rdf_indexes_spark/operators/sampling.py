@@ -211,3 +211,88 @@ def upsample(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
         .drop("_n")
     )
+
+
+# negative-sampling hash constants: distinct multipliers per role keep
+# the three ids from cancelling; every product stays under 2^61 and the
+# five-term sum under 2^63 (ANSI-mode safe)
+_NS_A1, _NS_A2, _NS_A3 = _A, _B, 1_000_003
+_NS_C, _NS_D = 69_069, 12_345
+
+
+def negative_samples(
+    triples: DataFrame,
+    n_neg: int = 1,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    filter_true: bool = True,
+) -> DataFrame:
+    """KG-embedding training negatives (TransE-family corruption): for
+    every (s, p, o) triple emit ``n_neg`` corrupted copies with the
+    OBJECT replaced by a pseudo-random entity from the object pool —
+    deterministically, so the training set is a pure function of the
+    graph (rerun-stable, engine-replayable), unlike `rand()`-based
+    corruption. To corrupt subjects, pass the frame with s/o swapped.
+
+    Replacement for (s, p, o, j): rank r = H(s, p, o, j) mod n over the
+    sorted distinct-object pool (H = the repo's 31-bit affine family,
+    one multiplier per role); a draw that lands on the TRUE object is
+    bumped one rank (cyclically), so a negative never equals its
+    positive. With ``filter_true`` (the literature's "filtered"
+    setting) corrupted triples that happen to exist elsewhere in the
+    graph are anti-joined away — per-triple negative counts may then
+    drop below ``n_neg``.
+
+    Returns (s, p, o, neg_idx) — o is the REPLACEMENT entity.
+
+    Scale shape: the pool ranking is the two-phase distributed rank
+    (functions.ranking.dense_ids — no global window); draws explode
+    map-side; the rank→entity resolution is ONE equi-join against the
+    pool-sized rank table (broadcast by Catalyst when it fits); the
+    optional filter is one anti-join keyed on (s, p, o). Skew-free:
+    draw ranks are hash-uniform by construction.
+    """
+    from ..functions.ranking import dense_ids
+
+    if n_neg < 1:
+        raise ValueError(f"n_neg must be >= 1, got {n_neg}")
+    t = triples.select(
+        F.col(s_col).cast("long").alias("s"),
+        F.col(p_col).cast("long").alias("p"),
+        F.col(o_col).cast("long").alias("o"),
+    )
+    pool = t.select("o").distinct()
+    n = pool.count()
+    if n < 2:
+        raise ValueError(f"object pool must hold >= 2 entities, got {n}")
+    ranked = dense_ids(pool, ["o"], id_col="rank").select(
+        "rank", F.col("o").alias("_neg")
+    )
+    # the true object's own rank, for the collision bump
+    with_rank = t.join(
+        ranked.select(F.col("rank").alias("_orank"), F.col("_neg").alias("o")), "o"
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(n_neg - 1))).alias("neg_idx")
+    drawn = with_rank.select("s", "p", "o", "_orank", j).withColumn(
+        "_h",
+        F.pmod(
+            F.pmod(F.col("s"), F.lit(_P)) * F.lit(_NS_A1)
+            + F.pmod(F.col("p"), F.lit(_P)) * F.lit(_NS_A2)
+            + F.pmod(F.col("o"), F.lit(_P)) * F.lit(_NS_A3)
+            + F.col("neg_idx") * F.lit(_NS_C)
+            + F.lit(_NS_D),
+            F.lit(_P),
+        ),
+    )
+    r = F.pmod(F.col("_h"), F.lit(n))
+    drawn = drawn.withColumn(
+        "rank",
+        F.when(r == F.col("_orank"), F.pmod(r + 1, F.lit(n))).otherwise(r),
+    )
+    out = drawn.join(ranked, "rank").select(
+        "s", "p", F.col("_neg").alias("o"), F.col("neg_idx").cast("long").alias("neg_idx")
+    )
+    if filter_true:
+        out = out.join(t.distinct(), ["s", "p", "o"], "left_anti")
+    return out

@@ -163,3 +163,62 @@ def test_upsample_zero_weight_drops_and_cap_holds(docs):
     huge = docs.withColumn("w", F.lit(1000.0))
     counts = S.upsample(huge, "w", max_copies=4).groupBy("doc_id").count().collect()
     assert counts and all(r["count"] == 4 for r in counts)
+
+
+def test_negative_samples_model_parity(spark):
+    """Exact python replay of the draw/bump/filter contract."""
+    from rdf_indexes_spark.operators.sampling import (
+        _NS_A1, _NS_A2, _NS_A3, _NS_C, _NS_D, negative_samples,
+    )
+    from rdf_indexes_spark.operators.dedup import _P
+
+    triples = [(1, 7, 100), (1, 7, 101), (2, 7, 100), (2, 8, 102), (3, 8, 101)]
+    df = spark.createDataFrame(triples, "s long, p long, o long")
+    pool = sorted({o for _, _, o in triples})
+    rank_of = {o: i for i, o in enumerate(pool)}
+    n = len(pool)
+    want = set()
+    for s, p, o in triples:
+        for j in range(2):
+            h = (s % _P * _NS_A1 + p % _P * _NS_A2 + o % _P * _NS_A3
+                 + j * _NS_C + _NS_D) % _P
+            r = h % n
+            if r == rank_of[o]:
+                r = (r + 1) % n
+            cand = (s, p, pool[r], j)
+            if (cand[0], cand[1], cand[2]) not in {t for t in triples}:
+                want.add(cand)
+    got = {
+        (r.s, r.p, r.o, r.neg_idx)
+        for r in negative_samples(df, n_neg=2).collect()
+    }
+    assert got == want
+    # negatives never equal their positive even unfiltered
+    unfiltered = negative_samples(df, n_neg=2, filter_true=False)
+    assert unfiltered.count() == len(triples) * 2
+    # determinism across layouts
+    again = {
+        (r.s, r.p, r.o, r.neg_idx)
+        for r in negative_samples(df.repartition(5), n_neg=2).collect()
+    }
+    assert again == got
+
+
+def test_negative_samples_draws_spread_and_errors(spark):
+    import pytest as _pytest
+
+    from rdf_indexes_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame(
+        [(i, 1, i % 50 + 1000) for i in range(300)], "s long, p long, o long"
+    )
+    out = negative_samples(df, n_neg=1, filter_true=False)
+    # draws cover a broad slice of the 50-entity pool
+    assert out.select("o").distinct().count() > 25
+    # replacements always come from the object pool
+    assert out.join(df.select("o").distinct(), "o", "left_anti").count() == 0
+    with _pytest.raises(ValueError):
+        negative_samples(df, n_neg=0)
+    one = spark.createDataFrame([(1, 1, 5)], "s long, p long, o long")
+    with _pytest.raises(ValueError):
+        negative_samples(one)
