@@ -867,6 +867,43 @@ def _q_fact_provenance(spark, sf_dir):
     )
 
 
+def _q_fact_history(spark, sf_dir):
+    """SCD-2 belief revision over the events assertion stream: per
+    (user, event_type) key, the compressed run history of props values
+    with half-open validity intervals (epochs surfaced for the hash)."""
+    from rdf_indexes_spark.operators.schema import fact_history
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("p"),
+        F.col("props").alias("o"),
+        "ts",
+    )
+    out = fact_history(ev)
+    return out.select(
+        "s", "p", "o",
+        F.unix_timestamp("valid_from").alias("from_epoch"),
+        F.unix_timestamp("valid_to").alias("to_epoch"),
+        "version",
+    )
+
+
+def _q_current_facts(spark, sf_dir):
+    """The matching current-belief snapshot (one max_by aggregate)."""
+    from rdf_indexes_spark.operators.schema import current_facts
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("p"),
+        F.col("props").alias("o"),
+        "ts",
+    )
+    out = current_facts(ev)
+    return out.select(
+        "s", "p", "o", F.unix_timestamp("as_of").alias("as_of_epoch")
+    )
+
+
 def _q_validate_turns(spark, sf_dir):
     """Chat-format hygiene validation over an events-derived
     pseudo-transcript (conv = user, turn_idx = event_id % 13 — dirty by
@@ -1927,6 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_consecutive_roles": _q_merge_consecutive_roles,
         "kg_predicate_profile": _q_predicate_profile,
         "kg_fact_provenance": _q_fact_provenance,
+        "kg_fact_history": _q_fact_history,
+        "kg_current_facts": _q_current_facts,
         "render_chat": _q_render_chat,
         "loss_spans": _q_loss_spans,
         "fim_transform": _q_fim_transform,
@@ -2469,6 +2508,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, CAST(off + hdr AS BIGINT) AS start, "
             "CAST(off + hdr + tlen AS BIGINT) AS \"end\" "
             "FROM o WHERE role = 'assistant'"
+        ),
+        "kg_fact_history": (
+            # identical gaps-and-islands twin over the (ts, o) order;
+            # RANGE-framed running sum ties out because (ts, o) peers
+            # share one o (see operators/schema.py fact_history)
+            "WITH a AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS s, "
+            "event_type AS p, props AS o, ts FROM events), "
+            "r AS (SELECT *, CASE WHEN lag(o) OVER w IS NULL "
+            "OR lag(o) OVER w <> o THEN 1 ELSE 0 END AS chg FROM a "
+            "WINDOW w AS (PARTITION BY s, p ORDER BY ts, o)), "
+            "v AS (SELECT *, SUM(chg) OVER "
+            "(PARTITION BY s, p ORDER BY ts, o) AS ver FROM r), "
+            "runs AS (SELECT s, p, ver, MIN(o) AS o, MIN(ts) AS valid_from "
+            "FROM v GROUP BY s, p, ver) "
+            "SELECT s, p, o, "
+            "CAST(floor(epoch(valid_from)) AS BIGINT) AS from_epoch, "
+            "CAST(floor(epoch(lead(valid_from) OVER "
+            "(PARTITION BY s, p ORDER BY ver))) AS BIGINT) AS to_epoch, "
+            "CAST(ver - 1 AS BIGINT) AS version FROM runs"
+        ),
+        "kg_current_facts": (
+            # DuckDB max_by rejects composite keys — rank the same
+            # (ts, o) total order descending instead
+            "WITH a AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS s, "
+            "event_type AS p, props AS o, ts FROM events), "
+            "x AS (SELECT *, row_number() OVER "
+            "(PARTITION BY s, p ORDER BY ts DESC, o DESC) AS rn, "
+            "CAST(floor(epoch(MAX(ts) OVER (PARTITION BY s, p))) AS BIGINT) "
+            "AS as_of_epoch FROM a) "
+            "SELECT s, p, o, as_of_epoch FROM x WHERE rn = 1"
         ),
         "kg_negative_samples": (
             # draw/bump/filter replayed exactly: rank = sorted-pool

@@ -29,7 +29,7 @@ Both are single-aggregation shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -139,5 +139,87 @@ def fact_provenance(
             F.col("n_conversations").cast("long").alias("n_conversations"),
             "first_ts",
             "last_ts",
+        )
+    )
+
+
+def fact_history(
+    assertions: DataFrame,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Belief revision for FUNCTIONAL predicates: treat each assertion
+    of (s, p, o) as "as of ts, s's value for p is o" and produce the
+    value HISTORY per (s, p) key — one row per maximal run of one
+    value, with its half-open validity interval:
+
+      s, p, o, valid_from, valid_to (NULL = still current), version
+
+    Re-assertions of the CURRENT value do not open a new version (the
+    run is gaps-and-islands compressed: a value change is lag(o) != o
+    over the ts order); asserting an older value again DOES (belief
+    reverted). Ties on ts within a key break on the object value, so
+    the history is a pure function of the assertion set. This is the
+    SCD-2 shape a temporal KG snapshot/as-of query consumes.
+
+    Scale: ONE (s, p)-keyed exchange feeding two window passes (change
+    flag + running version sum, then the per-version aggregate and the
+    lead() that closes each interval). Per-key state is O(1).
+    """
+    w = Window.partitionBy("s", "p").orderBy("ts", "o")
+    rows = (
+        assertions.select(
+            F.col(s_col).alias("s"),
+            F.col(p_col).alias("p"),
+            F.col(o_col).alias("o"),
+            F.col(ts_col).alias("ts"),
+        )
+        .withColumn(
+            "_chg",
+            F.when(F.lag("o").over(w).isNull(), F.lit(1))
+            .when(F.lag("o").over(w) != F.col("o"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn("_ver", F.sum("_chg").over(w))
+    )
+    runs = rows.groupBy("s", "p", "_ver").agg(
+        F.min_by("o", F.struct("ts", "o")).alias("o"),
+        F.min("ts").alias("valid_from"),
+    )
+    wv = Window.partitionBy("s", "p").orderBy("_ver")
+    return runs.select(
+        "s",
+        "p",
+        "o",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        (F.col("_ver") - 1).cast("long").alias("version"),
+    )
+
+
+def current_facts(
+    assertions: DataFrame,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The current-belief snapshot: per (s, p), the object of the
+    latest assertion (ties on ts break on the object value — the same
+    total order ``fact_history`` uses, so this equals history's
+    valid_to-IS-NULL rows). One (s, p)-keyed max_by aggregate — no
+    window, map-side partials absorb hot keys.
+    """
+    return (
+        assertions.groupBy(
+            F.col(s_col).alias("s"), F.col(p_col).alias("p")
+        )
+        .agg(
+            F.max_by(
+                F.col(o_col), F.struct(F.col(ts_col).alias("ts"), F.col(o_col).alias("o"))
+            ).alias("o"),
+            F.max(F.col(ts_col)).alias("as_of"),
         )
     )

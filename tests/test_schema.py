@@ -110,3 +110,64 @@ def test_fact_provenance_confidence_ordering(spark, transcripts):
     assert out.filter(F.col("n_conversations") > F.col("n_assertions")).count() == 0
     assert out.groupBy("s", "p", "o").count().filter("count > 1").count() == 0
     assert out.agg(F.sum("n_assertions")).first()[0] == assertions.count()
+
+
+def test_fact_history_golden(spark):
+    """Runs compress, reverts reopen, intervals chain half-open, the
+    current version has NULL valid_to."""
+    from rdf_indexes_spark.operators.schema import current_facts, fact_history
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(d):
+        return t0 + dt.timedelta(days=d)
+
+    df = spark.createDataFrame(
+        [
+            # value A (asserted twice — one version), then B, then back to A
+            ("s", "p", "A", ts(0)), ("s", "p", "A", ts(1)),
+            ("s", "p", "B", ts(2)),
+            ("s", "p", "A", ts(5)),
+            # independent key, single version
+            ("s", "q", "X", ts(3)),
+        ],
+        "s string, p string, o string, ts timestamp",
+    )
+    hist = sorted(
+        (r.s, r.p, r.version, r.o, r.valid_from, r.valid_to)
+        for r in fact_history(df).collect()
+    )
+    assert hist == [
+        ("s", "p", 0, "A", ts(0), ts(2)),
+        ("s", "p", 1, "B", ts(2), ts(5)),
+        ("s", "p", 2, "A", ts(5), None),
+        ("s", "q", 0, "X", ts(3), None),
+    ]
+    cur = {(r.s, r.p): (r.o, r.as_of) for r in current_facts(df).collect()}
+    assert cur == {("s", "p"): ("A", ts(5)), ("s", "q"): ("X", ts(3))}
+
+
+def test_fact_history_tie_and_snapshot_equivalence(spark):
+    """Equal timestamps order by object value (deterministic); the
+    current_facts snapshot equals history's open rows on any input."""
+    from rdf_indexes_spark.operators.schema import current_facts, fact_history
+
+    import random
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = random.Random(3)
+    rows = [
+        (f"s{rng.randrange(8)}", "p", f"v{rng.randrange(4)}",
+         t0 + dt.timedelta(hours=rng.randrange(24)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, ts timestamp")
+    open_rows = {
+        (r.s, r.p): r.o
+        for r in fact_history(df).filter(F.col("valid_to").isNull()).collect()
+    }
+    snapshot = {(r.s, r.p): r.o for r in current_facts(df).collect()}
+    assert open_rows == snapshot
+    # exactly one open interval per key
+    n_keys = df.select("s", "p").distinct().count()
+    assert len(open_rows) == n_keys
