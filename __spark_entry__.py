@@ -904,6 +904,38 @@ def _q_current_facts(spark, sf_dir):
     )
 
 
+def _events_agent_transcript(spark, sf_dir):
+    """Events → agent-transcript analogue WITH tool + ts columns:
+    purchase events act as tool calls (tool = props), others as plain
+    dialogue turns."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "purchase", "tool")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "purchase", F.col("props")).alias("tool"),
+        "ts",
+    )
+
+
+def _q_conversation_stats(spark, sf_dir):
+    """Per-conversation census over the events-derived agent
+    transcript."""
+    from rdf_indexes_spark.operators.dialogue import conversation_stats
+
+    return conversation_stats(_events_agent_transcript(spark, sf_dir))
+
+
+def _q_tool_stats(spark, sf_dir):
+    """Per-tool usage census over the same derived transcript."""
+    from rdf_indexes_spark.operators.dialogue import tool_stats
+
+    return tool_stats(_events_agent_transcript(spark, sf_dir))
+
+
 def _q_validate_turns(spark, sf_dir):
     """Chat-format hygiene validation over an events-derived
     pseudo-transcript (conv = user, turn_idx = event_id % 13 — dirty by
@@ -1966,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_provenance": _q_fact_provenance,
         "kg_fact_history": _q_fact_history,
         "kg_current_facts": _q_current_facts,
+        "conversation_stats": _q_conversation_stats,
+        "tool_stats": _q_tool_stats,
         "render_chat": _q_render_chat,
         "loss_spans": _q_loss_spans,
         "fim_transform": _q_fim_transform,
@@ -2508,6 +2542,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, CAST(off + hdr AS BIGINT) AS start, "
             "CAST(off + hdr + tlen AS BIGINT) AS \"end\" "
             "FROM o WHERE role = 'assistant'"
+        ),
+        "conversation_stats": (
+            "WITH t AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, "
+            "CASE WHEN event_type IN ('click','view') THEN 'user' "
+            "WHEN event_type = 'purchase' THEN 'tool' "
+            "ELSE 'assistant' END AS role, props AS text, "
+            "CASE WHEN event_type = 'purchase' THEN props END AS tool, ts "
+            "FROM events) "
+            "SELECT conv_id, COUNT(*) AS n_turns, "
+            "SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns, "
+            "SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant_turns, "
+            "SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns, "
+            "COUNT(DISTINCT tool) AS n_tools, "
+            "CAST(SUM(length(text)) AS BIGINT) AS total_chars, "
+            "CAST(MAX(length(text)) AS BIGINT) AS max_turn_chars, "
+            "CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_s "
+            "FROM t GROUP BY conv_id"
+        ),
+        "tool_stats": (
+            "SELECT props AS tool, COUNT(*) AS n_calls, "
+            "COUNT(DISTINCT user_id) AS n_conversations, "
+            "CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_epoch, "
+            "CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch "
+            "FROM events WHERE event_type = 'purchase' GROUP BY props"
         ),
         "kg_fact_history": (
             # identical gaps-and-islands twin over the (ts, o) order;

@@ -313,3 +313,88 @@ def loss_spans(
         (F.col("_off") + F.col("_hdr")).alias("start"),
         (F.col("_off") + F.col("_hdr") + F.col("_tlen")).alias("end"),
     )
+
+
+def conversation_stats(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation census — the filter features an SFT data
+    curation pass thresholds on (too short, tool-spam, monologues,
+    stalled sessions), all exact integers from ONE conversation-keyed
+    hash aggregate:
+
+      conv_id, n_turns, n_user_turns, n_assistant_turns, n_tool_turns,
+      n_tools (distinct non-null tools), total_chars, max_turn_chars,
+      duration_s (last ts − first ts, whole seconds)
+
+    Map-side partials absorb long conversations; no window, no second
+    exchange. Role counts use the standard user/assistant/tool names —
+    other roles still count in n_turns.
+    """
+    role = F.col(role_col)
+    return (
+        transcripts.groupBy(F.col(conv_col).alias("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((role == "user").cast("long")).alias("n_user_turns"),
+            F.sum((role == "assistant").cast("long")).alias("n_assistant_turns"),
+            F.sum((role == "tool").cast("long")).alias("n_tool_turns"),
+            F.countDistinct(F.col(tool_col)).alias("n_tools"),
+            F.sum(F.length(F.col(text_col))).alias("total_chars"),
+            F.max(F.length(F.col(text_col))).alias("max_turn_chars"),
+            (
+                F.unix_timestamp(F.max(F.col(ts_col)))
+                - F.unix_timestamp(F.min(F.col(ts_col)))
+            ).alias("duration_s"),
+        )
+        .select(
+            "conv_id",
+            *[
+                F.col(c).cast("long").alias(c)
+                for c in (
+                    "n_turns", "n_user_turns", "n_assistant_turns",
+                    "n_tool_turns", "n_tools", "total_chars",
+                    "max_turn_chars", "duration_s",
+                )
+            ],
+        )
+    )
+
+
+def tool_stats(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-tool usage census over agent transcripts: call volume,
+    conversation reach, and the observed usage span —
+
+      tool, n_calls, n_conversations (distinct), first_epoch, last_epoch
+
+    NULL-tool turns (plain dialogue) are excluded. One tool-keyed hash
+    aggregate; the tool key space is tiny so the exchange is trivial —
+    skew lives in the map-side partials, which absorb it.
+    """
+    return (
+        transcripts.filter(F.col(tool_col).isNotNull())
+        .groupBy(F.col(tool_col).alias("tool"))
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.countDistinct(F.col(conv_col)).alias("n_conversations"),
+            F.unix_timestamp(F.min(F.col(ts_col))).alias("first_epoch"),
+            F.unix_timestamp(F.max(F.col(ts_col))).alias("last_epoch"),
+        )
+        .select(
+            "tool",
+            F.col("n_calls").cast("long").alias("n_calls"),
+            F.col("n_conversations").cast("long").alias("n_conversations"),
+            "first_epoch",
+            "last_epoch",
+        )
+    )

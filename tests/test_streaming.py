@@ -464,3 +464,51 @@ def test_loss_spans_unicode_codepoints(spark):
     text = render_chat(df).first().text
     s = loss_spans(df).first()
     assert text[s.start : s.end] == "réponse ✓"
+
+
+def test_conversation_stats_golden_and_corpus(spark, transcripts):
+    import datetime as dt
+
+    from rdf_indexes_spark.operators.dialogue import conversation_stats
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "user", "hi", None, t0),
+            ("c", 1, "assistant", "hello", None, t0 + dt.timedelta(seconds=30)),
+            ("c", 2, "tool", "{}", "search", t0 + dt.timedelta(seconds=90)),
+            ("c", 3, "tool", "{}", "search", t0 + dt.timedelta(seconds=95)),
+            ("c", 4, "system", "note", None, t0 + dt.timedelta(seconds=100)),
+        ],
+        "conv_id string, turn_idx long, role string, text string, tool string, ts timestamp",
+    )
+    r = conversation_stats(df).first()
+    assert (
+        r.n_turns, r.n_user_turns, r.n_assistant_turns, r.n_tool_turns,
+        r.n_tools, r.total_chars, r.max_turn_chars, r.duration_s,
+    ) == (5, 1, 1, 2, 1, 15, 5, 100)
+
+    # corpus invariants: role counts partition n_turns (synth emits only
+    # the three standard roles); durations non-negative
+    out = conversation_stats(transcripts)
+    bad = out.filter(
+        (F.col("n_user_turns") + F.col("n_assistant_turns") + F.col("n_tool_turns")
+         != F.col("n_turns"))
+        | (F.col("duration_s") < 0)
+        | (F.col("max_turn_chars") > F.col("total_chars"))
+    )
+    assert bad.count() == 0
+    assert out.count() == transcripts.select("conv_id").distinct().count()
+
+
+def test_tool_stats_golden(spark, transcripts):
+    from rdf_indexes_spark.operators.dialogue import tool_stats
+
+    out = tool_stats(transcripts).collect()
+    assert out, "synth corpus has tool turns"
+    # recount one tool exactly
+    t = out[0]
+    manual = transcripts.filter(F.col("tool") == t.tool)
+    assert t.n_calls == manual.count()
+    assert t.n_conversations == manual.select("conv_id").distinct().count()
+    assert all(r.n_conversations <= r.n_calls for r in out)
