@@ -200,3 +200,57 @@ def test_predicate_profile_no_single_partition(spark):
     p = _plan(predicate_profile(df))
     assert "Exchange SinglePartition" not in p, p[:2000]
     assert "CartesianProduct" not in p
+
+
+def test_conversation_census_single_exchange(spark):
+    """Both census ops are one keyed hash aggregate — exactly one data
+    exchange, no window, no SinglePartition."""
+    import datetime as dt
+
+    from rdf_indexes_spark.operators.dialogue import conversation_stats, tool_stats
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "x", None, dt.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx long, role string, text string, tool string, ts timestamp",
+    )
+    for name, out in (
+        ("conversation_stats", conversation_stats(df)),
+        ("tool_stats", tool_stats(df)),
+    ):
+        p = _plan(out)
+        # the countDistinct expand legitimately adds its own keyed
+        # exchange; anything beyond the agg pair is a regression
+        assert p.count("Exchange hashpartitioning") <= 2, f"{name}:\n{p[:2000]}"
+        assert "SinglePartition" not in p, name
+        assert "Window" not in p, name
+
+
+def test_fact_provenance_single_exchange(spark):
+    import datetime as dt
+
+    from rdf_indexes_spark.operators.schema import current_facts, fact_provenance
+
+    df = spark.createDataFrame(
+        [("a", "p", "b", "c1", dt.datetime(2024, 1, 1))],
+        "s string, p string, o string, conv_id string, ts timestamp",
+    )
+    # fact_provenance pays the countDistinct expand (2 exchanges);
+    # current_facts is a plain max_by aggregate (exactly 1)
+    assert _plan(fact_provenance(df)).count("Exchange hashpartitioning") == 2
+    pc = _plan(current_facts(df.drop("conv_id")))
+    assert pc.count("Exchange hashpartitioning") == 1, pc[:2000]
+    for p in (_plan(fact_provenance(df)), pc):
+        assert "SinglePartition" not in p
+
+
+def test_negative_samples_no_cartesian(spark):
+    """Draw resolution is equi-joins only — no cartesian/nested-loop
+    anywhere in the plan."""
+    from rdf_indexes_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 11), (3, 1, 12)], "s long, p long, o long"
+    )
+    p = _plan(negative_samples(df, n_neg=2))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
