@@ -936,6 +936,47 @@ def _q_tool_stats(spark, sf_dir):
     return tool_stats(_events_agent_transcript(spark, sf_dir))
 
 
+def _q_asof_join(spark, sf_dir):
+    """Backward as-of join: each click/view event picks up the user's
+    latest purchase at or before it (build side pre-aggregated to
+    unique (user, ts) so every engine's tie rule agrees)."""
+    from rdf_indexes_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id"
+    )
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("props").alias("props"))
+    )
+    out = asof_join(probe, build, on=["user_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("probe_epoch"),
+        F.unix_timestamp("ts_r").alias("match_epoch"),
+        F.col("props_r").alias("props_r"),
+    )
+
+
+def _q_fact_as_of(spark, sf_dir):
+    """Point-in-time KG snapshot at 2024-01-10: fact_history intervals
+    filtered to the cut — must equal the latest-assertion-before-cut
+    snapshot the oracle computes directly."""
+    from rdf_indexes_spark.operators.schema import fact_history
+    from rdf_indexes_spark.operators.temporal import fact_as_of
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("p"),
+        F.col("props").alias("o"),
+        "ts",
+    )
+    return fact_as_of(fact_history(ev), "2024-01-10 00:00:00")
+
+
 def _q_validate_turns(spark, sf_dir):
     """Chat-format hygiene validation over an events-derived
     pseudo-transcript (conv = user, turn_idx = event_id % 13 — dirty by
@@ -2000,6 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_current_facts": _q_current_facts,
         "conversation_stats": _q_conversation_stats,
         "tool_stats": _q_tool_stats,
+        "asof_join_events": _q_asof_join,
+        "kg_fact_as_of": _q_fact_as_of,
         "render_chat": _q_render_chat,
         "loss_spans": _q_loss_spans,
         "fim_transform": _q_fim_transform,
@@ -2542,6 +2585,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, CAST(off + hdr AS BIGINT) AS start, "
             "CAST(off + hdr + tlen AS BIGINT) AS \"end\" "
             "FROM o WHERE role = 'assistant'"
+        ),
+        "asof_join_events": (
+            # DuckDB's native ASOF LEFT JOIN is the semantic oracle for
+            # the union-and-scan plan; build side unique per (user, ts)
+            "WITH probe AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type IN ('click','view')), "
+            "build AS (SELECT user_id, ts, MAX(props) AS props FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT p.user_id, p.event_id, "
+            "CAST(floor(epoch(p.ts)) AS BIGINT) AS probe_epoch, "
+            "CAST(floor(epoch(b.ts)) AS BIGINT) AS match_epoch, "
+            "b.props AS props_r "
+            "FROM probe p ASOF LEFT JOIN build b "
+            "ON p.user_id = b.user_id AND p.ts >= b.ts"
+        ),
+        "kg_fact_as_of": (
+            # independent derivation: latest assertion per key among
+            # those at or before the cut (proven ≡ interval filter in
+            # tests/test_temporal.py), version = distinct value runs
+            # up to the cut minus one
+            "WITH a AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS s, "
+            "event_type AS p, props AS o, ts FROM events "
+            "WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'), "
+            "r AS (SELECT *, CASE WHEN lag(o) OVER w IS NULL "
+            "OR lag(o) OVER w <> o THEN 1 ELSE 0 END AS chg, "
+            "row_number() OVER (PARTITION BY s, p ORDER BY ts DESC, o DESC) "
+            "AS rn FROM a WINDOW w AS (PARTITION BY s, p ORDER BY ts, o)), "
+            "v AS (SELECT *, SUM(chg) OVER "
+            "(PARTITION BY s, p ORDER BY ts, o) AS ver FROM r) "
+            "SELECT s, p, o, CAST(ver - 1 AS BIGINT) AS version "
+            "FROM v WHERE rn = 1"
         ),
         "conversation_stats": (
             "WITH t AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, "

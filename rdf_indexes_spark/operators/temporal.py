@@ -1,0 +1,120 @@
+"""Temporal joins Spark has no native operator for: AS-OF join and the
+point-in-time KG snapshot built on it.
+
+The naive formulation — an inequality theta-join followed by a
+per-probe-row max — explodes: Spark plans `l.key = r.key AND r.ts <=
+l.ts` as a hash join on key whose output is |probe| × (quotes per key)
+BEFORE the max prunes it; a hot key with a year of quotes multiplies
+every probe row by that year. The implementation here is the classic
+UNION-AND-SCAN plan instead (the one kdb+/QuestDB/DuckDB execute
+natively): tag quote rows 0 and probe rows 1, sort each key's rows once
+by (ts, tag), and carry the most recent quote forward with a running
+``last(ignorenulls)`` window — ONE key-partitioned exchange + sort, per
+row O(1) state, output exactly |probe| rows. Hot keys cost their own
+row count, never a cross product.
+
+``fact_as_of`` applies the same plan shape to ``schema.fact_history``
+output: the graph as believed at time T.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Backward AS-OF LEFT join: every ``left`` row picks up the
+    ``right`` row with the LARGEST right_ts <= left_ts for the same
+    ``on`` keys (inclusive on equality; among right rows tied on that
+    ts, the largest payload wins — a deterministic rule, not shuffle
+    luck). Left rows with no prior right row keep NULLs.
+
+    Output: every left column (original names) + every non-key,
+    non-ts right column renamed ``{col}{suffix}`` + the matched
+    timestamp as ``{right_ts}{suffix}``.
+
+    ``tolerance_s``: with timestamps, a match older than this many
+    seconds is discarded (NULLed), pandas.merge_asof-style.
+
+    Scale shape: one union (map-side), ONE exchange + sort keyed on
+    ``on``, one running-window pass, one filter — no inequality join,
+    no per-key blowup; cost is |left| + |right| rows through a single
+    shuffle regardless of key skew.
+    """
+    for k in on:
+        if k in (left_ts, right_ts):
+            raise ValueError("key columns and ts columns must be distinct")
+    payload = [c for c in right.columns if c not in on and c != right_ts]
+    l_cols = list(left.columns)
+    clash = {f"{c}{suffix}" for c in payload + [right_ts]} & set(l_cols)
+    if clash:
+        raise ValueError(f"suffixed right columns clash with left: {sorted(clash)}")
+
+    probe = left.select(
+        *[F.col(k) for k in on],
+        F.col(left_ts).alias("_ts"),
+        F.struct(*[F.col(c) for c in l_cols]).alias("_l"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(
+                    F.col(right_ts).alias("_mts"),
+                    *[F.col(c) for c in payload],
+                ).alias("x")
+            ).schema["x"].dataType.simpleString()
+        ).alias("_q"),
+        F.lit(1).alias("_tag"),
+    )
+    build = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(None).cast(probe.schema["_l"].dataType.simpleString()).alias("_l"),
+        F.struct(
+            F.col(right_ts).alias("_mts"), *[F.col(c) for c in payload]
+        ).alias("_q"),
+        F.lit(0).alias("_tag"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_tag", "_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        probe.unionByName(build)
+        .withColumn("_m", F.last("_q", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+    )
+    if tolerance_s is not None:
+        ok = (
+            F.unix_timestamp(F.col("_ts"))
+            - F.unix_timestamp(F.col("_m._mts"))
+        ) <= F.lit(int(tolerance_s))
+        matched = matched.withColumn(
+            "_m", F.when(ok, F.col("_m")).otherwise(F.lit(None))
+        )
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in l_cols],
+        F.col("_m._mts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in payload],
+    )
+
+
+def fact_as_of(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time KG snapshot from ``schema.fact_history`` output:
+    the (s, p, o) rows whose [valid_from, valid_to) interval covers
+    ``ts`` (a datetime or ISO string). A pure map-side filter over the
+    history table — the payoff of materializing SCD-2 intervals once.
+    """
+    t = F.lit(ts).cast("timestamp")
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("s", "p", "o", "version")

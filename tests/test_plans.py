@@ -254,3 +254,24 @@ def test_negative_samples_no_cartesian(spark):
     p = _plan(negative_samples(df, n_neg=2))
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+
+def test_asof_join_union_scan_plan(spark):
+    """The as-of join must be the union-and-scan plan: ONE keyed
+    exchange + window — never an inequality join (no cartesian, no
+    BroadcastNestedLoop, no SortMergeJoin at all)."""
+    import datetime as dt
+
+    from rdf_indexes_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), 1)], "key string, ts timestamp, x int"
+    )
+    right = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), "v")], "key string, ts timestamp, v string"
+    )
+    p = _plan(asof_join(left, right, on=["key"]))
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+                "SinglePartition"):
+        assert bad not in p, f"{bad} in plan:\n{p[:2000]}"

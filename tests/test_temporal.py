@@ -1,0 +1,125 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def test_asof_join_golden(spark):
+    from rdf_indexes_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", _ts(5), "p1"), ("k", _ts(10), "p2"), ("k", _ts(0), "p0"),
+         ("z", _ts(9), "pz")],
+        "key string, ts timestamp, pl string",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(1), "qa"), ("k", _ts(5), "qb"), ("k", _ts(7), "qc")],
+        "key string, ts timestamp, quote string",
+    )
+    got = {
+        (r.key, r.ts): (r.ts_r, r.quote_r)
+        for r in asof_join(left, right, on=["key"]).collect()
+    }
+    assert got == {
+        ("k", _ts(0)): (None, None),       # nothing at or before
+        ("k", _ts(5)): (_ts(5), "qb"),     # inclusive equality
+        ("k", _ts(10)): (_ts(7), "qc"),    # latest prior
+        ("z", _ts(9)): (None, None),       # key absent from right
+    }
+    # tolerance discards the 3-minute-stale match
+    tol = {
+        (r.key, r.ts): r.quote_r
+        for r in asof_join(left, right, on=["key"], tolerance_s=120).collect()
+    }
+    assert tol[("k", _ts(10))] is None and tol[("k", _ts(5))] == "qb"
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Parity with pandas.merge_asof on random unique-(key,ts) data —
+    the de-facto semantic oracle for backward as-of joins."""
+    import random
+
+    from rdf_indexes_spark.operators.temporal import asof_join
+
+    rng = random.Random(7)
+    lrows = sorted(
+        {(f"k{rng.randrange(5)}", _ts(rng.randrange(500))) for _ in range(300)}
+    )
+    rrows = sorted(
+        {(f"k{rng.randrange(5)}", _ts(rng.randrange(500))) for _ in range(200)}
+    )
+    lpd = pd.DataFrame(lrows, columns=["key", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(
+        [(k, t, f"v{k}{t:%H%M}") for k, t in rrows], columns=["key", "ts", "val"]
+    ).sort_values("ts")
+    want = pd.merge_asof(lpd, rpd, on="ts", by="key", direction="backward")
+    want_map = {
+        (r.key, r.ts.to_pydatetime()): (None if pd.isna(r.val) else r.val)
+        for r in want.itertuples()
+    }
+    left = spark.createDataFrame(lpd, "key string, ts timestamp")
+    right = spark.createDataFrame(rpd, "key string, ts timestamp, val string")
+    got = {
+        (r.key, r.ts): r.val_r
+        for r in asof_join(left, right, on=["key"]).collect()
+    }
+    assert got == want_map
+
+
+def test_asof_join_deterministic_tie_and_layout(spark):
+    """Duplicate right timestamps resolve to the LARGEST payload, at
+    any partitioning."""
+    from rdf_indexes_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("k", _ts(9), 1)], "key string, ts timestamp, x int")
+    right = spark.createDataFrame(
+        [("k", _ts(3), "a"), ("k", _ts(3), "b"), ("k", _ts(3), "c")],
+        "key string, ts timestamp, v string",
+    )
+    for rp in (right, right.repartition(7)):
+        assert asof_join(left, rp, on=["key"]).first().v_r == "c"
+
+
+def test_asof_join_errors(spark):
+    import pytest as _pytest
+
+    from rdf_indexes_spark.operators.temporal import asof_join
+
+    df = spark.createDataFrame([("k", _ts(0), 1)], "key string, ts timestamp, v int")
+    with _pytest.raises(ValueError):
+        asof_join(df, df, on=["ts"])
+    with _pytest.raises(ValueError):
+        asof_join(df.withColumn("v_r", F.lit(1)), df, on=["key"])
+
+
+def test_fact_as_of_snapshot(spark):
+    """fact_as_of(history, T) == current_facts over only the assertions
+    up to T — for several cut points of a random stream."""
+    from rdf_indexes_spark.operators.schema import current_facts, fact_history
+    from rdf_indexes_spark.operators.temporal import fact_as_of
+
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (f"s{rng.randrange(6)}", "p", f"v{rng.randrange(3)}", _ts(rng.randrange(300)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, ts timestamp")
+    hist = fact_history(df).localCheckpoint()
+    for cut in (50, 150, 299):
+        t = _ts(cut)
+        want = {
+            (r.s, r.p): r.o
+            for r in current_facts(df.filter(F.col("ts") <= t)).collect()
+        }
+        got = {(r.s, r.p): r.o for r in fact_as_of(hist, t).collect()}
+        assert got == want, f"cut={cut}"
