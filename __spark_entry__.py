@@ -977,6 +977,23 @@ def _q_fact_as_of(spark, sf_dir):
     return fact_as_of(fact_history(ev), "2024-01-10 00:00:00")
 
 
+def _q_interval_join(spark, sf_dir):
+    """Range join composed with sessionize: assign every event back to
+    the 30-minute-gap session interval that contains it."""
+    from rdf_indexes_spark.operators.dialogue import sessionize
+    from rdf_indexes_spark.operators.temporal import interval_point_join
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = sessionize(
+        ev.select("user_id", "ts"), key_col="user_id", ts_col="ts", gap="30 minutes"
+    )
+    pts = ev.select("user_id", "event_id", F.unix_timestamp("ts").alias("t"))
+    return interval_point_join(
+        pts, sess, "t", "session_start_s", "session_last_s",
+        on=["user_id"], bin_width=600,
+    )
+
+
 def _q_validate_turns(spark, sf_dir):
     """Chat-format hygiene validation over an events-derived
     pseudo-transcript (conv = user, turn_idx = event_id % 13 — dirty by
@@ -2043,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_stats": _q_tool_stats,
         "asof_join_events": _q_asof_join,
         "kg_fact_as_of": _q_fact_as_of,
+        "interval_join_sessions": _q_interval_join,
         "render_chat": _q_render_chat,
         "loss_spans": _q_loss_spans,
         "fim_transform": _q_fim_transform,
@@ -2585,6 +2603,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, CAST(off + hdr AS BIGINT) AS start, "
             "CAST(off + hdr + tlen AS BIGINT) AS \"end\" "
             "FROM o WHERE role = 'assistant'"
+        ),
+        "interval_join_sessions": (
+            # sessions via the gaps-and-islands twin, then a plain
+            # inequality join — fine at gate scale; the Spark side's
+            # bucketization must produce the identical pair set
+            "WITH m AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) >= INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk "
+            "FROM events), "
+            "x AS (SELECT user_id, ts, event_id, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+            "sess AS (SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s, "
+            "CAST(floor(epoch(max(ts))) AS BIGINT) AS session_last_s, "
+            "count(*) AS n_rows FROM x GROUP BY user_id, sid), "
+            "pts AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events) "
+            "SELECT p.user_id, p.event_id, p.t, s.session_start_s, "
+            "s.session_last_s, s.n_rows FROM pts p JOIN sess s "
+            "ON p.user_id = s.user_id AND s.session_start_s <= p.t "
+            "AND p.t <= s.session_last_s"
         ),
         "asof_join_events": (
             # DuckDB's native ASOF LEFT JOIN is the semantic oracle for

@@ -118,3 +118,72 @@ def fact_as_of(history: DataFrame, ts) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("s", "p", "o", "version")
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | None = None,
+    bin_width: int = 3600,
+    max_bins_per_interval: int = 100_000,
+) -> DataFrame:
+    """Range join: every point row × every interval row (same ``on``
+    keys) with start <= point <= end — WITHOUT the
+    BroadcastNestedLoopJoin Spark plans for a raw inequality join
+    (quadratic at scale; the driver OOMs building the broadcast side).
+
+    Plan: bucketize. Each interval explodes onto the fixed-width bins
+    it covers; each point maps to its ONE bin; the join is a plain
+    equi-join on (keys..., bin) — shuffled, partition-parallel,
+    skew-handled like any hash join — then the exact containment
+    predicate filters bin-mates. A (point, interval) pair can only meet
+    in the point's own bin, so no dedup pass is needed.
+
+    ``bin_width`` trades explosion for selectivity: intervals produce
+    ceil(len/width)+1 rows (guarded by ``max_bins_per_interval`` — a
+    degenerate open-ended interval raises instead of silently emitting
+    a billion rows); a width far above typical interval length degrades
+    toward per-key cross products. Columns are int64 (epochs or any
+    integer domain). Output: all point columns + all interval columns
+    (names must not clash).
+    """
+    on = on or []
+    clash = (set(points.columns) & set(intervals.columns)) - set(on)
+    if clash:
+        raise ValueError(f"point/interval column clash: {sorted(clash)}")
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    p, s, e = F.col(point_col), F.col(start_col), F.col(end_col)
+    w = F.lit(int(bin_width))
+    nbins = (F.floor(e / w) - F.floor(s / w) + 1).cast("long")
+    guarded = intervals.withColumn(
+        "_nb",
+        F.when(
+            nbins <= F.lit(int(max_bins_per_interval)), nbins
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval exceeds max_bins_per_interval="
+                        f"{max_bins_per_interval} at bin_width={bin_width}: "
+                    ),
+                    s.cast("string"), F.lit(".."), e.cast("string"),
+                )
+            ).cast("long")
+        ),
+    )
+    binned_i = guarded.select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(s / w), F.floor(s / w) + F.col("_nb") - 1)
+        ).alias("_bin"),
+    ).drop("_nb")
+    binned_p = points.withColumn("_bin", F.floor(p / w))
+    return (
+        binned_p.join(binned_i, [*on, "_bin"])
+        .filter((s <= p) & (p <= e))
+        .drop("_bin")
+    )

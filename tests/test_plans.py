@@ -275,3 +275,16 @@ def test_asof_join_union_scan_plan(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
                 "SinglePartition"):
         assert bad not in p, f"{bad} in plan:\n{p[:2000]}"
+
+
+def test_interval_join_equi_only(spark):
+    """The range join must plan as an equi-join on (keys, bin) — no
+    nested-loop, no cartesian, no inequality join."""
+    from rdf_indexes_spark.operators.temporal import interval_point_join
+
+    pts = spark.createDataFrame([("k", 5, 1)], "key string, t long, pid long")
+    ivs = spark.createDataFrame([("k", 0, 10, 1)], "key string, lo long, hi long, iid long")
+    p = _plan(interval_point_join(pts, ivs, "t", "lo", "hi", on=["key"]))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in p, f"{bad} in plan:\n{p[:2000]}"
+    assert "_bin" in p

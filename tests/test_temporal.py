@@ -123,3 +123,83 @@ def test_fact_as_of_snapshot(spark):
         }
         got = {(r.s, r.p): r.o for r in fact_as_of(hist, t).collect()}
         assert got == want, f"cut={cut}"
+
+
+def test_interval_point_join_brute_force_parity(spark):
+    """Bucketized range join equals the brute-force inequality join on
+    random keyed data, at several bin widths (result must be
+    width-invariant)."""
+    import random
+
+    from rdf_indexes_spark.operators.temporal import interval_point_join
+
+    rng = random.Random(21)
+    pts = [(f"k{rng.randrange(4)}", rng.randrange(0, 1000), i) for i in range(200)]
+    ivs = []
+    for j in range(60):
+        a = rng.randrange(0, 1000)
+        ivs.append((f"k{rng.randrange(4)}", a, a + rng.randrange(0, 150), j))
+    points = spark.createDataFrame(pts, "key string, t long, pid long")
+    intervals = spark.createDataFrame(ivs, "key string, lo long, hi long, iid long")
+    want = {
+        (k, t, pid, j)
+        for k, t, pid in pts
+        for kk, a, b, j in ivs
+        if kk == k and a <= t <= b
+    }
+    for bw in (7, 64, 1000):
+        got = {
+            (r.key, r.t, r.pid, r.iid)
+            for r in interval_point_join(
+                points, intervals, "t", "lo", "hi", on=["key"], bin_width=bw
+            ).collect()
+        }
+        assert got == want, f"bin_width={bw}"
+    # no duplicate pairs at any width
+    out = interval_point_join(points, intervals, "t", "lo", "hi", on=["key"], bin_width=7)
+    assert out.count() == len(want)
+
+
+def test_interval_point_join_guard_and_errors(spark):
+    import pytest as _pytest
+
+    from rdf_indexes_spark.operators.temporal import interval_point_join
+
+    points = spark.createDataFrame([(5, 1)], "t long, pid long")
+    huge = spark.createDataFrame([(0, 10_000_000, 1)], "lo long, hi long, iid long")
+    with _pytest.raises(Exception) as ei:
+        interval_point_join(
+            points, huge, "t", "lo", "hi", bin_width=1, max_bins_per_interval=100
+        ).collect()
+    assert "max_bins_per_interval" in str(ei.value)
+    with _pytest.raises(ValueError):
+        interval_point_join(points, points, "t", "lo", "hi")
+
+
+def test_interval_point_join_sessions_composition(spark):
+    """Compose with sessionize: every event lands back in exactly the
+    session that contains it (boundary-inclusive on both ends)."""
+    import datetime as dt
+
+    from rdf_indexes_spark.operators.dialogue import sessionize
+    from rdf_indexes_spark.operators.temporal import interval_point_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    import random
+    rng = random.Random(2)
+    for u in range(5):
+        t = 0
+        for _ in range(40):
+            t += rng.randrange(1, 4000)
+            rows.append((u, t0 + dt.timedelta(seconds=t)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sess = sessionize(ev, key_col="user_id", ts_col="ts", gap="30 minutes")
+    pts = ev.select("user_id", F.unix_timestamp("ts").alias("t"))
+    j = interval_point_join(
+        pts, sess, "t", "session_start_s", "session_last_s",
+        on=["user_id"], bin_width=600,
+    )
+    # every event matched exactly one session
+    assert j.count() == ev.count()
+    assert j.groupBy("user_id", "t").count().filter("count > 1").count() == 0
