@@ -994,6 +994,18 @@ def _q_interval_join(spark, sf_dir):
     )
 
 
+def _q_time_rollup(spark, sf_dir):
+    """Hour+day hypertable rollup of the events stream per event type,
+    value summed in exact hundredths — one grouping-sets pass."""
+    from rdf_indexes_spark.operators.temporal import time_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    return time_rollup(
+        ev, key_cols=["event_type"], value_col="value",
+        resolutions=("hour", "day"),
+    )
+
+
 def _q_validate_turns(spark, sf_dir):
     """Chat-format hygiene validation over an events-derived
     pseudo-transcript (conv = user, turn_idx = event_id % 13 — dirty by
@@ -2061,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join,
         "kg_fact_as_of": _q_fact_as_of,
         "interval_join_sessions": _q_interval_join,
+        "time_rollup_events": _q_time_rollup,
         "render_chat": _q_render_chat,
         "loss_spans": _q_loss_spans,
         "fim_transform": _q_fim_transform,
@@ -2603,6 +2616,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, CAST(off + hdr AS BIGINT) AS start, "
             "CAST(off + hdr + tlen AS BIGINT) AS \"end\" "
             "FROM o WHERE role = 'assistant'"
+        ),
+        "time_rollup_events": (
+            # grouping sets ≡ UNION ALL of the per-resolution group-bys
+            "WITH s AS (SELECT event_type, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS v FROM events) "
+            "SELECT 'hour' AS resolution, "
+            "CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start, "
+            "event_type, COUNT(*) AS n_rows, SUM(v) AS sum_x1e2, "
+            "CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_epoch, "
+            "CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch "
+            "FROM s GROUP BY 2, 3 "
+            "UNION ALL "
+            "SELECT 'day', CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT), "
+            "event_type, COUNT(*), SUM(v), "
+            "CAST(floor(epoch(MIN(ts))) AS BIGINT), "
+            "CAST(floor(epoch(MAX(ts))) AS BIGINT) "
+            "FROM s GROUP BY 2, 3"
         ),
         "interval_join_sessions": (
             # sessions via the gaps-and-islands twin, then a plain

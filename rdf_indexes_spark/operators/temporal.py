@@ -187,3 +187,71 @@ def interval_point_join(
         .filter((s <= p) & (p <= e))
         .drop("_bin")
     )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str | None = None,
+    resolutions: tuple[str, ...] = ("hour", "day"),
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: per (key..., bucket)
+    at EVERY requested resolution, in ONE aggregation pass —
+
+      resolution, bucket_start (epoch s), key..., n_rows,
+      sum_x1e2 (value summed in exact hundredths; NULL without a value
+      column), min/max epoch of the contributing rows
+
+    Each input row is map-side stamped with one bucket column per
+    resolution (date_trunc), then a single GROUPING SETS aggregate
+    computes all resolutions in one shuffle — the Spark-first shape for
+    continuous-aggregate maintenance (vs one groupBy per resolution =
+    one full pass + exchange each). Output rows are resolution-tagged
+    and bucket-keyed, ready to upsert into a rollup table.
+
+    Resolutions must be date_trunc units (``minute hour day week month
+    year``). Values aggregate as round(value*100) integers: exact,
+    order-free, engine-portable (a raw double sum drifts in the last
+    ulp across partitionings).
+    """
+    allowed = {"minute", "hour", "day", "week", "month", "year"}
+    bad = [r for r in resolutions if r not in allowed]
+    if bad:
+        raise ValueError(f"unsupported resolutions: {bad}")
+    keys = key_cols or []
+    stamped = events.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("_ts"),
+        (F.round(F.col(value_col) * 100).cast("long") if value_col else F.lit(None).cast("long")).alias("_v"),
+        *[
+            F.unix_timestamp(F.date_trunc(r, F.col(ts_col))).alias(f"_b_{r}")
+            for r in resolutions
+        ],
+    )
+    gsets = [[*keys, f"_b_{r}"] for r in resolutions]
+    agg = stamped.groupingSets(
+        gsets, *[F.col(c) for c in {c for g in gsets for c in g}]
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_v").alias("sum_x1e2"),
+        F.min(F.unix_timestamp("_ts")).alias("first_epoch"),
+        F.max(F.unix_timestamp("_ts")).alias("last_epoch"),
+    )
+    resolution = None
+    for r in resolutions:
+        cond = F.col(f"_b_{r}").isNotNull()
+        resolution = (
+            F.when(cond, F.lit(r)) if resolution is None
+            else resolution.when(cond, F.lit(r))
+        )
+    bucket = F.coalesce(*[F.col(f"_b_{r}") for r in resolutions])
+    return agg.select(
+        resolution.alias("resolution"),
+        bucket.cast("long").alias("bucket_start"),
+        *[F.col(k) for k in keys],
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_x1e2").cast("long").alias("sum_x1e2"),
+        F.col("first_epoch").cast("long").alias("first_epoch"),
+        F.col("last_epoch").cast("long").alias("last_epoch"),
+    )

@@ -203,3 +203,47 @@ def test_interval_point_join_sessions_composition(spark):
     # every event matched exactly one session
     assert j.count() == ev.count()
     assert j.groupBy("user_id", "t").count().filter("count > 1").count() == 0
+
+
+def test_time_rollup_golden_and_consistency(spark):
+    """Bucket math golden + cross-resolution consistency: day rows are
+    the sums of their hour rows, grand totals match the corpus."""
+    import random
+
+    from rdf_indexes_spark.operators.temporal import time_rollup
+
+    rng = random.Random(31)
+    rows = [
+        (f"k{rng.randrange(3)}",
+         T0 + dt.timedelta(minutes=rng.randrange(0, 60 * 72)),
+         rng.randrange(0, 1000) / 100.0)
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = time_rollup(df, key_cols=["k"], value_col="v").collect()
+    hours = [r for r in out if r.resolution == "hour"]
+    days = [r for r in out if r.resolution == "day"]
+    assert sum(r.n_rows for r in hours) == len(rows)
+    assert sum(r.n_rows for r in days) == len(rows)
+    assert sum(r.sum_x1e2 for r in hours) == sum(r.sum_x1e2 for r in days)
+    assert sum(r.sum_x1e2 for r in days) == round(
+        sum(round(v * 100) for _, _, v in rows)
+    )
+    # each day row aggregates exactly its hours
+    from collections import defaultdict
+    per_day = defaultdict(int)
+    for r in hours:
+        per_day[(r.k, r.bucket_start - r.bucket_start % 86400)] += r.n_rows
+    assert per_day == {(r.k, r.bucket_start): r.n_rows for r in days}
+
+
+def test_time_rollup_no_value_and_errors(spark):
+    import pytest as _pytest
+
+    from rdf_indexes_spark.operators.temporal import time_rollup
+
+    df = spark.createDataFrame([("k", T0)], "k string, ts timestamp")
+    r = time_rollup(df, key_cols=["k"], resolutions=("day",)).first()
+    assert r.sum_x1e2 is None and r.n_rows == 1 and r.resolution == "day"
+    with _pytest.raises(ValueError):
+        time_rollup(df, resolutions=("fortnight",))
