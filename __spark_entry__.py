@@ -1006,6 +1006,17 @@ def _q_time_rollup(spark, sf_dir):
     )
 
 
+def _q_exact_quantiles(spark, sf_dir):
+    """Exact nearest-rank quantiles of the event value distribution
+    (values in exact hundredths; integer-only rank arithmetic)."""
+    from rdf_indexes_spark.functions.ranking import exact_quantiles
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("v100")
+    )
+    return exact_quantiles(ev, "v100", permille=(10, 250, 500, 900, 990, 999))
+
+
 def _q_validate_turns(spark, sf_dir):
     """Chat-format hygiene validation over an events-derived
     pseudo-transcript (conv = user, turn_idx = event_id % 13 — dirty by
@@ -2074,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_as_of": _q_fact_as_of,
         "interval_join_sessions": _q_interval_join,
         "time_rollup_events": _q_time_rollup,
+        "exact_quantiles_value": _q_exact_quantiles,
         "render_chat": _q_render_chat,
         "loss_spans": _q_loss_spans,
         "fim_transform": _q_fim_transform,
@@ -2616,6 +2628,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, CAST(off + hdr AS BIGINT) AS start, "
             "CAST(off + hdr + tlen AS BIGINT) AS \"end\" "
             "FROM o WHERE role = 'assistant'"
+        ),
+        "exact_quantiles_value": (
+            # nearest-rank with pure integer arithmetic: rank =
+            # (pm*n + 999) // 1000, value at that 1-based position
+            "WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS x "
+            "FROM events), "
+            "r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v), "
+            "n AS (SELECT COUNT(*) AS n FROM v), "
+            "p AS (SELECT unnest([10, 250, 500, 900, 990, 999]) AS permille) "
+            "SELECT CAST(p.permille AS BIGINT) AS permille, "
+            "CAST((p.permille * n.n + 999) // 1000 AS BIGINT) AS rank, "
+            "r.x AS value, n.n AS n FROM p, n "
+            "JOIN r ON r.rn = (p.permille * n.n + 999) // 1000"
         ),
         "time_rollup_events": (
             # grouping sets ≡ UNION ALL of the per-resolution group-bys

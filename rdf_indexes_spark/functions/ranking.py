@@ -205,3 +205,51 @@ def salted_min_agg(
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets)))
     lvl1 = salted.groupBy(*key_cols, "_salt").agg(F.min(value_col).alias(value_col))
     return lvl1.groupBy(*key_cols).agg(F.min(value_col).alias(value_col))
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    permille: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """EXACT nearest-rank quantiles of an integer-ish column, without a
+    global sort task: (permille, rank, value, n) per requested point,
+    where rank = ceil(permille·n / 1000) (1-based nearest-rank, integer
+    arithmetic only — no float probability ever touches the rank, so
+    every engine agrees on every edge case; ``percentile_approx`` gives
+    neither exactness nor cross-run stability).
+
+    Plan: the two-phase distributed rank (range exchange + in-partition
+    window + broadcast offsets — ``dense_ids``) assigns every row its
+    global 0-based position in value order; a broadcast join against
+    the requested target ranks keeps |permille| rows. Duplicate values
+    make row order within a tie arbitrary but the value AT any rank is
+    unique, so the result is deterministic. Cost: one corpus-scale
+    range exchange — the honest price of an exact quantile; use
+    percentile_approx when approximation is acceptable.
+    """
+    for pm in permille:
+        if not 0 < pm <= 1000:
+            raise ValueError(f"permille points must be in (0, 1000], got {pm}")
+    spark = df.sparkSession
+    vals = df.select(F.col(col).alias("_v"))
+    n = vals.count()
+    if n == 0:
+        raise ValueError("exact_quantiles over an empty frame")
+    targets = _literal_df(
+        spark,
+        [(int(pm), (pm * n + 999) // 1000) for pm in sorted(set(permille))],
+        [("permille", "long"), ("_target", "long")],
+    )
+    ranked = dense_ids(vals, ["_v"], id_col="_rk")
+    return (
+        ranked.join(
+            F.broadcast(targets), F.col("_rk") == F.col("_target") - 1
+        )
+        .select(
+            "permille",
+            F.col("_target").alias("rank"),
+            F.col("_v").alias("value"),
+            F.lit(n).cast("long").alias("n"),
+        )
+    )

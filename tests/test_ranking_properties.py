@@ -139,3 +139,40 @@ def test_winnow_matches_python_model(spark, docs, k, w):
         for r in winnow_fingerprints(df, k=k, w=w, fingerprint="portable").collect()
     }
     assert got == want
+
+
+def test_exact_quantiles_matches_python_sort(spark):
+    """Nearest-rank parity with a python sort, duplicates included,
+    at several partitionings."""
+    import random
+
+    from rdf_indexes_spark.functions.ranking import exact_quantiles
+
+    rng = random.Random(17)
+    vals = [rng.randrange(0, 500) for _ in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    s = sorted(vals)
+    n = len(vals)
+    pm = (1, 250, 500, 900, 990, 1000)
+    want = {p: s[(p * n + 999) // 1000 - 1] for p in pm}
+    for frame in (df, df.repartition(17)):
+        got = {
+            r.permille: r.value
+            for r in exact_quantiles(frame, "x", permille=pm).collect()
+        }
+        assert got == want
+        out = exact_quantiles(frame, "x", permille=pm).collect()
+        assert all(r.n == n for r in out)
+        assert all(r.rank == (r.permille * n + 999) // 1000 for r in out)
+
+
+def test_exact_quantiles_errors(spark):
+    import pytest as _pytest
+
+    from rdf_indexes_spark.functions.ranking import exact_quantiles
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "x", permille=(0,))
+    with _pytest.raises(ValueError):
+        exact_quantiles(df.filter("x > 5"), "x")
