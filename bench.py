@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "c4_filter",
     "fim_transform",
     "render_chat",
+    "asof_join_events",
+    "time_rollup_events",
     # g4_path_closure stays OUT of the bench set: on this table's random
     # quasi-bipartite edge graph the closure ANSWER is ~|V|^2 — timing it
     # measures output size, not the engine. Correctness gates at sf0.01.
