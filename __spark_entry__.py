@@ -805,6 +805,14 @@ def _events_transcript(spark, sf_dir):
     )
 
 
+def _q_compression_stats(spark, sf_dir):
+    """zlib compression-ratio quality signal — rows-only (no zlib in
+    DuckDB); exact library-recount oracle in tests/test_textops.py."""
+    from rdf_indexes_spark.operators.textops import compression_stats
+
+    return compression_stats(_read(spark, sf_dir, "documents"))
+
+
 def _q_fim_transform(spark, sf_dir):
     """FIM rewrite of half the documents corpus (PSM format)."""
     from rdf_indexes_spark.operators.textops import fim_transform
@@ -2089,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_chat": _q_render_chat,
         "loss_spans": _q_loss_spans,
         "fim_transform": _q_fim_transform,
+        "text_compression": _q_compression_stats,
         "dedup_line": _q_line_dedup,
         "dedup_span": _q_duplicate_spans,
         "ann_cosine_topk": _q_ann,

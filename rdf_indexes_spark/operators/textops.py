@@ -679,3 +679,49 @@ def fim_transform(
         is_fim.alias("fim"),
         F.when(is_fim, fim_text).otherwise(text).alias("text"),
     )
+
+
+def compression_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Compression-ratio quality signal (the CCNet/RedPajama-class
+    filter: near-incompressible text is noise/binary junk, extremely
+    compressible text is boilerplate/repetition):
+
+      doc_id, n_bytes (UTF-8), n_zlib_bytes (zlib level ``level``),
+      ratio_x1e4 = floor(10^4 · compressed/original; NULL for empty)
+
+    All exact integers — zlib output is deterministic for a given level
+    and library build, so the operator is rerun- and layout-stable.
+    Runs as an Arrow-batched pandas_udf (the right UDF tier: the work
+    is real per-row C compute Spark has no expression for, and batching
+    amortizes the Python transfer). Zero shuffle — pure map-side; at
+    100 TB the cost is the scan plus one zlib pass per document.
+    Not DuckDB-replayable (no zlib) — driver-gated rows-only; the exact
+    pytest oracle recomputes with the same library.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _comp_batch(s):
+        import zlib
+
+        import pandas as pd
+
+        def one(x):
+            if x is None:
+                return None
+            return len(zlib.compress(x.encode("utf-8"), level))
+
+        return s.map(one).astype("Int64")
+
+    _comp = pandas_udf(_comp_batch, "long")
+    nb = F.octet_length(F.col(text_col)).cast("long")
+    nz = _comp(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        nb.alias("n_bytes"),
+        nz.alias("n_zlib_bytes"),
+        F.when(
+            nb > 0, F.floor(F.lit(10_000) * nz / nb).cast("long")
+        ).alias("ratio_x1e4"),
+    )

@@ -571,3 +571,28 @@ def test_fim_transform_edges(spark):
         fim_transform(df, rate=1.0, fmt="mps")
     with _pytest.raises(ValueError):
         fim_transform(df, rate=1.5)
+
+
+def test_compression_stats_exact_recount(spark, docs):
+    """Exact zlib parity with a direct python recount on real docs,
+    plus the ratio arithmetic and the repetitive-vs-random ordering."""
+    import zlib
+
+    from rdf_indexes_spark.operators.textops import compression_stats
+
+    got = {r.doc_id: r for r in compression_stats(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        b = row.text.encode("utf-8")
+        r = got[row.doc_id]
+        assert r.n_bytes == len(b)
+        assert r.n_zlib_bytes == len(zlib.compress(b, 6))
+        if len(b):
+            assert r.ratio_x1e4 == 10_000 * r.n_zlib_bytes // r.n_bytes
+
+    df = spark.createDataFrame(
+        [(1, "a" * 5000), (2, "".join(chr(33 + (i * 7919) % 90) for i in range(5000))), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_stats(df).collect()}
+    assert out[1].ratio_x1e4 < out[2].ratio_x1e4  # repetition compresses
+    assert out[3].ratio_x1e4 is None and out[3].n_bytes == 0
