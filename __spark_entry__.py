@@ -875,6 +875,21 @@ def _q_fact_provenance(spark, sf_dir):
     )
 
 
+def _q_inverse_predicates(spark, sf_dir):
+    """Inverse/symmetric predicate induction over a lineitem-folded
+    triple set (parallel predicates from l_linenumber give real
+    overlap structure)."""
+    from rdf_indexes_spark.operators.schema import inverse_predicate_counts
+
+    li = _read(spark, sf_dir, "lineitem")
+    t = li.select(
+        (F.col("l_orderkey") % 499).alias("s"),
+        F.concat(F.lit("p"), (F.col("l_linenumber") % 3).cast("string")).alias("p"),
+        (F.col("l_partkey") % 499).alias("o"),
+    )
+    return inverse_predicate_counts(t)
+
+
 def _q_fact_history(spark, sf_dir):
     """SCD-2 belief revision over the events assertion stream: per
     (user, event_type) key, the compressed run history of props values
@@ -2085,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_consecutive_roles": _q_merge_consecutive_roles,
         "kg_predicate_profile": _q_predicate_profile,
         "kg_fact_provenance": _q_fact_provenance,
+        "kg_inverse_predicates": _q_inverse_predicates,
         "kg_fact_history": _q_fact_history,
         "kg_current_facts": _q_current_facts,
         "conversation_stats": _q_conversation_stats,
@@ -2741,6 +2757,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_epoch, "
             "CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch "
             "FROM events WHERE event_type = 'purchase' GROUP BY props"
+        ),
+        "kg_inverse_predicates": (
+            "WITH t AS (SELECT DISTINCT l_orderkey % 499 AS s, "
+            "'p' || CAST(l_linenumber % 3 AS VARCHAR) AS p, "
+            "l_partkey % 499 AS o FROM lineitem), "
+            "marg AS (SELECT p, COUNT(*) AS n FROM t GROUP BY p), "
+            "ov AS (SELECT f.p AS p, r.p AS q, COUNT(*) AS n_overlap "
+            "FROM t f JOIN t r ON f.s = r.o AND f.o = r.s GROUP BY 1, 2) "
+            "SELECT ov.p, ov.q, ov.n_overlap, "
+            "mp.n AS n_p, mq.n AS n_q FROM ov "
+            "JOIN marg mp ON mp.p = ov.p JOIN marg mq ON mq.p = ov.q"
         ),
         "kg_fact_history": (
             # identical gaps-and-islands twin over the (ts, o) order;

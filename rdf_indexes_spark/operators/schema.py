@@ -223,3 +223,58 @@ def current_facts(
             F.max(F.col(ts_col)).alias("as_of"),
         )
     )
+
+
+def inverse_predicate_counts(
+    triples: DataFrame,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """Relation-algebra induction: for every predicate pair (p, q),
+    how many edges of p exist REVERSED under q —
+
+      p, q, n_overlap (|p(s,o) ∩ q(o,s)|), n_p, n_q
+
+    The p == q diagonal measures SYMMETRY (aka/spouse-type relations:
+    n_overlap ≈ n_p); off-diagonal rows with n_overlap ≈ n_p ≈ n_q are
+    INVERSE pairs (manages / reports_to) — the signals a KG builder
+    uses to normalize relation direction before materialization, the
+    owl:SymmetricProperty / owl:inverseOf analogue of
+    ``predicate_profile``'s key discovery. Ratios are left to the
+    consumer (exact integers only).
+
+    Plan: dedup + ONE self-equi-join on the REVERSED node pair (s, o)
+    × (o, s) — keyed on the pair, so predicate fan-out per node pair is
+    the only multiplicity (pairs with many parallel predicates are rare
+    and bounded by |P|) — then a (p, q)-keyed aggregate and two
+    broadcast-able |P|-sized marginal joins. Only pairs with overlap
+    ≥ 1 are emitted.
+    """
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    ).distinct()
+    marg = t.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    fwd = t.select("s", "o", F.col("p").alias("p"))
+    rev = t.select(
+        F.col("o").alias("s"), F.col("s").alias("o"), F.col("p").alias("q")
+    )
+    pairs = (
+        fwd.join(rev, ["s", "o"])
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        pairs.join(F.broadcast(marg), "p")
+        .join(
+            F.broadcast(marg.select(F.col("p").alias("q"), F.col("n_p").alias("n_q"))),
+            "q",
+        )
+        .select(
+            "p",
+            "q",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.col("n_p").cast("long").alias("n_p"),
+            F.col("n_q").cast("long").alias("n_q"),
+        )
+    )

@@ -171,3 +171,57 @@ def test_fact_history_tie_and_snapshot_equivalence(spark):
     # exactly one open interval per key
     n_keys = df.select("s", "p").distinct().count()
     assert len(open_rows) == n_keys
+
+
+def test_inverse_predicate_counts_golden(spark):
+    """Symmetric diagonal, inverse off-diagonal, no-overlap pairs
+    absent, duplicates collapsed."""
+    from rdf_indexes_spark.operators.schema import inverse_predicate_counts
+
+    df = spark.createDataFrame(
+        [
+            # aka: fully symmetric (2 edges, both reversed present)
+            ("a", "aka", "b"), ("b", "aka", "a"),
+            # manages / reports_to: exact inverses (2 pairs)
+            ("m1", "manages", "e1"), ("e1", "reports_to", "m1"),
+            ("m1", "manages", "e2"), ("e2", "reports_to", "m1"),
+            ("m1", "manages", "e2"),  # dup collapses
+            # knows: one asymmetric edge, no counterpart
+            ("x", "knows", "y"),
+        ],
+        "s string, p string, o string",
+    )
+    got = {
+        (r.p, r.q): (r.n_overlap, r.n_p, r.n_q)
+        for r in inverse_predicate_counts(df).collect()
+    }
+    assert got[("aka", "aka")] == (2, 2, 2)
+    assert got[("manages", "reports_to")] == (2, 2, 2)
+    assert got[("reports_to", "manages")] == (2, 2, 2)
+    assert ("knows", "knows") not in got
+    assert ("manages", "aka") not in got
+    # overlap is bounded by both marginals
+    assert all(n <= np and n <= nq for n, np, nq in got.values())
+
+
+def test_inverse_predicate_counts_brute_force(spark):
+    import random
+
+    from rdf_indexes_spark.operators.schema import inverse_predicate_counts
+
+    rng = random.Random(9)
+    triples = {
+        (rng.randrange(12), f"p{rng.randrange(4)}", rng.randrange(12))
+        for _ in range(120)
+    }
+    df = spark.createDataFrame(sorted(triples), "s long, p string, o long")
+    want = {}
+    for s, p, o in triples:
+        for s2, q, o2 in triples:
+            if s2 == o and o2 == s:
+                k = (p, q)
+                want[k] = want.get(k, 0) + 1
+    got = {
+        (r.p, r.q): r.n_overlap for r in inverse_predicate_counts(df).collect()
+    }
+    assert got == want
