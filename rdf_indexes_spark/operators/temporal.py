@@ -230,9 +230,8 @@ def time_rollup(
         ],
     )
     gsets = [[*keys, f"_b_{r}"] for r in resolutions]
-    agg = stamped.groupingSets(
-        gsets, *[F.col(c) for c in {c for g in gsets for c in g}]
-    ).agg(
+    gcols = list(dict.fromkeys(c for g in gsets for c in g))  # stable order
+    agg = stamped.groupingSets(gsets, *[F.col(c) for c in gcols]).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("_v").alias("sum_x1e2"),
         F.min(F.unix_timestamp("_ts")).alias("first_epoch"),
