@@ -10,7 +10,12 @@ stand-in for the N vs 4N executor-cluster rule (separate executor
 heaps, GC, python-worker pools, and serialized shuffle, unlike
 single-JVM local[N]).
 
-scaling efficiency = (thr_32 / thr_8) / (32 / 8)
+scaling efficiency = median over trials of the WINDOW-MATCHED pair
+ratio (thr_32 / thr_8) / (32 / 8) — each trial's two levels run
+back-to-back inside one probed co-tenancy window, so the ratio controls
+for the neighbor; the cross-window ratio-of-minima is also reported
+(efficiency_min_ratio) but one lucky low-level window biases it
+downward on this host
 
 Methodology (mirrors the reference's repeat-and-discard harness,
 /root/reference/src/queries.cpp:10-17): each level runs in its own
@@ -36,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -48,9 +54,9 @@ N_EXEC_LO = max(1, N_EXEC_HI // 4)              # 4x fewer executors
 SHUFFLE_PARTITIONS = CPUS                        # FIXED across levels: sized
 # by data volume, not cluster size (the scale-correct rule) — and it keeps
 # per-task overhead identical at both levels.
-# min-of-trials per level: the efficiency is a ratio of two minima, so
-# its run-to-run spread shrinks with trial count (measured ±0.03 at 3
-# trials on this co-tenant host); 4 is the time/variance sweet spot.
+# trials: each is one window-matched (hi, lo) pair; the headline
+# efficiency is the median of the pair ratios (outlier-robust in both
+# directions), throughputs report the min-of-trials per level.
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
 
 BENCH_QUERIES = [
@@ -411,7 +417,20 @@ def main() -> None:
     hi, lo = best[N_EXEC_HI], best[N_EXEC_LO]
     thr_hi = hi["triples"] / hi["elapsed_sec"]
     thr_lo = lo["triples"] / lo["elapsed_sec"]
-    eff = (thr_hi / thr_lo) / (N_EXEC_HI / N_EXEC_LO)
+    # headline efficiency = MEDIAN of the WINDOW-MATCHED per-trial pair
+    # efficiencies (accepted windows only). Each trial runs hi and lo
+    # back-to-back inside one probed co-tenancy window, so the pair
+    # ratio controls for the neighbor; the old ratio-of-minima mixed
+    # windows and one lucky lo minute biased it hard (observed this
+    # round: lo 78.9s in one window vs 133-149s in the other three ->
+    # 0.289 cross-window vs 0.425 matched-pair median). The median
+    # rejects interference in BOTH directions (a crushed lo inflates a
+    # pair, a crushed hi deflates it).
+    accepted = [
+        e for e, w in zip(pair_effs, windows) if ACCEPT_CEILING <= w <= 1.15
+    ] or pair_effs
+    eff = statistics.median(accepted)
+    eff_min_ratio = (thr_hi / thr_lo) / (N_EXEC_HI / N_EXEC_LO)
 
     # efficiency-vs-corpus-size curve (half / main / 4x the main size, one
     # probe-gated pair each): the non-scaling component is a fixed floor
@@ -427,24 +446,34 @@ def main() -> None:
             try:
                 if nt == n_turns:
                     c_hi, c_lo, c_win = hi, lo, min(windows)
+                    c_effs = accepted
                 else:
-                    # two gated pairs, min per level — a single pair gives
-                    # the off-size points systematically worse minima than
-                    # the TRIALS-pair main point
+                    # two gated pairs; efficiency = median of the
+                    # window-matched pair ratios (same estimator as the
+                    # headline); sec_hi/sec_lo stay min-per-level for
+                    # throughput display
                     cpath = _corpus_path(nt)
                     pairs = [_gated_pair(cpath, warm_path, reprobes) for _ in range(2)]
                     c_hi = min((p["hi"] for p in pairs), key=lambda r: r["elapsed_sec"])
                     c_lo = min((p["lo"] for p in pairs), key=lambda r: r["elapsed_sec"])
                     c_win = min(p["window_ceiling"] for p in pairs)
-                t_hi = c_hi["triples"] / c_hi["elapsed_sec"]
-                t_lo = c_lo["triples"] / c_lo["elapsed_sec"]
+                    c_effs = [
+                        round(
+                            (p["hi"]["triples"] / p["hi"]["elapsed_sec"])
+                            / (p["lo"]["triples"] / p["lo"]["elapsed_sec"])
+                            / (N_EXEC_HI / N_EXEC_LO),
+                            3,
+                        )
+                        for p in pairs
+                    ]
                 curve.append(
                     {
                         "n_turns": nt,
                         "triples": c_hi["triples"],
                         "sec_hi": round(c_hi["elapsed_sec"], 3),
                         "sec_lo": round(c_lo["elapsed_sec"], 3),
-                        "efficiency": round((t_hi / t_lo) / (N_EXEC_HI / N_EXEC_LO), 3),
+                        "efficiency": round(statistics.median(c_effs), 3),
+                        "pair_efficiencies": c_effs,
                         "window_ceiling": c_win,
                     }
                 )
@@ -478,6 +507,14 @@ def main() -> None:
                     "throughput_hi": round(thr_hi, 1),
                     "throughput_lo": round(thr_lo, 1),
                     "efficiency": round(eff, 3),
+                    "efficiency_estimator": (
+                        "median of window-matched per-trial pair "
+                        "efficiencies (accepted windows)"
+                    ),
+                    # the old cross-window ratio of best-of-trials — kept
+                    # for comparability; statistically weaker (mixes
+                    # co-tenancy windows between numerator and denominator)
+                    "efficiency_min_ratio": round(eff_min_ratio, 3),
                     # the same number with the host's co-tenancy ceiling
                     # divided out (memory-bandwidth probe, same run): what
                     # the plan would scale to on non-co-tenant hardware
