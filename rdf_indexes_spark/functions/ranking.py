@@ -75,6 +75,19 @@ def dense_ids(
         .withColumn(id_col, (F.col("_rn") + F.col("_off")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+    # MATERIALIZE the ranks before returning. The offsets above are valid
+    # only for the partitioning the counts were collected from; if a
+    # caller's query holds TWO instances of this frame (a self-join — e.g.
+    # negative_samples joins the rank table once for the true-object rank
+    # and once for the draw resolution), Spark's self-join attribute
+    # dedup can bypass the InMemoryRelation and re-execute the range
+    # exchange per instance with freshly SAMPLED bounds — per-instance
+    # partitionings that no longer match the one offsets dict (measured:
+    # 8658/9973 wrong ranks + lost join rows at sf0.1). The eager cut
+    # pins one physical (term, rank) table for every consumer; output is
+    # vocab-scale, so the extra materialization is agg-output-sized.
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
     return out
 
 

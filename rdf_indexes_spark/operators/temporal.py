@@ -31,25 +31,33 @@ def asof_join(
     right_ts: str = "ts",
     suffix: str = "_r",
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward AS-OF LEFT join: every ``left`` row picks up the
-    ``right`` row with the LARGEST right_ts <= left_ts for the same
-    ``on`` keys (inclusive on equality; among right rows tied on that
-    ts, the largest payload wins — a deterministic rule, not shuffle
-    luck). Left rows with no prior right row keep NULLs.
+    """AS-OF LEFT join: every ``left`` row picks up ONE ``right`` row
+    for the same ``on`` keys —
+
+    - direction='backward' (default): the LARGEST right_ts <= left_ts
+      (inclusive; among right rows tied on that ts, the largest payload
+      wins — a deterministic rule, not shuffle luck);
+    - direction='forward': the SMALLEST right_ts >= left_ts (inclusive;
+      ties take the smallest payload).
+
+    Left rows with no match keep NULLs.
 
     Output: every left column (original names) + every non-key,
     non-ts right column renamed ``{col}{suffix}`` + the matched
     timestamp as ``{right_ts}{suffix}``.
 
-    ``tolerance_s``: with timestamps, a match older than this many
-    seconds is discarded (NULLed), pandas.merge_asof-style.
+    ``tolerance_s``: with timestamps, a match further than this many
+    seconds away is discarded (NULLed), pandas.merge_asof-style.
 
     Scale shape: one union (map-side), ONE exchange + sort keyed on
     ``on``, one running-window pass, one filter — no inequality join,
     no per-key blowup; cost is |left| + |right| rows through a single
     shuffle regardless of key skew.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     for k in on:
         if k in (left_ts, right_ts):
             raise ValueError("key columns and ts columns must be distinct")
@@ -82,20 +90,33 @@ def asof_join(
         ).alias("_q"),
         F.lit(0).alias("_tag"),
     )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("_ts", "_tag", "_q")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # builds sort BEFORE probes at equal ts (inclusive <=); running
+        # last() in the preceding frame = most recent prior build
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("_ts", "_tag", "_q")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = F.last("_q", ignorenulls=True).over(w)
+    else:
+        # probes sort BEFORE builds at equal ts (inclusive >=); running
+        # first() in the following frame = earliest later build
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("_ts", F.desc("_tag"), "_q")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carry = F.first("_q", ignorenulls=True).over(w)
     matched = (
         probe.unionByName(build)
-        .withColumn("_m", F.last("_q", ignorenulls=True).over(w))
+        .withColumn("_m", carry)
         .filter(F.col("_tag") == 1)
     )
     if tolerance_s is not None:
+        gap = F.unix_timestamp(F.col("_ts")) - F.unix_timestamp(F.col("_m._mts"))
         ok = (
-            F.unix_timestamp(F.col("_ts"))
-            - F.unix_timestamp(F.col("_m._mts"))
+            gap if direction == "backward" else -gap
         ) <= F.lit(int(tolerance_s))
         matched = matched.withColumn(
             "_m", F.when(ok, F.col("_m")).otherwise(F.lit(None))

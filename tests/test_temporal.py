@@ -247,3 +247,50 @@ def test_time_rollup_no_value_and_errors(spark):
     assert r.sum_x1e2 is None and r.n_rows == 1 and r.resolution == "day"
     with _pytest.raises(ValueError):
         time_rollup(df, resolutions=("fortnight",))
+
+
+def test_asof_join_forward_matches_pandas(spark):
+    """direction='forward' parity with pandas.merge_asof forward on
+    random unique-(key,ts) data, plus tolerance semantics."""
+    import random
+
+    from rdf_indexes_spark.operators.temporal import asof_join
+
+    rng = random.Random(19)
+    lrows = sorted(
+        {(f"k{rng.randrange(5)}", _ts(rng.randrange(500))) for _ in range(250)}
+    )
+    rrows = sorted(
+        {(f"k{rng.randrange(5)}", _ts(rng.randrange(500))) for _ in range(150)}
+    )
+    lpd = pd.DataFrame(lrows, columns=["key", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(
+        [(k, t, f"v{k}{t:%H%M}") for k, t in rrows], columns=["key", "ts", "val"]
+    ).sort_values("ts")
+    left = spark.createDataFrame(lpd, "key string, ts timestamp")
+    right = spark.createDataFrame(rpd, "key string, ts timestamp, val string")
+    for tol in (None, 3600):
+        kw = {} if tol is None else {"tolerance": pd.Timedelta(seconds=tol)}
+        want = pd.merge_asof(lpd, rpd, on="ts", by="key", direction="forward", **kw)
+        want_map = {
+            (r.key, r.ts.to_pydatetime()): (None if pd.isna(r.val) else r.val)
+            for r in want.itertuples()
+        }
+        got = {
+            (r.key, r.ts): r.val_r
+            for r in asof_join(
+                left, right, on=["key"], direction="forward",
+                **({} if tol is None else {"tolerance_s": tol}),
+            ).collect()
+        }
+        assert got == want_map, f"tol={tol}"
+
+
+def test_asof_join_direction_errors(spark):
+    import pytest as _pytest
+
+    from rdf_indexes_spark.operators.temporal import asof_join
+
+    df = spark.createDataFrame([("k", _ts(0), 1)], "key string, ts timestamp, v int")
+    with _pytest.raises(ValueError):
+        asof_join(df, df.drop("v"), on=["key"], direction="nearest")
