@@ -890,6 +890,36 @@ def _q_inverse_predicates(spark, sf_dir):
     return inverse_predicate_counts(t)
 
 
+def _q_rdfs_closure(spark, sf_dir):
+    """RDFS rdfs9+rdfs11 materialization over a synthetic class tree:
+    nation subClassOf region, region subClassOf 'thing', customers
+    typed by nation. Entails region- and thing-level types for every
+    customer plus the 1+-hop hierarchy pairs."""
+    from rdf_indexes_spark.operators.schema import rdfs_closure
+
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    c = _read(spark, sf_dir, "customer")
+    nk = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    rk = F.concat(F.lit("r"), F.col("r_regionkey").cast("string"))
+    triples = (
+        n.select(
+            nk.alias("s"),
+            F.lit("subClassOf").alias("p"),
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("o"),
+        )
+        .unionAll(r.select(rk.alias("s"), F.lit("subClassOf").alias("p"), F.lit("thing").alias("o")))
+        .unionAll(
+            c.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("s"),
+                F.lit("type").alias("p"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("o"),
+            )
+        )
+    )
+    return rdfs_closure(triples, "subClassOf", "type")
+
+
 def _q_fact_history(spark, sf_dir):
     """SCD-2 belief revision over the events assertion stream: per
     (user, event_type) key, the compressed run history of props values
@@ -2101,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_profile": _q_predicate_profile,
         "kg_fact_provenance": _q_fact_provenance,
         "kg_inverse_predicates": _q_inverse_predicates,
+        "kg_rdfs_closure": _q_rdfs_closure,
         "kg_fact_history": _q_fact_history,
         "kg_current_facts": _q_current_facts,
         "conversation_stats": _q_conversation_stats,
@@ -2768,6 +2799,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ov.p, ov.q, ov.n_overlap, "
             "mp.n AS n_p, mq.n AS n_q FROM ov "
             "JOIN marg mp ON mp.p = ov.p JOIN marg mq ON mq.p = ov.q"
+        ),
+        "kg_rdfs_closure": (
+            "WITH RECURSIVE sub(s, o) AS ("
+            "SELECT 'n' || CAST(n_nationkey AS VARCHAR), "
+            "'r' || CAST(n_regionkey AS VARCHAR) FROM nation "
+            "UNION ALL "
+            "SELECT 'r' || CAST(r_regionkey AS VARCHAR), 'thing' FROM region), "
+            "clo(s, o) AS ("
+            "SELECT s, o FROM sub "
+            "UNION "
+            "SELECT c.s, e.o FROM clo c JOIN sub e ON c.o = e.s), "
+            "typ(s, o) AS (SELECT 'c' || CAST(c_custkey AS VARCHAR), "
+            "'n' || CAST(c_nationkey AS VARCHAR) FROM customer), "
+            "alltyp AS (SELECT DISTINCT s, o FROM ("
+            "SELECT s, o FROM typ UNION ALL "
+            "SELECT t.s, c.o FROM typ t JOIN clo c ON t.o = c.s)) "
+            "SELECT s, 'type' AS p, o FROM alltyp "
+            "UNION ALL SELECT s, 'subClassOf' AS p, o FROM clo"
         ),
         "kg_fact_history": (
             # identical gaps-and-islands twin over the (ts, o) order;

@@ -278,3 +278,65 @@ def inverse_predicate_counts(
             F.col("n_q").cast("long").alias("n_q"),
         )
     )
+
+
+def rdfs_closure(
+    triples: DataFrame,
+    subclass_p,
+    type_p,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    max_rounds: int = 64,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """RDFS entailment materialization (rules rdfs9 + rdfs11): the
+    subClassOf transitive closure plus every entailed rdf:type triple.
+
+    Input: a (s, p, o) triple table where ``p == subclass_p`` rows are
+    the class hierarchy (C subClassOf D) and ``p == type_p`` rows are
+    instance typing (x type C). Output: the ENTAILED set —
+
+      (x, type_p, D)        for every asserted (x, type_p, C) with
+                            C subClassOf* D (asserted types included),
+      (C, subclass_p, D)    for every 1+-hop hierarchy pair,
+
+    duplicate-free. The reference stores triples as asserted
+    (/root/reference/src/build.cpp workflow) and has no inference
+    surface; a KG-construction pipeline materializes this closure so
+    type-filtered queries need no runtime reasoning.
+
+    Scale plan: the hierarchy is SCHEMA-scale (thousands of classes at
+    most) while typing is INSTANCE-scale (billions). The closure runs
+    linear semi-naive iteration on the schema-sized edge set only
+    (``plans.paths.closure_pairs``), is checkpointed once, and — when
+    under ``broadcast_threshold`` pairs — is BROADCAST into the typing
+    join, so the instance-scale side crosses the wire exactly once for
+    the final dedup exchange and never for the join itself.
+    """
+    from ..plans.paths import closure_pairs
+
+    p_type = triples.schema[p_col].dataType
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    )
+    sub_lit = F.lit(subclass_p).cast(p_type)
+    type_lit = F.lit(type_p).cast(p_type)
+
+    sub_edges = t.filter(F.col("p") == sub_lit).select("s", "o")
+    closure = closure_pairs(sub_edges, max_rounds=max_rounds).localCheckpoint()
+
+    sup = closure.select(F.col("s").alias("c"), F.col("o").alias("d"))
+    if closure.count() <= broadcast_threshold:
+        sup = F.broadcast(sup)
+
+    types = t.filter(F.col("p") == type_lit).select("s", F.col("o").alias("c"))
+    inferred = types.join(sup, "c").select("s", F.col("d").alias("o"))
+    all_types = (
+        types.select("s", F.col("c").alias("o"))
+        .unionByName(inferred)
+        .dropDuplicates(["s", "o"])
+        .select("s", type_lit.alias("p"), "o")
+    )
+    all_sub = closure.select("s", sub_lit.alias("p"), "o")
+    return all_types.unionByName(all_sub)

@@ -288,3 +288,17 @@ def test_interval_join_equi_only(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in p, f"{bad} in plan:\n{p[:2000]}"
     assert "_bin" in p
+
+
+def test_rdfs_closure_broadcasts_schema_side(spark):
+    """The instance-scale typing join must be a BroadcastHashJoin on the
+    schema-sized closure — never a sort-merge/cartesian over instances."""
+    from rdf_indexes_spark.operators.schema import rdfs_closure
+
+    df = spark.createDataFrame(
+        [("a", "sub", "b"), ("x", "type", "a")], "s string, p string, o string"
+    )
+    p = _plan(rdfs_closure(df, "sub", "type"))
+    assert "BroadcastHashJoin" in p, p[:2000]
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in p, f"{bad} in plan:\n{p[:2000]}"

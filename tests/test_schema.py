@@ -225,3 +225,47 @@ def test_inverse_predicate_counts_brute_force(spark):
         (r.p, r.q): r.n_overlap for r in inverse_predicate_counts(df).collect()
     }
     assert got == want
+
+
+def test_rdfs_closure_golden(spark):
+    """3-level chain: entailed types at every ancestor, asserted types
+    deduped against entailed ones, hierarchy closure complete, and
+    non-schema predicates ignored."""
+    from rdf_indexes_spark.operators.schema import rdfs_closure
+
+    df = spark.createDataFrame(
+        [
+            ("cat", "sub", "mammal"),
+            ("mammal", "sub", "animal"),
+            ("animal", "sub", "thing"),
+            ("felix", "type", "cat"),
+            ("felix", "type", "mammal"),  # asserted AND entailed — one row
+            ("rex", "type", "mammal"),
+            ("felix", "likes", "rex"),  # unrelated predicate: dropped
+        ],
+        "s string, p string, o string",
+    )
+    got = {(r.s, r.p, r.o) for r in rdfs_closure(df, "sub", "type").collect()}
+    want_types = {
+        ("felix", "type", t) for t in ["cat", "mammal", "animal", "thing"]
+    } | {("rex", "type", t) for t in ["mammal", "animal", "thing"]}
+    want_sub = {
+        ("cat", "sub", d) for d in ["mammal", "animal", "thing"]
+    } | {("mammal", "sub", d) for d in ["animal", "thing"]} | {("animal", "sub", "thing")}
+    assert got == want_types | want_sub
+
+
+def test_rdfs_closure_int_ids(spark):
+    """Integer-id triple tables (the encoded-corpus case) work: the
+    predicate literals are cast to the column type."""
+    from rdf_indexes_spark.operators.schema import rdfs_closure
+
+    df = spark.createDataFrame(
+        [(10, 1, 11), (11, 1, 12), (100, 2, 10)],
+        "s long, p long, o long",
+    )
+    got = {(r.s, r.p, r.o) for r in rdfs_closure(df, 1, 2).collect()}
+    assert got == {
+        (100, 2, 10), (100, 2, 11), (100, 2, 12),
+        (10, 1, 11), (10, 1, 12), (11, 1, 12),
+    }
