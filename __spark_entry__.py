@@ -920,6 +920,40 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_sameas_smush(spark, sf_dir):
+    """owl:sameAs smushing over a region-keyed identity graph: every
+    nation asserts sameAs its region, so each region's nations form one
+    equivalence class; customer/supplier facts and the nation→region
+    membership triples rewrite onto the class minimum (membership rows
+    collapse to one self-loop per class — the dedup surface)."""
+    from rdf_indexes_spark.operators.canonicalize import smush
+
+    n = _read(spark, sf_dir, "nation")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    nk = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    rk = F.concat(F.lit("r"), F.col("n_regionkey").cast("string"))
+    triples = (
+        n.select(nk.alias("s"), F.lit("sameAs").alias("p"), rk.alias("o"))
+        .unionAll(n.select(nk.alias("s"), F.lit("in_region").alias("p"), rk.alias("o")))
+        .unionAll(
+            c.select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("s"),
+                F.lit("in_nation").alias("p"),
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("o"),
+            )
+        )
+        .unionAll(
+            s.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("s"),
+                F.lit("in_nation").alias("p"),
+                F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("o"),
+            )
+        )
+    )
+    return smush(triples, "sameAs")
+
+
 def _q_fact_history(spark, sf_dir):
     """SCD-2 belief revision over the events assertion stream: per
     (user, event_type) key, the compressed run history of props values
@@ -2132,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_provenance": _q_fact_provenance,
         "kg_inverse_predicates": _q_inverse_predicates,
         "kg_rdfs_closure": _q_rdfs_closure,
+        "kg_sameas_smush": _q_sameas_smush,
         "kg_fact_history": _q_fact_history,
         "kg_current_facts": _q_current_facts,
         "conversation_stats": _q_conversation_stats,
@@ -2817,6 +2852,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.s, c.o FROM typ t JOIN clo c ON t.o = c.s)) "
             "SELECT s, 'type' AS p, o FROM alltyp "
             "UNION ALL SELECT s, 'subClassOf' AS p, o FROM clo"
+        ),
+        "kg_sameas_smush": (
+            # identical smush semantics: recursive min-label CC over the
+            # symmetrized sameAs graph, LEFT-join rewrite, DISTINCT
+            "WITH RECURSIVE e AS (SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS a, "
+            "'r' || CAST(n_regionkey AS VARCHAR) AS b FROM nation), "
+            "sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e), "
+            "reach AS (SELECT DISTINCT src AS node, src AS lbl FROM sym "
+            "UNION SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node), "
+            "cmap AS (SELECT node, min(lbl) AS canon FROM reach GROUP BY node), "
+            "t AS (SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS s, 'in_region' AS p, "
+            "'r' || CAST(n_regionkey AS VARCHAR) AS o FROM nation "
+            "UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), 'in_nation', "
+            "'n' || CAST(c_nationkey AS VARCHAR) FROM customer "
+            "UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), 'in_nation', "
+            "'n' || CAST(s_nationkey AS VARCHAR) FROM supplier) "
+            "SELECT DISTINCT coalesce(cs.canon, t.s) AS s, t.p AS p, "
+            "coalesce(co.canon, t.o) AS o FROM t "
+            "LEFT JOIN cmap cs ON cs.node = t.s "
+            "LEFT JOIN cmap co ON co.node = t.o"
         ),
         "kg_fact_history": (
             # identical gaps-and-islands twin over the (ts, o) order;

@@ -281,3 +281,73 @@ def canonicalize_mentions(
             F.coalesce(F.col("_co"), F.col("obj")).alias("co"),
         )
     )
+
+
+def smush(
+    triples: DataFrame,
+    sameas_p,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    max_iter: int = 25,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """owl:sameAs smushing: rewrite every triple onto one canonical
+    member per sameAs equivalence class, dropping the sameAs edges.
+
+    ``p == sameas_p`` rows are identity assertions (a sameAs b).
+    Equivalence classes are the connected components of the undirected
+    sameAs graph; the canonical member is the class minimum (the same
+    deterministic rule the dictionary pipeline's canonicalizer uses —
+    cheap, order-stable across engines). Every other triple has its
+    subject AND object rewritten through the class map; identical
+    post-rewrite triples collapse to one row. The reference stores
+    asserted triples only (no owl surface); a KG-construction pipeline
+    smushes before dictionary encoding so one entity gets one id.
+
+    Scale plan: CC runs over the sameAs graph ONLY (identity-link scale,
+    orders of magnitude below the corpus). The rewrite map keeps just
+    the NON-identity entries and is broadcast when under
+    ``broadcast_threshold`` rows, so the corpus-scale side crosses the
+    wire once — for the final dedup exchange — and never for the joins.
+    For billion-alias graphs pass a larger threshold=0-style escape by
+    setting broadcast_threshold=0 (shuffled joins, same semantics).
+    """
+    p_type = triples.schema[p_col].dataType
+    sa_lit = F.lit(sameas_p).cast(p_type)
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    )
+    sa = (
+        t.filter(F.col("p") == sa_lit)
+        .select(F.col("s").alias("a"), F.col("o").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    nodes = (
+        sa.select(F.col("a").alias("surface"))
+        .unionAll(sa.select(F.col("b").alias("surface")))
+        .dropDuplicates()
+    )
+    comp = connected_components(nodes, sa, max_iter=max_iter)
+    cmap = (
+        comp.filter(F.col("surface") != F.col("component"))
+        .select("surface", F.col("component").alias("_canon"))
+        .localCheckpoint()
+    )
+    if broadcast_threshold and cmap.count() <= broadcast_threshold:
+        cmap = F.broadcast(cmap)
+
+    rest = t.filter(F.col("p") != sa_lit)
+    return (
+        rest.join(cmap.withColumnRenamed("surface", "s"), "s", "left")
+        .withColumnRenamed("_canon", "_cs")
+        .join(cmap.withColumnRenamed("surface", "o"), "o", "left")
+        .select(
+            F.coalesce(F.col("_canon"), F.col("o")).alias("_o2"),
+            F.coalesce(F.col("_cs"), F.col("s")).alias("s"),
+            "p",
+        )
+        .select("s", "p", F.col("_o2").alias("o"))
+        .dropDuplicates()
+    )

@@ -302,3 +302,18 @@ def test_rdfs_closure_broadcasts_schema_side(spark):
     assert "BroadcastHashJoin" in p, p[:2000]
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert bad not in p, f"{bad} in plan:\n{p[:2000]}"
+
+
+def test_smush_rewrite_joins_are_broadcast(spark):
+    """The corpus-scale rewrite must be two BroadcastHashJoins against
+    the checkpointed class map — never a shuffle of the fact stream."""
+    from rdf_indexes_spark.operators.canonicalize import smush
+
+    df = spark.createDataFrame(
+        [("a2", "sameAs", "a1"), ("a2", "knows", "b")],
+        "s string, p string, o string",
+    )
+    p = _plan(smush(df, "sameAs"))
+    assert p.count("BroadcastHashJoin") >= 2, p[:2000]
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in p, f"{bad} in plan:\n{p[:2000]}"

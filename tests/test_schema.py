@@ -269,3 +269,45 @@ def test_rdfs_closure_int_ids(spark):
         (100, 2, 10), (100, 2, 11), (100, 2, 12),
         (10, 1, 11), (10, 1, 12), (11, 1, 12),
     }
+
+
+def test_smush_golden(spark):
+    """Chained sameAs classes merge transitively, both subject and
+    object positions rewrite, untouched terms pass through, collapsing
+    rewrites dedup, and sameAs edges are dropped."""
+    from rdf_indexes_spark.operators.canonicalize import smush
+
+    df = spark.createDataFrame(
+        [
+            # class {a1, a2, a3} via a chain; canonical = 'a1'
+            ("a2", "sameAs", "a1"), ("a3", "sameAs", "a2"),
+            # class {b1, b9}; canonical = 'b1'
+            ("b9", "sameAs", "b1"),
+            # facts: subject rewrites, object rewrites, both rewrite
+            ("a2", "knows", "b9"), ("a3", "knows", "b9"),  # collapse to one
+            ("x", "likes", "a3"),
+            ("a1", "likes", "x"),   # already canonical
+            ("x", "likes", "y"),    # untouched
+            ("a2", "self", "a2"),   # both positions → (a1, self, a1)
+        ],
+        "s string, p string, o string",
+    )
+    got = {(r.s, r.p, r.o) for r in smush(df, "sameAs").collect()}
+    assert got == {
+        ("a1", "knows", "b1"),
+        ("x", "likes", "a1"),
+        ("a1", "likes", "x"),
+        ("x", "likes", "y"),
+        ("a1", "self", "a1"),
+    }
+
+
+def test_smush_int_ids(spark):
+    from rdf_indexes_spark.operators.canonicalize import smush
+
+    df = spark.createDataFrame(
+        [(7, 0, 3), (3, 0, 9), (100, 1, 9), (9, 1, 100)],
+        "s long, p long, o long",
+    )
+    got = {(r.s, r.p, r.o) for r in smush(df, 0).collect()}
+    assert got == {(100, 1, 3), (3, 1, 100)}
