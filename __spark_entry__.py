@@ -920,6 +920,40 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_rhodf_entailment(spark, sf_dir):
+    """Full ρdf closure over the events stream: every event_type is a
+    subProperty of 'interacts' (itself sub 'acts'), 'interacts' carries
+    a domain (Agent) and range (Event), and a 3-class/2-class hierarchy
+    lifts the derived types — exercising rdfs2/3/5/7/9/11 in one op."""
+    from rdf_indexes_spark.functions.ranking import _literal_df
+    from rdf_indexes_spark.operators.schema import rhodf_entailment
+
+    ev = _read(spark, sf_dir, "events")
+    sp_edges = (
+        ev.select(F.col("event_type").alias("s")).distinct()
+        .select("s", F.lit("sp").alias("p"), F.lit("interacts").alias("o"))
+    )
+    schema_rows = _literal_df(
+        spark,
+        [
+            ("interacts", "sp", "acts"),
+            ("Agent", "sc", "LegalEntity"),
+            ("LegalEntity", "sc", "Entity"),
+            ("Event", "sc", "Happening"),
+            ("interacts", "dom", "Agent"),
+            ("interacts", "rng", "Event"),
+        ],
+        [("s", "string"), ("p", "string"), ("o", "string")],
+    )
+    inst = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("p"),
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("o"),
+    )
+    triples = sp_edges.unionByName(schema_rows).unionByName(inst)
+    return rhodf_entailment(triples, "sc", "sp", "dom", "rng", "type")
+
+
 def _q_sameas_smush(spark, sf_dir):
     """owl:sameAs smushing over a region-keyed identity graph: every
     nation asserts sameAs its region, so each region's nations form one
@@ -2167,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_inverse_predicates": _q_inverse_predicates,
         "kg_rdfs_closure": _q_rdfs_closure,
         "kg_sameas_smush": _q_sameas_smush,
+        "kg_rhodf_entailment": _q_rhodf_entailment,
         "kg_fact_history": _q_fact_history,
         "kg_current_facts": _q_current_facts,
         "conversation_stats": _q_conversation_stats,
@@ -2872,6 +2907,34 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(co.canon, t.o) AS o FROM t "
             "LEFT JOIN cmap cs ON cs.node = t.s "
             "LEFT JOIN cmap co ON co.node = t.o"
+        ),
+        "kg_rhodf_entailment": (
+            "WITH RECURSIVE spe(s, o) AS ("
+            "SELECT DISTINCT event_type, 'interacts' FROM events "
+            "UNION ALL SELECT 'interacts', 'acts'), "
+            "spc(s, o) AS (SELECT s, o FROM spe "
+            "UNION SELECT c.s, e.o FROM spc c JOIN spe e ON c.o = e.s), "
+            "sce(s, o) AS (SELECT * FROM (VALUES ('Agent', 'LegalEntity'), "
+            "('LegalEntity', 'Entity'), ('Event', 'Happening')) v(s, o)), "
+            "scc(s, o) AS (SELECT s, o FROM sce "
+            "UNION SELECT c.s, e.o FROM scc c JOIN sce e ON c.o = e.s), "
+            "domt(p, c) AS (SELECT * FROM (VALUES ('interacts', 'Agent')) v(p, c)), "
+            "rngt(p, c) AS (SELECT * FROM (VALUES ('interacts', 'Event')) v(p, c)), "
+            "inst(s, p, o) AS (SELECT 'u' || CAST(user_id AS VARCHAR), event_type, "
+            "'e' || CAST(event_id AS VARCHAR) FROM events), "
+            "insta AS (SELECT s, p, o FROM inst "
+            "UNION ALL SELECT i.s, c.o, i.o FROM inst i JOIN spc c ON i.p = c.s), "
+            "typed AS (SELECT i.s AS s, d.c AS c FROM insta i JOIN domt d ON i.p = d.p "
+            "UNION ALL SELECT i.o, r.c FROM insta i JOIN rngt r ON i.p = r.p), "
+            "typeda AS (SELECT s, c FROM typed "
+            "UNION ALL SELECT t.s, m.o FROM typed t JOIN scc m ON t.c = m.s) "
+            "SELECT DISTINCT s, p, o FROM ("
+            "SELECT s, p, o FROM insta "
+            "UNION ALL SELECT s, 'type', c FROM typeda "
+            "UNION ALL SELECT s, 'sp', o FROM spc "
+            "UNION ALL SELECT s, 'sc', o FROM scc "
+            "UNION ALL SELECT p, 'dom', c FROM domt "
+            "UNION ALL SELECT p, 'rng', c FROM rngt)"
         ),
         "kg_fact_history": (
             # identical gaps-and-islands twin over the (ts, o) order;

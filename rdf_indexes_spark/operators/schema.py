@@ -340,3 +340,128 @@ def rdfs_closure(
     )
     all_sub = closure.select("s", sub_lit.alias("p"), "o")
     return all_types.unionByName(all_sub)
+
+
+def _maybe_broadcast(df: DataFrame, threshold: int) -> DataFrame:
+    """Checkpoint a schema-scale frame and broadcast it when small.
+
+    The count gate runs on the checkpointed frame, so the closure /
+    filter plan above it computes exactly once regardless of how many
+    joins consume the result."""
+    df = df.localCheckpoint()
+    if threshold and df.count() <= threshold:
+        return F.broadcast(df)
+    return df
+
+
+def rhodf_entailment(
+    triples: DataFrame,
+    subclass_p,
+    subproperty_p,
+    domain_p,
+    range_p,
+    type_p,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    max_rounds: int = 64,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Full ρdf deductive closure (Muñoz/Pérez/Gutierrez's minimal RDFS
+    fragment): rules rdfs2 (domain), rdfs3 (range), rdfs5+7
+    (subPropertyOf transitivity + property entailment), rdfs9+11
+    (subClassOf transitivity + type entailment), over one (s, p, o)
+    graph whose schema rows are tagged by the five predicate arguments.
+
+    Output = the entailed graph, duplicate-free:
+      - every asserted instance triple plus its (s, q, o) expansion for
+        each superproperty q of p (rdfs7 over the rdfs5 closure),
+      - every type triple — asserted, domain-derived (subject of any
+        expanded instance triple whose property declares a domain),
+        range-derived (object likewise) — closed upward under
+        subClassOf (rdfs9 over the rdfs11 closure),
+      - the schema itself: 1+-hop subPropertyOf and subClassOf closure
+        pairs and the asserted domain/range rows.
+
+    Restriction (documented, standard in practice): the five schema
+    predicates themselves must not appear as subjects of subPropertyOf
+    — i.e. no meta-hierarchy over rdf:type & co.
+
+    Scale plan: every rule joins the INSTANCE-scale stream against a
+    SCHEMA-scale frame (property closure, domain map, range map, class
+    closure), each checkpointed once and broadcast under
+    ``broadcast_threshold`` — so instance rows never shuffle for any
+    rule; the single wide exchange is the final global dedup. The
+    reference materializes asserted triples only
+    (/root/reference/src/build.cpp workflow); this closure is the KG
+    -construction step that makes its pattern queries inference-aware.
+    """
+    from ..plans.paths import closure_pairs
+
+    p_type = triples.schema[p_col].dataType
+    lits = {
+        name: F.lit(v).cast(p_type)
+        for name, v in (
+            ("sc", subclass_p), ("sp", subproperty_p), ("dom", domain_p),
+            ("rng", range_p), ("type", type_p),
+        )
+    }
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    )
+
+    sp_clo = _maybe_broadcast(
+        closure_pairs(t.filter(F.col("p") == lits["sp"]).select("s", "o"),
+                      max_rounds=max_rounds),
+        broadcast_threshold,
+    )
+    sc_clo = _maybe_broadcast(
+        closure_pairs(t.filter(F.col("p") == lits["sc"]).select("s", "o"),
+                      max_rounds=max_rounds),
+        broadcast_threshold,
+    )
+    dom = _maybe_broadcast(
+        t.filter(F.col("p") == lits["dom"]).select("p", "s", F.col("o").alias("c"))
+         .drop("p"), broadcast_threshold,
+    )
+    rng = _maybe_broadcast(
+        t.filter(F.col("p") == lits["rng"]).select("p", "s", F.col("o").alias("c"))
+         .drop("p"), broadcast_threshold,
+    )
+
+    is_schema = (
+        (F.col("p") == lits["sc"]) | (F.col("p") == lits["sp"])
+        | (F.col("p") == lits["dom"]) | (F.col("p") == lits["rng"])
+        | (F.col("p") == lits["type"])
+    )
+    inst = t.filter(~is_schema)
+    # rdfs7: (s p o) + p sp* q → (s q o); intermediate dedups deferred
+    # to the single final exchange
+    pmap = sp_clo.select(F.col("s").alias("p"), F.col("o").alias("_q"))
+    inst_all = inst.unionByName(
+        inst.join(pmap, "p").select("s", F.col("_q").alias("p"), "o")
+    )
+
+    # rdfs2 / rdfs3 over the expanded stream (superproperty domains fire)
+    typed = (
+        t.filter(F.col("p") == lits["type"]).select("s", F.col("o").alias("c"))
+        .unionByName(inst_all.join(dom.withColumnRenamed("s", "p"), "p")
+                     .select("s", "c"))
+        .unionByName(inst_all.join(rng.withColumnRenamed("s", "p"), "p")
+                     .select(F.col("o").alias("s"), "c"))
+    )
+    # rdfs9 over the class closure
+    cmap = sc_clo.select(F.col("s").alias("c"), F.col("o").alias("_d"))
+    typed_all = typed.unionByName(
+        typed.join(cmap, "c").select("s", F.col("_d").alias("c"))
+    )
+
+    out = (
+        inst_all
+        .unionByName(typed_all.select("s", lits["type"].alias("p"), F.col("c").alias("o")))
+        .unionByName(sp_clo.select("s", lits["sp"].alias("p"), "o"))
+        .unionByName(sc_clo.select("s", lits["sc"].alias("p"), "o"))
+        .unionByName(t.filter(F.col("p") == lits["dom"]))
+        .unionByName(t.filter(F.col("p") == lits["rng"]))
+    )
+    return out.dropDuplicates()

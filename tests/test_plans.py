@@ -317,3 +317,18 @@ def test_smush_rewrite_joins_are_broadcast(spark):
     assert p.count("BroadcastHashJoin") >= 2, p[:2000]
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert bad not in p, f"{bad} in plan:\n{p[:2000]}"
+
+
+def test_rhodf_rules_join_broadcast_only(spark):
+    """Every ρdf rule joins the instance stream against a broadcast
+    schema frame; the only wide exchange is the final dedup."""
+    from rdf_indexes_spark.operators.schema import rhodf_entailment
+
+    df = spark.createDataFrame(
+        [("w", "sp", "r"), ("w", "dom", "C"), ("a", "w", "b")],
+        "s string, p string, o string",
+    )
+    p = _plan(rhodf_entailment(df, "sc", "sp", "dom", "rng", "type"))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in p, f"{bad} in plan:\n{p[:2000]}"
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]

@@ -311,3 +311,64 @@ def test_smush_int_ids(spark):
     )
     got = {(r.s, r.p, r.o) for r in smush(df, 0).collect()}
     assert got == {(100, 1, 3), (3, 1, 100)}
+
+
+def test_rhodf_entailment_golden(spark):
+    """Hand-checked ρdf closure: rdfs7 property expansion through a
+    2-level subPropertyOf chain, domain/range typing fired on EXPANDED
+    triples (superproperty domains apply), rdfs9 type lift through the
+    class chain, schema closure pairs emitted."""
+    from rdf_indexes_spark.operators.schema import rhodf_entailment
+
+    df = spark.createDataFrame(
+        [
+            ("worksFor", "sp", "affiliatedWith"),
+            ("affiliatedWith", "sp", "relatedTo"),
+            ("Employee", "sc", "Person"),
+            ("Person", "sc", "Agent"),
+            ("worksFor", "dom", "Employee"),
+            ("relatedTo", "dom", "Thing"),
+            ("worksFor", "rng", "Org"),
+            ("bob", "type", "Employee"),
+            ("alice", "worksFor", "acme"),
+            ("x", "relatedTo", "y"),
+        ],
+        "s string, p string, o string",
+    )
+    got = {
+        (r.s, r.p, r.o)
+        for r in rhodf_entailment(df, "sc", "sp", "dom", "rng", "type").collect()
+    }
+    want = {
+        # rdfs7 expansion
+        ("alice", "worksFor", "acme"), ("alice", "affiliatedWith", "acme"),
+        ("alice", "relatedTo", "acme"), ("x", "relatedTo", "y"),
+        # types: dom/range on expanded stream + sc lift
+        ("alice", "type", "Employee"), ("alice", "type", "Person"),
+        ("alice", "type", "Agent"), ("alice", "type", "Thing"),
+        ("bob", "type", "Employee"), ("bob", "type", "Person"),
+        ("bob", "type", "Agent"),
+        ("x", "type", "Thing"),
+        ("acme", "type", "Org"),
+        # schema closure
+        ("worksFor", "sp", "affiliatedWith"), ("worksFor", "sp", "relatedTo"),
+        ("affiliatedWith", "sp", "relatedTo"),
+        ("Employee", "sc", "Person"), ("Employee", "sc", "Agent"),
+        ("Person", "sc", "Agent"),
+        ("worksFor", "dom", "Employee"), ("relatedTo", "dom", "Thing"),
+        ("worksFor", "rng", "Org"),
+    }
+    assert got == want
+
+
+def test_rhodf_no_schema_is_identity(spark):
+    """With no schema rows the closure is the asserted instance set."""
+    from rdf_indexes_spark.operators.schema import rhodf_entailment
+
+    df = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "a"), ("a", "knows", "b")],
+        "s string, p string, o string",
+    )
+    got = {(r.s, r.p, r.o)
+           for r in rhodf_entailment(df, "sc", "sp", "dom", "rng", "type").collect()}
+    assert got == {("a", "knows", "b"), ("b", "knows", "a")}
