@@ -920,6 +920,39 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_bfs_distances(spark, sf_dir):
+    """3-hop neighborhood of nation-0 customers over the real
+    purchase graph: customer→order→part→supplier edges; minimum hop
+    count per reached node."""
+    from rdf_indexes_spark.operators.graph import bfs_distances
+
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    c = _read(spark, sf_dir, "customer")
+    edges = (
+        o.select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+        )
+        .unionAll(
+            li.select(
+                F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            )
+        )
+    )
+    seeds = c.filter(F.col("c_nationkey") == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return bfs_distances(edges, seeds, max_hops=3)
+
+
 def _q_rhodf_entailment(spark, sf_dir):
     """Full ρdf closure over the events stream: every event_type is a
     subProperty of 'interacts' (itself sub 'acts'), 'interacts' carries
@@ -2202,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_closure": _q_rdfs_closure,
         "kg_sameas_smush": _q_sameas_smush,
         "kg_rhodf_entailment": _q_rhodf_entailment,
+        "kg_bfs_distances": _q_bfs_distances,
         "kg_fact_history": _q_fact_history,
         "kg_current_facts": _q_current_facts,
         "conversation_stats": _q_conversation_stats,
@@ -2935,6 +2969,21 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT s, 'sc', o FROM scc "
             "UNION ALL SELECT p, 'dom', c FROM domt "
             "UNION ALL SELECT p, 'rng', c FROM rngt)"
+        ),
+        "kg_bfs_distances": (
+            "WITH RECURSIVE e(src, dst) AS ("
+            "SELECT 'c' || CAST(o_custkey AS VARCHAR), "
+            "'o' || CAST(o_orderkey AS VARCHAR) FROM orders "
+            "UNION ALL SELECT 'o' || CAST(l_orderkey AS VARCHAR), "
+            "'p' || CAST(l_partkey AS VARCHAR) FROM lineitem "
+            "UNION ALL SELECT 'p' || CAST(l_partkey AS VARCHAR), "
+            "'s' || CAST(l_suppkey AS VARCHAR) FROM lineitem), "
+            "d(node, dist) AS ("
+            "SELECT 'c' || CAST(c_custkey AS VARCHAR), 0 FROM customer "
+            "WHERE c_nationkey = 0 "
+            "UNION SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node "
+            "WHERE d.dist < 3) "
+            "SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM d GROUP BY node"
         ),
         "kg_fact_history": (
             # identical gaps-and-islands twin over the (ts, o) order;

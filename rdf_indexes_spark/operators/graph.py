@@ -364,3 +364,60 @@ def label_propagation(
     raise RuntimeError(
         f"label_propagation did not converge within {max_rounds} rounds"
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """(node, dist): minimum hop count from ANY seed, bounded at
+    ``max_hops`` — the n-hop-neighborhood primitive KG pipelines use
+    for subgraph extraction around query entities (the reference
+    answers single-pattern lookups, /root/reference/src/queries.cpp;
+    multi-hop expansion is its natural composition).
+
+    seeds: a one-column (node) frame; seeds report dist 0 even when
+    isolated. Exact frontier BFS, not Dijkstra — edges are unweighted.
+
+    Scale shape per hop: one join of the CURRENT FRONTIER (not the
+    visited set) against the edge list keyed on src, one dedup, one
+    anti-join against visited. Visited accumulates as a flat union of
+    per-hop checkpointed deltas, so no plan grows with hop count; the
+    loop exits early when a frontier empties. Hub fan-out lands in the
+    dedup aggregate's map-side partials. All exchanges are node- or
+    frontier-scale; nothing is ever collected to the driver.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+    e = e.dropDuplicates().localCheckpoint(eager=False)
+
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .dropDuplicates()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

@@ -392,3 +392,49 @@ def test_label_propagation_matches_python_model(spark):
     df = spark.createDataFrame(sorted(edges), "src long, dst long")
     got = {r.n: r.community for r in label_propagation(df).collect()}
     assert got == lbl
+
+
+def test_bfs_distances_golden(spark):
+    """Diamond + tail: min distance wins on converging paths, the hop
+    bound truncates, isolated seeds stay at 0, directionality holds."""
+    from rdf_indexes_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+         ("e", "f"), ("z", "a")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("lone",)], "node string")
+    got = {(r.node, r.dist) for r in bfs_distances(edges, seeds, 2).collect()}
+    # z→a edge must NOT pull z in (directed); f is 3 hops — cut off
+    assert got == {("a", 0), ("lone", 0), ("b", 1), ("c", 1), ("d", 2)}
+    und = {(r.node, r.dist)
+           for r in bfs_distances(edges, seeds, 1, directed=False).collect()}
+    assert und == {("a", 0), ("lone", 0), ("b", 1), ("c", 1), ("z", 1)}
+
+
+def test_bfs_distances_brute_force(spark):
+    import random
+
+    from rdf_indexes_spark.operators.graph import bfs_distances
+
+    rng = random.Random(17)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(80)}
+    seed_nodes = [0, 1]
+    # python BFS
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    want, frontier = {s: 0 for s in seed_nodes}, list(seed_nodes)
+    for d in range(1, 5):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in want:
+                    want[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    s = spark.createDataFrame([(n,) for n in seed_nodes], "node long")
+    got = {r.node: r.dist for r in bfs_distances(e, s, 4).collect()}
+    assert got == want
