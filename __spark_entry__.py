@@ -920,6 +920,25 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_property_table(spark, sf_dir):
+    """Entity-record pivot over the events assertion stream: one row
+    per user, min props per event_type column (nulls filled with '-'
+    for the cross-engine hash)."""
+    from rdf_indexes_spark.operators.schema import property_table
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("p"),
+        F.col("props").alias("o"),
+    )
+    out = property_table(ev, ["click", "view", "purchase"])
+    return out.select(
+        "s",
+        *[F.coalesce(F.col(c), F.lit("-")).alias(c)
+          for c in ("click", "view", "purchase")],
+    )
+
+
 def _q_bfs_distances(spark, sf_dir):
     """3-hop neighborhood of nation-0 customers over the real
     purchase graph: customer→order→part→supplier edges; minimum hop
@@ -2236,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas_smush": _q_sameas_smush,
         "kg_rhodf_entailment": _q_rhodf_entailment,
         "kg_bfs_distances": _q_bfs_distances,
+        "kg_property_table": _q_property_table,
         "kg_fact_history": _q_fact_history,
         "kg_current_facts": _q_current_facts,
         "conversation_stats": _q_conversation_stats,
@@ -2984,6 +3004,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node "
             "WHERE d.dist < 3) "
             "SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM d GROUP BY node"
+        ),
+        "kg_property_table": (
+            "SELECT 'u' || CAST(user_id AS VARCHAR) AS s, "
+            "coalesce(min(CASE WHEN event_type = 'click' THEN props END), '-') AS click, "
+            "coalesce(min(CASE WHEN event_type = 'view' THEN props END), '-') AS view, "
+            "coalesce(min(CASE WHEN event_type = 'purchase' THEN props END), '-') AS purchase "
+            "FROM events WHERE event_type IN ('click', 'view', 'purchase') "
+            "GROUP BY 1"
         ),
         "kg_fact_history": (
             # identical gaps-and-islands twin over the (ts, o) order;

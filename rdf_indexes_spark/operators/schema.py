@@ -465,3 +465,37 @@ def rhodf_entailment(
         .unionByName(t.filter(F.col("p") == lits["rng"]))
     )
     return out.dropDuplicates()
+
+
+def property_table(
+    triples: DataFrame,
+    predicates: list,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """Property-table pivot: one row per subject, one column per
+    requested predicate holding the MINIMUM object (deterministic under
+    multi-valued predicates; absent → null). The classic triple-store
+    physical design (Abadi et al., SW-Store) re-expressed as an export:
+    KG pipelines pivot entity attributes into a feature table before
+    training-data assembly. The reference's per-permutation layout
+    (/root/reference/include/index.hpp) answers (s, p, ?) point
+    lookups; this is the columnar batch form of |predicates| of them.
+
+    Scale plan: ONE hash aggregate (groupBy subject, pivot with an
+    EXPLICIT predicate list — no extra distinct-values job), map-side
+    partials absorb subjects with many facts; predicate filter pushed
+    to the scan. Column names are exactly the predicate strings.
+    """
+    if not predicates:
+        raise ValueError("predicates must be non-empty")
+    preds = [str(x) for x in predicates]
+    if len(set(preds)) != len(preds):
+        raise ValueError("duplicate predicate names collide as columns")
+    t = triples.select(
+        F.col(s_col).alias("s"),
+        F.col(p_col).cast("string").alias("p"),
+        F.col(o_col).alias("o"),
+    ).filter(F.col("p").isin(preds))
+    return t.groupBy("s").pivot("p", preds).agg(F.min("o"))

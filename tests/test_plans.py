@@ -332,3 +332,23 @@ def test_rhodf_rules_join_broadcast_only(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert bad not in p, f"{bad} in plan:\n{p[:2000]}"
     assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+
+
+def test_property_table_single_aggregate(spark):
+    """The pivot must plan as ONE hash-aggregate pair (partial+final,
+    one exchange) with the predicate filter pushed — no per-predicate
+    join fan-out and no extra distinct-values job."""
+    from rdf_indexes_spark.operators.schema import property_table
+
+    df = spark.createDataFrame(
+        [("e", "a", "1"), ("e", "b", "2")], "s string, p string, o string"
+    )
+    p = _plan(property_table(df, ["a", "b"]))
+    assert p.count("Exchange hashpartitioning") == 1, p[:1500]
+    assert "Join" not in p, p[:1500]
+    assert "partial_min" in p, p[:1500]  # map-side combine before the wire
+    # numeric payloads must stay in HashAggregate (string min is
+    # inherently sort-based in Spark — fixed-width buffers only)
+    dfl = spark.createDataFrame([("e", "a", 1)], "s string, p string, o long")
+    pl = _plan(property_table(dfl, ["a", "b"]))
+    assert "HashAggregate" in pl and "SortAggregate" not in pl, pl[:1500]

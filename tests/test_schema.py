@@ -372,3 +372,25 @@ def test_rhodf_no_schema_is_identity(spark):
     got = {(r.s, r.p, r.o)
            for r in rhodf_entailment(df, "sc", "sp", "dom", "rng", "type").collect()}
     assert got == {("a", "knows", "b"), ("b", "knows", "a")}
+
+
+def test_property_table_golden(spark):
+    from rdf_indexes_spark.operators.schema import property_table
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            ("e1", "name", "zeta"), ("e1", "name", "alpha"),  # multi → min
+            ("e1", "age", "30"),
+            ("e2", "age", "41"),
+            ("e3", "other", "x"),  # no requested predicate → absent
+        ],
+        "s string, p string, o string",
+    )
+    rows = {r.s: (r.name, r.age)
+            for r in property_table(df, ["name", "age"]).collect()}
+    assert rows == {"e1": ("alpha", "30"), "e2": (None, "41")}
+    with pytest.raises(ValueError):
+        property_table(df, [])
+    with pytest.raises(ValueError):
+        property_table(df, ["name", "name"])
