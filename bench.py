@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "render_chat",
     "asof_join_events",
     "time_rollup_events",
+    "kg_rhodf_entailment",
+    "kg_sameas_smush",
+    "kg_bfs_distances",
+    "kg_property_table",
     # g4_path_closure stays OUT of the bench set: on this table's random
     # quasi-bipartite edge graph the closure ANSWER is ~|V|^2 — timing it
     # measures output size, not the engine. Correctness gates at sf0.01.
