@@ -920,6 +920,36 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_time_resample(spark, sf_dir):
+    """Hourly per-event-type grid with gaps filled: counts + exact
+    hundredths totals, zeros where an hour has no events."""
+    from rdf_indexes_spark.operators.temporal import time_resample
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    return time_resample(ev, "ts", 3600, ["event_type"], "v100")
+
+
+def _q_grouped_quantiles(spark, sf_dir):
+    """Exact per-language nearest-rank length quantiles over the
+    documents table."""
+    from rdf_indexes_spark.functions.ranking import grouped_quantiles
+
+    docs = _read(spark, sf_dir, "documents")
+    return grouped_quantiles(docs, ["lang"], "n_chars", (500, 900, 990))
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic 50-per-language sample: the affine-hash-ordered
+    prefix of each stratum (same portable hash family as sample_hash)."""
+    from rdf_indexes_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(docs, 50, "lang")
+
+
 def _q_property_table(spark, sf_dir):
     """Entity-record pivot over the events assertion stream: one row
     per user, min props per event_type column (nulls filled with '-'
@@ -2256,6 +2286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rhodf_entailment": _q_rhodf_entailment,
         "kg_bfs_distances": _q_bfs_distances,
         "kg_property_table": _q_property_table,
+        "time_resample_events": _q_time_resample,
+        "grouped_quantiles_chars": _q_grouped_quantiles,
+        "sample_stratified": _q_stratified_sample,
         "kg_fact_history": _q_fact_history,
         "kg_current_facts": _q_current_facts,
         "conversation_stats": _q_conversation_stats,
@@ -3012,6 +3045,40 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(min(CASE WHEN event_type = 'purchase' THEN props END), '-') AS purchase "
             "FROM events WHERE event_type IN ('click', 'view', 'purchase') "
             "GROUP BY 1"
+        ),
+        "time_resample_events": (
+            "WITH a AS (SELECT event_type, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS es, "
+            "CAST(floor(value * 100) AS BIGINT) AS v FROM events), "
+            "per AS (SELECT event_type, es - es % 3600 AS bucket, "
+            "COUNT(*) AS n, SUM(v) AS total FROM a GROUP BY 1, 2), "
+            "spans AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi "
+            "FROM per GROUP BY 1), "
+            "grid AS (SELECT event_type, "
+            "unnest(generate_series(lo, hi, 3600)) AS bucket FROM spans) "
+            "SELECT g.event_type, g.bucket, "
+            "CAST(coalesce(p.n, 0) AS BIGINT) AS n, "
+            "CAST(coalesce(p.total, 0) AS BIGINT) AS total "
+            "FROM grid g LEFT JOIN per p "
+            "ON p.event_type = g.event_type AND p.bucket = g.bucket"
+        ),
+        "grouped_quantiles_chars": (
+            "WITH r AS (SELECT lang, n_chars AS value, "
+            "row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk, "
+            "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents), "
+            "p AS (SELECT unnest([500, 900, 990]) AS permille) "
+            "SELECT lang, CAST(permille AS BIGINT) AS permille, "
+            "CAST((permille * n + 999) // 1000 AS BIGINT) AS rank, "
+            "CAST(value AS BIGINT) AS value, CAST(n AS BIGINT) AS n "
+            "FROM r CROSS JOIN p WHERE rk = (permille * n + 999) // 1000"
+        ),
+        "sample_stratified": (
+            # hash-ordered prefix per stratum, same affine contract as
+            # sample_hash (A=625341585, B=461845907, P=2^31-1)
+            "SELECT doc_id, text, lang, source, n_chars FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY lang ORDER BY "
+            "(625341585 * (doc_id % 2147483647) + 461845907) % 2147483647, "
+            "doc_id) AS rn FROM documents) WHERE rn <= 50"
         ),
         "kg_fact_history": (
             # identical gaps-and-islands twin over the (ts, o) order;

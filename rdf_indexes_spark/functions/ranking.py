@@ -266,3 +266,52 @@ def exact_quantiles(
             F.lit(n).cast("long").alias("n"),
         )
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    permille: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """(groups..., permille, rank, value, n): EXACT nearest-rank
+    quantiles PER GROUP — rank = ceil(permille·n/1000) in pure integer
+    arithmetic, the same contract as ``exact_quantiles``.
+
+    Plan: one group-keyed exchange; row_number + count windows share
+    the partitioning, the permille expansion is a map-side explode
+    filtered in the same codegen stage. Each group sorts within one
+    task — right for bounded groups (per-language, per-source stats);
+    for one giant group use ``exact_quantiles``'s range-exchange plan.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    pms = sorted(set(int(p) for p in permille))
+    for pm in pms:
+        if not 0 < pm <= 1000:
+            raise ValueError(f"permille points must be in (0, 1000], got {pm}")
+    w = Window.partitionBy(*group_cols).orderBy(F.col("value"))
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(*group_cols, F.col(col).alias("value")).select(
+        "*",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.withColumn("permille", F.explode(F.array(*[F.lit(p) for p in pms])))
+        .withColumn(
+            "rank",
+            ((F.col("permille") * F.col("n") + 999) - F.pmod(
+                F.col("permille") * F.col("n") + 999, F.lit(1000)
+            )) / F.lit(1000),
+        )
+        .withColumn("rank", F.col("rank").cast("long"))
+        .filter(F.col("_rk") == F.col("rank"))
+        .select(
+            *group_cols,
+            F.col("permille").cast("long").alias("permille"),
+            "rank",
+            "value",
+            F.col("n").cast("long").alias("n"),
+        )
+    )

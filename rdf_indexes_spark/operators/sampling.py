@@ -296,3 +296,39 @@ def negative_samples(
     if filter_true:
         out = out.join(t.distinct(), ["s", "p", "o"], "left_anti")
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    n: int,
+    stratum_col: str,
+    key_col: str = "doc_id",
+    a: int = _A,
+    b: int = _B,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum — the hash-ordered
+    prefix of each stratum: rank rows by the affine variate of their
+    key (ties by key) and keep the first n. Deterministic per key set,
+    stable under corpus growth ONLY in distribution (a new low-hash row
+    displaces the current rank-n row — exactness and growth-stability
+    are mutually exclusive; ``hash_sample`` trades the other way).
+
+    Plan: one stratum-keyed exchange; the row_number filter compiles to
+    WindowGroupLimit (Spark 3.5+), so every map task pre-prunes to its
+    local top-n per stratum BEFORE the wire — the shuffle carries
+    O(strata × n × tasks) rows, not the corpus.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    hv = F.pmod(
+        F.lit(a) * F.pmod(F.col(key_col).cast("long"), F.lit(_P)) + F.lit(b),
+        F.lit(_P),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(hv.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(int(n)))
+        .drop("_rn")
+    )

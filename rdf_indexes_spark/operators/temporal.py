@@ -275,3 +275,72 @@ def time_rollup(
         F.col("first_epoch").cast("long").alias("first_epoch"),
         F.col("last_epoch").cast("long").alias("last_epoch"),
     )
+
+
+def time_resample(
+    df: DataFrame,
+    ts_col: str,
+    step: int,
+    key_cols: list[str],
+    value_col: str | None = None,
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Gap-filling resample: (keys..., bucket, n[, total]) on a fixed
+    ``step``-second grid with EMPTY buckets materialized as zeros
+    between each key's first and last event — the downsampling shape
+    every time-series consumer assumes (a missing bucket means "no
+    row", which silently breaks rolling averages and charts alike).
+
+    ``bucket`` is the epoch-second bucket start (long); ``ts_col`` may
+    be a timestamp or an integer epoch column. ``value_col`` (integer)
+    adds an exact summed ``total`` per bucket (0 when empty).
+
+    Plan: ONE corpus-scale aggregate to (keys, bucket); the grid is
+    rebuilt from a keys-scale span frame via sequence()+explode (bounded
+    by ``max_buckets_per_key`` — a degenerate span raises instead of
+    exploding) and left-joins the bucket counts — every post-aggregate
+    frame is bucket-scale, never corpus-scale. Corpus rows cross the
+    wire exactly once.
+    """
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    epoch = (
+        F.unix_timestamp(F.col(ts_col))
+        if ts_type.startswith("timestamp")
+        else F.col(ts_col).cast("long")
+    )
+    b = (F.floor(epoch / F.lit(step)) * F.lit(step)).cast("long")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("long")).alias("total"))
+    per = df.groupBy(*key_cols, b.alias("bucket")).agg(*aggs)
+
+    nb = ((F.max("bucket") - F.min("bucket")) / F.lit(step) + 1).cast("long")
+    spans = per.groupBy(*key_cols).agg(
+        F.min("bucket").alias("_lo"),
+        F.when(nb <= F.lit(int(max_buckets_per_key)), F.max("bucket"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"key span exceeds max_buckets_per_key="
+                        f"{max_buckets_per_key} at step={step}: "
+                    ),
+                    F.min("bucket").cast("string"),
+                    F.lit(".."),
+                    F.max("bucket").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("_hi"),
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(F.sequence("_lo", "_hi", F.lit(step))).alias("bucket"),
+    )
+    out = grid.join(per, [*key_cols, "bucket"], "left")
+    fill = ["n"] + (["total"] if value_col is not None else [])
+    return out.fillna(0, subset=fill)

@@ -352,3 +352,34 @@ def test_property_table_single_aggregate(spark):
     dfl = spark.createDataFrame([("e", "a", 1)], "s string, p string, o long")
     pl = _plan(property_table(dfl, ["a", "b"]))
     assert "HashAggregate" in pl and "SortAggregate" not in pl, pl[:1500]
+
+
+def test_stratified_sample_window_group_limit(docs):
+    """The row_number filter must infer WindowGroupLimit so map tasks
+    pre-prune to local top-n before the stratum exchange."""
+    from rdf_indexes_spark.operators.sampling import stratified_sample
+
+    p = _plan(stratified_sample(docs, 5, "lang"))
+    assert "WindowGroupLimit" in p, p[:2000]
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+
+
+def test_time_resample_corpus_crosses_once(spark):
+    """One corpus-scale aggregate; span/grid frames are bucket-scale.
+    The grid join must be an equi-join, never a nested loop."""
+    from rdf_indexes_spark.operators.temporal import time_resample
+
+    df = spark.createDataFrame([("a", 100, 2)], "k string, t long, v long")
+    p = _plan(time_resample(df, "t", 10, ["k"], "v"))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in p, f"{bad} in plan:\n{p[:2000]}"
+    assert "partial_count" in p, p[:2000]  # map-side combine on the corpus agg
+
+
+def test_grouped_quantiles_single_exchange(spark):
+    from rdf_indexes_spark.functions.ranking import grouped_quantiles
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    p = _plan(grouped_quantiles(df, ["g"], "v"))
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    assert "Join" not in p, p[:2000]

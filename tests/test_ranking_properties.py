@@ -176,3 +176,52 @@ def test_exact_quantiles_errors(spark):
         exact_quantiles(df, "x", permille=(0,))
     with _pytest.raises(ValueError):
         exact_quantiles(df.filter("x > 5"), "x")
+
+
+def test_grouped_quantiles_python_parity(spark):
+    """Exact nearest-rank per group vs a python sort, with duplicates
+    and group sizes 1..n; global exact_quantiles agreement on a single
+    group."""
+    import random
+
+    from rdf_indexes_spark.functions.ranking import exact_quantiles, grouped_quantiles
+
+    rng = random.Random(5)
+    rows = [(f"g{rng.randrange(4)}", rng.randrange(20)) for _ in range(300)]
+    rows += [("solo", 42)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    pms = (1, 250, 500, 990, 1000)
+    got = {
+        (r.g, r.permille): (r.rank, r.value, r.n)
+        for r in grouped_quantiles(df, ["g"], "v", pms).collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    want = {}
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        for pm in pms:
+            rk = (pm * n + 999) // 1000
+            want[(g, pm)] = (rk, vs[rk - 1], n)
+    assert got == want
+    # single-group frame ties out with the global operator
+    solo = spark.createDataFrame([( "x", v) for v in range(1, 8)], "g string, v long")
+    gq = {(r.permille): (r.rank, r.value) for r in grouped_quantiles(solo, ["g"], "v").collect()}
+    eq = {(r.permille): (r.rank, r.value) for r in exact_quantiles(solo, "v").collect()}
+    assert gq == eq
+
+
+def test_grouped_quantiles_errors(spark):
+    import pytest
+
+    from rdf_indexes_spark.functions.ranking import grouped_quantiles
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, [], "v")
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, ["g"], "v", (0,))
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, ["g"], "v", (1001,))

@@ -222,3 +222,24 @@ def test_negative_samples_draws_spread_and_errors(spark):
     one = spark.createDataFrame([(1, 1, 5)], "s long, p long, o long")
     with _pytest.raises(ValueError):
         negative_samples(one)
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from rdf_indexes_spark.operators.dedup import _P
+    from rdf_indexes_spark.operators.sampling import _A, _B, stratified_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = stratified_sample(df, 5, "stratum").collect()
+    by_s = {}
+    for r in out:
+        by_s.setdefault(r.stratum, []).append(r.doc_id)
+    assert {s: len(v) for s, v in by_s.items()} == {"s0": 5, "s1": 5, "s2": 5, "tiny": 1}
+    # manual recount: hash-ordered prefix per stratum
+    for s, ids in by_s.items():
+        pool = [i for i, st in rows if st == s]
+        pool.sort(key=lambda k: ((_A * (k % _P) + _B) % _P, k))
+        assert sorted(ids) == sorted(pool[:5])
+    # layout invariance
+    again = stratified_sample(df.repartition(7), 5, "stratum").collect()
+    assert {(r.doc_id, r.stratum) for r in again} == {(r.doc_id, r.stratum) for r in out}

@@ -294,3 +294,50 @@ def test_asof_join_direction_errors(spark):
     df = spark.createDataFrame([("k", _ts(0), 1)], "key string, ts timestamp, v int")
     with _pytest.raises(ValueError):
         asof_join(df, df.drop("v"), on=["key"], direction="nearest")
+
+
+def test_time_resample_golden(spark):
+    """Gaps fill with zeros per key between that key's own min and max
+    bucket; totals sum exactly; epoch-int and timestamp inputs agree."""
+    import datetime as dt
+
+    from rdf_indexes_spark.operators.temporal import time_resample
+
+    rows = [
+        ("a", 100, 5), ("a", 105, 7),   # bucket 100 (n=2, total=12)
+        ("a", 130, 1),                   # bucket 130; 110,120 missing
+        ("b", 200, 4),                   # single bucket
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    got = {
+        (r.k, r.bucket): (r.n, r.total)
+        for r in time_resample(df, "t", 10, ["k"], "v").collect()
+    }
+    assert got == {
+        ("a", 100): (2, 12), ("a", 110): (0, 0), ("a", 120): (0, 0),
+        ("a", 130): (1, 1), ("b", 200): (1, 4),
+    }
+    # timestamp input, no value column
+    ts = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 0, 5)),
+         ("a", dt.datetime(2024, 1, 1, 0, 2, 0))],
+        "k string, ts timestamp",
+    )
+    out = time_resample(ts, "ts", 60, ["k"]).collect()
+    lo = min(r.bucket for r in out)
+    assert sorted((r.bucket - lo, r.n) for r in out) == [(0, 1), (60, 0), (120, 1)]
+
+
+def test_time_resample_guard_and_errors(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from rdf_indexes_spark.operators.temporal import time_resample
+
+    df = spark.createDataFrame([("a", 0, 1), ("a", 10**9, 1)], "k string, t long, v long")
+    with pytest.raises(SparkRuntimeException, match="max_buckets_per_key"):
+        time_resample(df, "t", 1, ["k"], max_buckets_per_key=100).collect()
+    with pytest.raises(ValueError):
+        time_resample(df, "t", 0, ["k"])
+    with pytest.raises(ValueError):
+        time_resample(df, "t", 10, [])
