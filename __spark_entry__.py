@@ -920,6 +920,16 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_fuzzy_pairs(spark, sf_dir):
+    """ER near-miss candidates over the part-name vocabulary:
+    first-letter blocking + levenshtein<=3 verify (the 'ring'/'rod'
+    family gives real near-collisions)."""
+    from rdf_indexes_spark.operators.link import fuzzy_pairs
+
+    parts = _read(spark, sf_dir, "part").select(F.col("p_name").alias("surface"))
+    return fuzzy_pairs(parts, max_dist=3, block_len=1)
+
+
 def _q_time_resample(spark, sf_dir):
     """Hourly per-event-type grid with gaps filled: counts + exact
     hundredths totals, zeros where an hour has no events."""
@@ -2286,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rhodf_entailment": _q_rhodf_entailment,
         "kg_bfs_distances": _q_bfs_distances,
         "kg_property_table": _q_property_table,
+        "er_fuzzy_pairs": _q_fuzzy_pairs,
         "time_resample_events": _q_time_resample,
         "grouped_quantiles_chars": _q_grouped_quantiles,
         "sample_stratified": _q_stratified_sample,
@@ -3045,6 +3056,19 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(min(CASE WHEN event_type = 'purchase' THEN props END), '-') AS purchase "
             "FROM events WHERE event_type IN ('click', 'view', 'purchase') "
             "GROUP BY 1"
+        ),
+        "er_fuzzy_pairs": (
+            # same normalization (strip non-alnum, lower), same prefix
+            # block, same metric — DuckDB's levenshtein is the standard DP
+            "WITH n AS (SELECT DISTINCT "
+            "regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS name "
+            "FROM part WHERE length(regexp_replace(lower(p_name), "
+            "'[^a-z0-9]', '', 'g')) > 0) "
+            "SELECT a.name AS name_a, b.name AS name_b, "
+            "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist "
+            "FROM n a JOIN n b ON substr(a.name, 1, 1) = substr(b.name, 1, 1) "
+            "AND a.name < b.name "
+            "WHERE levenshtein(a.name, b.name) <= 3"
         ),
         "time_resample_events": (
             "WITH a AS (SELECT event_type, "

@@ -94,3 +94,66 @@ def candidate_edges(mentions: DataFrame, materialize: bool = True) -> DataFrame:
     cand = same.unionByName(norm_edges)
     scored = cand.withColumn("score", link_score("a", "b", "prior"))
     return scored.filter(F.col("score") >= F.lit(SCORE_THRESHOLD)).select("a", "b", "score")
+
+
+def fuzzy_pairs(
+    surfaces: DataFrame,
+    name_col: str = "surface",
+    max_dist: int = 2,
+    block_len: int = 1,
+    max_block: int = 10_000,
+    normalize: bool = True,
+) -> DataFrame:
+    """Entity-resolution candidate pairs within edit distance:
+    (name_a, name_b, dist) for every DISTINCT normalized surface pair
+    (a < b) sharing a ``block_len``-prefix block with
+    levenshtein <= max_dist — the fuzzy companion to the exact-surface
+    ``candidate_edges`` link graph (the reference's vocabulary treats
+    distinct byte strings as distinct terms,
+    /root/reference/scripts/extract_vocabs.py; ER needs the near-miss
+    pairs too).
+
+    Blocking contract (documented recall limit): a typo INSIDE the
+    first ``block_len`` characters escapes its block — prefix blocking
+    is the classic throughput/recall trade; for guaranteed recall at
+    distance k swap the block column for a deletion-neighborhood
+    expansion (k·len blocks per name, same join shape).
+
+    Scale plan: pairs are generated per block by a self-equi-join over
+    the DISTINCT surface vocabulary (not the corpus), so cost is
+    sum(block²) over vocabulary-scale blocks; ``max_block`` guards the
+    quadratic blowup — an over-full block raises (a silently capped
+    block would change the answer). The levenshtein verify runs
+    JVM-side in the join's codegen stage.
+    """
+    if max_dist < 0 or block_len < 1:
+        raise ValueError("max_dist must be >= 0 and block_len >= 1")
+    name = F.col(name_col)
+    if normalize:
+        name = normalize_surface_col(name)
+    d = surfaces.select(name.alias("name")).filter(F.length("name") > 0).dropDuplicates()
+    b = d.withColumn("_blk", F.substring("name", 1, block_len))
+    sizes = b.groupBy("_blk").agg(
+        F.when(F.count(F.lit(1)) <= F.lit(int(max_block)), F.count(F.lit(1)))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"block exceeds max_block={max_block}: "), F.col("_blk")
+                )
+            ).cast("long")
+        )
+        .alias("_bn")
+    )
+    # the filter keeps _bn REFERENCED so column pruning cannot drop the
+    # guard expression out of the aggregate (always true when it
+    # doesn't raise)
+    guarded = b.join(F.broadcast(sizes), "_blk").filter(F.col("_bn") > 0).drop("_bn")
+    left = guarded.select("_blk", F.col("name").alias("name_a"))
+    right = guarded.select("_blk", F.col("name").alias("name_b"))
+    return (
+        left.join(right, "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= F.lit(int(max_dist)))
+        .drop("_blk")
+    )

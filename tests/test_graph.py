@@ -438,3 +438,40 @@ def test_bfs_distances_brute_force(spark):
     s = spark.createDataFrame([(n,) for n in seed_nodes], "node long")
     got = {r.node: r.dist for r in bfs_distances(e, s, 4).collect()}
     assert got == want
+
+
+def test_fuzzy_pairs_brute_force(spark):
+    """Blocked pairs = the brute-force pairs whose names share the
+    block prefix; duplicates collapse; guard raises on over-full
+    blocks."""
+    import itertools
+
+    import pytest
+
+    from rdf_indexes_spark.operators.link import fuzzy_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    names = ["Hot Rod!", "hot ring", "hot rod", "blue bolt", "blue  bolt",
+             "bolt blue", "b0lt"]
+    df = spark.createDataFrame([(n,) for n in names], "surface string")
+    got = {(r.name_a, r.name_b, r.dist)
+           for r in fuzzy_pairs(df, max_dist=3).collect()}
+    norm = sorted({"".join(c for c in n.lower() if c.isalnum()) for n in names})
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(norm, 2)
+        if a[0] == b[0] and lev(a, b) <= 3
+    }
+    assert got == want and got  # non-empty by construction
+    # the guard raises inside the broadcast-exchange thread, so it
+    # surfaces as a wrapped execution error — match on the message
+    with pytest.raises(Exception, match="max_block"):
+        fuzzy_pairs(df, max_dist=1, max_block=2).collect()
