@@ -920,6 +920,28 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_trailing_counts(spark, sf_dir):
+    """Leakage-safe trailing-hour features per user: strict-past count
+    and exact hundredths sum for every event."""
+    from rdf_indexes_spark.operators.temporal import trailing_counts
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    out = trailing_counts(ev, "ts", ["user_id"], 3600, "v100")
+    return out.select("event_id", "user_id", "n_prev", "sum_prev")
+
+
+def _q_event_transitions(spark, sf_dir):
+    """User-journey bigram census: event_type transition counts over
+    each user's (ts, event_id)-ordered stream."""
+    from rdf_indexes_spark.operators.temporal import event_transitions
+
+    ev = _read(spark, sf_dir, "events")
+    return event_transitions(ev, "ts", "user_id", "event_type", "event_id")
+
+
 def _q_fuzzy_pairs(spark, sf_dir):
     """ER near-miss candidates over the part-name vocabulary:
     first-letter blocking + levenshtein<=3 verify (the 'ring'/'rod'
@@ -2297,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_distances": _q_bfs_distances,
         "kg_property_table": _q_property_table,
         "er_fuzzy_pairs": _q_fuzzy_pairs,
+        "trailing_counts_events": _q_trailing_counts,
+        "event_transitions": _q_event_transitions,
         "time_resample_events": _q_time_resample,
         "grouped_quantiles_chars": _q_grouped_quantiles,
         "sample_stratified": _q_stratified_sample,
@@ -3056,6 +3080,23 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(min(CASE WHEN event_type = 'purchase' THEN props END), '-') AS purchase "
             "FROM events WHERE event_type IN ('click', 'view', 'purchase') "
             "GROUP BY 1"
+        ),
+        "trailing_counts_events": (
+            "WITH a AS (SELECT event_id, user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS es, "
+            "CAST(floor(value * 100) AS BIGINT) AS v FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS n_prev, "
+            "CAST(coalesce(SUM(v) OVER w, 0) AS BIGINT) AS sum_prev "
+            "FROM a WINDOW w AS (PARTITION BY user_id ORDER BY es "
+            "RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)"
+        ),
+        "event_transitions": (
+            "WITH t AS (SELECT event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS prev_state, event_type AS state, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM t "
+            "WHERE prev IS NOT NULL GROUP BY 1, 2"
         ),
         "er_fuzzy_pairs": (
             # same normalization (strip non-alnum, lower), same prefix

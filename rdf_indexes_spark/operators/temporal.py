@@ -344,3 +344,78 @@ def time_resample(
     out = grid.join(per, [*key_cols, "bucket"], "left")
     fill = ["n"] + (["total"] if value_col is not None else [])
     return out.fillna(0, subset=fill)
+
+
+def trailing_counts(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    window_s: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Point-in-time trailing-window features: every input row gains
+    ``n_prev`` (count of the key's rows in the ``window_s`` seconds
+    STRICTLY before it) and, with ``value_col``, ``sum_prev`` (their
+    exact integer sum, 0 when empty). Rows at the SAME instant are
+    excluded from each other's window — the leakage-safe convention
+    for training features (a same-timestamp peer is not "the past").
+
+    Plan: ONE key-partitioned RANGE-frame window over epoch seconds —
+    no self-join, no explode; cost is the sort within each key's
+    partition. Per-key history length is the skew bound (the same
+    shape as sessionize); keys are users/sessions, naturally bounded.
+    """
+    if window_s < 1:
+        raise ValueError(f"window_s must be >= 1, got {window_s}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    epoch = (
+        F.unix_timestamp(F.col(ts_col))
+        if ts_type.startswith("timestamp")
+        else F.col(ts_col).cast("long")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_epoch"))
+        .rangeBetween(-int(window_s), -1)
+    )
+    out = df.withColumn("_epoch", epoch).withColumn(
+        "n_prev", F.count(F.lit(1)).over(w)
+    )
+    if value_col is not None:
+        out = out.withColumn(
+            "sum_prev",
+            F.coalesce(F.sum(F.col(value_col).cast("long")).over(w), F.lit(0)),
+        )
+    return out.drop("_epoch")
+
+
+def event_transitions(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Markov transition census: (prev_state, state, n) counted over
+    each key's time-ordered event sequence — the bigram model of user
+    journeys / dialogue acts. Ties in the timestamp are ordered by
+    ``tiebreak_col`` (required for determinism when timestamps can
+    collide; pass the event id).
+
+    Plan: one key-partitioned window (lag) + one tiny (state, state)
+    hash aggregate with map-side partials — two exchanges, the second
+    over |states|² rows.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.select(
+            F.col(state_col).alias("state"),
+            F.lag(F.col(state_col)).over(w).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

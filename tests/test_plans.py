@@ -383,3 +383,13 @@ def test_grouped_quantiles_single_exchange(spark):
     p = _plan(grouped_quantiles(df, ["g"], "v"))
     assert p.count("Exchange hashpartitioning") == 1, p[:2000]
     assert "Join" not in p, p[:2000]
+
+
+def test_trailing_counts_single_window_exchange(spark):
+    """One key-partitioned exchange; no self-join, no explode."""
+    from rdf_indexes_spark.operators.temporal import trailing_counts
+
+    df = spark.createDataFrame([("u", 100, 1)], "k string, t long, v long")
+    p = _plan(trailing_counts(df, "t", ["k"], 60, "v"))
+    assert p.count("Exchange hashpartitioning") == 1, p[:1500]
+    assert "Join" not in p and "Generate" not in p, p[:1500]

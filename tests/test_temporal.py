@@ -341,3 +341,38 @@ def test_time_resample_guard_and_errors(spark):
         time_resample(df, "t", 0, ["k"])
     with pytest.raises(ValueError):
         time_resample(df, "t", 10, [])
+
+
+def test_trailing_counts_golden(spark):
+    """Strict-past window: same-instant peers excluded, window edge
+    inclusive at -window_s, sums exact, keys independent."""
+    from rdf_indexes_spark.operators.temporal import trailing_counts
+
+    rows = [
+        ("u", 100, 1, "a"), ("u", 100, 2, "b"),  # peers: not each other's past
+        ("u", 105, 4, "c"),                      # sees both 100s
+        ("u", 160, 8, "d"),                      # 60s window: sees 105 & 100s
+        ("u", 166, 16, "e"),                     # sees only 160 (105 < 106)
+        ("v", 100, 32, "f"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v long, id string")
+    got = {r.id: (r.n_prev, r.sum_prev)
+           for r in trailing_counts(df, "t", ["k"], 60, "v").collect()}
+    assert got == {
+        "a": (0, 0), "b": (0, 0), "c": (2, 3), "d": (3, 7), "e": (1, 8),
+        "f": (0, 0),
+    }
+
+
+def test_event_transitions_golden(spark):
+    from rdf_indexes_spark.operators.temporal import event_transitions
+
+    rows = [
+        ("u", 1, 1, "x"), ("u", 2, 2, "y"), ("u", 3, 3, "x"),
+        ("v", 1, 4, "y"), ("v", 2, 5, "y"),
+        ("w", 9, 9, "x"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, id long, s string")
+    got = {(r.prev_state, r.state): r.n
+           for r in event_transitions(df, "t", "k", "s", "id").collect()}
+    assert got == {("x", "y"): 1, ("y", "x"): 1, ("y", "y"): 1}
