@@ -920,6 +920,15 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_json_field_stats(spark, sf_dir):
+    """Typed aggregation over the semi-structured props column: the
+    $.k integer per event_type, no parse UDF anywhere."""
+    from rdf_indexes_spark.operators.textops import json_field_stats
+
+    ev = _read(spark, sf_dir, "events")
+    return json_field_stats(ev, "props", "$.k", ["event_type"])
+
+
 def _q_trailing_counts(spark, sf_dir):
     """Leakage-safe trailing-hour features per user: strict-past count
     and exact hundredths sum for every event."""
@@ -2319,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_distances": _q_bfs_distances,
         "kg_property_table": _q_property_table,
         "er_fuzzy_pairs": _q_fuzzy_pairs,
+        "json_field_stats": _q_json_field_stats,
         "trailing_counts_events": _q_trailing_counts,
         "event_transitions": _q_event_transitions,
         "time_resample_events": _q_time_resample,
@@ -3080,6 +3090,16 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(min(CASE WHEN event_type = 'purchase' THEN props END), '-') AS purchase "
             "FROM events WHERE event_type IN ('click', 'view', 'purchase') "
             "GROUP BY 1"
+        ),
+        "json_field_stats": (
+            "WITH a AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS v FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(v) AS BIGINT) AS n_present, "
+            "CAST(coalesce(SUM(v), 0) AS BIGINT) AS sum_val, "
+            "CAST(coalesce(MIN(v), 0) AS BIGINT) AS min_val, "
+            "CAST(coalesce(MAX(v), 0) AS BIGINT) AS max_val "
+            "FROM a GROUP BY 1"
         ),
         "trailing_counts_events": (
             "WITH a AS (SELECT event_id, user_id, "

@@ -725,3 +725,37 @@ def compression_stats(
             nb > 0, F.floor(F.lit(10_000) * nz / nb).cast("long")
         ).alias("ratio_x1e4"),
     )
+
+
+def json_field_stats(
+    df: DataFrame,
+    json_col: str,
+    path: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Semi-structured column aggregation: per key, (n, n_present,
+    sum_val, min_val, max_val) of the INTEGER field at JSONPath
+    ``path`` inside the ``json_col`` string — the typed-metadata
+    pattern for opaque payload columns (transcript tool args, event
+    props) without a parse UDF.
+
+    Plan: get_json_object runs JVM-side inside the scan's codegen
+    stage (Jackson streaming parse — no Python, no schema inference
+    job); then ONE hash aggregate. Malformed JSON / missing field →
+    null → counted in n, excluded from n_present and the value aggs
+    (sum/min/max are 0 when no value is present).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    v = F.get_json_object(F.col(json_col), path).cast("long")
+    return (
+        df.select(*key_cols, v.alias("_v"))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_v").alias("n_present"),
+            F.coalesce(F.sum("_v"), F.lit(0)).alias("sum_val"),
+            F.coalesce(F.min("_v"), F.lit(0)).alias("min_val"),
+            F.coalesce(F.max("_v"), F.lit(0)).alias("max_val"),
+        )
+    )

@@ -596,3 +596,28 @@ def test_compression_stats_exact_recount(spark, docs):
     out = {r.doc_id: r for r in compression_stats(df).collect()}
     assert out[1].ratio_x1e4 < out[2].ratio_x1e4  # repetition compresses
     assert out[3].ratio_x1e4 is None and out[3].n_bytes == 0
+
+
+def test_json_field_stats_golden(spark):
+    """Missing fields and malformed JSON count toward n but not the
+    value aggregates; integers aggregate exactly."""
+    import pytest
+
+    from rdf_indexes_spark.operators.textops import json_field_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": 3}'), ("a", '{"k": 5, "x": 1}'),
+            ("a", '{"x": 9}'),          # field missing
+            ("b", "not json"),          # malformed
+            ("b", '{"k": -2}'),
+        ],
+        "g string, props string",
+    )
+    got = {
+        r.g: (r.n, r.n_present, r.sum_val, r.min_val, r.max_val)
+        for r in json_field_stats(df, "props", "$.k", ["g"]).collect()
+    }
+    assert got == {"a": (3, 2, 8, 3, 5), "b": (2, 1, -2, -2, -2)}
+    with pytest.raises(ValueError):
+        json_field_stats(df, "props", "$.k", [])
