@@ -920,6 +920,26 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_degree_histogram(spark, sf_dir):
+    """Out-degree distribution of the order→part bipartite graph (the
+    zipf census that sizes hub salting)."""
+    from rdf_indexes_spark.operators.graph import degree_histogram
+
+    li = _read(spark, sf_dir, "lineitem")
+    return degree_histogram(
+        li.select(F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst"))
+    )
+
+
+def _q_keep_best(spark, sf_dir):
+    """Survivor-policy dedup: per (lang, source) keep the longest
+    document, ties to the smallest doc_id."""
+    from rdf_indexes_spark.operators.dedup import keep_best
+
+    docs = _read(spark, sf_dir, "documents")
+    return keep_best(docs, ["lang", "source"], "n_chars")
+
+
 def _q_json_field_stats(spark, sf_dir):
     """Typed aggregation over the semi-structured props column: the
     $.k integer per event_type, no parse UDF anywhere."""
@@ -2329,6 +2349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_table": _q_property_table,
         "er_fuzzy_pairs": _q_fuzzy_pairs,
         "json_field_stats": _q_json_field_stats,
+        "kg_degree_histogram": _q_degree_histogram,
+        "dedup_keep_best": _q_keep_best,
         "trailing_counts_events": _q_trailing_counts,
         "event_transitions": _q_event_transitions,
         "time_resample_events": _q_time_resample,
@@ -3090,6 +3112,19 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(min(CASE WHEN event_type = 'purchase' THEN props END), '-') AS purchase "
             "FROM events WHERE event_type IN ('click', 'view', 'purchase') "
             "GROUP BY 1"
+        ),
+        "kg_degree_histogram": (
+            "WITH e AS (SELECT DISTINCT l_orderkey AS u, l_partkey AS v "
+            "FROM lineitem), "
+            "d AS (SELECT u, COUNT(*) AS degree FROM e GROUP BY u) "
+            "SELECT CAST(degree AS BIGINT) AS degree, "
+            "CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d GROUP BY 1"
+        ),
+        "dedup_keep_best": (
+            "SELECT lang, source, doc_id, text, n_chars FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY lang, source "
+            "ORDER BY n_chars DESC, doc_id ASC) AS rn FROM documents) "
+            "WHERE rn = 1"
         ),
         "json_field_stats": (
             "WITH a AS (SELECT event_type, "

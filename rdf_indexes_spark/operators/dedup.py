@@ -628,3 +628,34 @@ def winnow_candidates(
         .agg(F.countDistinct("gram_hash").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def keep_best(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col: str,
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor-policy dedup: ONE row per key — the highest ``score_col``,
+    ties to the smallest ``tiebreak_col`` (fully deterministic; the
+    quality-keeping sibling of ``exact_dedup``'s smallest-id rule, for
+    URL/title dedup where the best-scoring copy should win).
+
+    Plan: max_by over a packed (score, -tiebreak) struct — a single
+    partial+final hash-aggregate pair; no window, no sort, and the
+    payload crosses the wire once inside the aggregation buffer.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    others = [c for c in df.columns if c not in key_cols]
+    if score_col not in others or tiebreak_col not in others:
+        raise ValueError("score_col and tiebreak_col must be non-key columns")
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("_s"),
+            (-F.col(tiebreak_col)).alias("_nt"),
+            *[F.col(c).alias(c) for c in others],
+        )
+    ).alias("_b")
+    out = df.groupBy(*key_cols).agg(best)
+    return out.select(*key_cols, *[F.col(f"_b.{c}").alias(c) for c in others])

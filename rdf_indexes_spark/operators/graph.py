@@ -421,3 +421,35 @@ def bfs_distances(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def degree_histogram(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """(degree, n_nodes): the degree distribution — out-degree over the
+    deduped directed edge set, or total degree of the simple undirected
+    graph with ``directed=False``. The zipf-head census that sizes hub
+    salting and broadcast thresholds (the reference reports the same
+    shape as its range-length distribution,
+    /root/reference/include/stats.hpp:63-114).
+
+    Plan: two hash aggregates — node-keyed degree count (map-side
+    partials absorb hubs), then degree-keyed histogram over a
+    node-scale frame. No joins, no windows.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    if directed:
+        e = e.dropDuplicates()
+        nodes = e.select("u")
+    else:
+        e = _simple_edges(edges, src_col, dst_col)
+        nodes = e.select("u").unionAll(e.select(F.col("v").alias("u")))
+    return (
+        nodes.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

@@ -346,3 +346,29 @@ def test_near_dup_keep_longest_policy(spark):
     # default policy: min id per component
     got_min = sorted(r[0] for r in D.near_dup_keep(docs, pairs).collect())
     assert got_min == [1, 4, 5]
+
+
+def test_keep_best_golden(spark):
+    import pytest
+
+    from rdf_indexes_spark.operators.dedup import keep_best
+
+    df = spark.createDataFrame(
+        [
+            ("k1", 10, 0.5, "low"), ("k1", 11, 0.9, "hi"),
+            ("k2", 20, 0.7, "a"), ("k2", 19, 0.7, "b"),  # tie → smaller id
+            ("k3", 30, 0.1, "solo"),
+        ],
+        "url string, doc_id long, score double, text string",
+    )
+    got = {r.url: (r.doc_id, r.text)
+           for r in keep_best(df, ["url"], "score").collect()}
+    assert got == {"k1": (11, "hi"), "k2": (19, "b"), "k3": (30, "solo")}
+    # layout invariance
+    again = {r.url: (r.doc_id, r.text)
+             for r in keep_best(df.repartition(5), ["url"], "score").collect()}
+    assert again == got
+    with pytest.raises(ValueError):
+        keep_best(df, [], "score")
+    with pytest.raises(ValueError):
+        keep_best(df, ["url"], "url")

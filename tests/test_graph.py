@@ -475,3 +475,18 @@ def test_fuzzy_pairs_brute_force(spark):
     # surfaces as a wrapped execution error — match on the message
     with pytest.raises(Exception, match="max_block"):
         fuzzy_pairs(df, max_dist=1, max_block=2).collect()
+
+
+def test_degree_histogram_golden(spark):
+    from rdf_indexes_spark.operators.graph import degree_histogram
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 2), (2, 3), (4, 1)], "src long, dst long"
+    )
+    out_deg = {r.degree: r.n_nodes for r in degree_histogram(edges).collect()}
+    # dedup: 1→{2,3}, 2→{3}, 4→{1}
+    assert out_deg == {2: 1, 1: 2}
+    und = {r.degree: r.n_nodes
+           for r in degree_histogram(edges, directed=False).collect()}
+    # simple undirected: 1-2,1-3,2-3,1-4 → deg(1)=3, deg(2)=2, deg(3)=2, deg(4)=1
+    assert und == {3: 1, 2: 2, 1: 1}

@@ -393,3 +393,14 @@ def test_trailing_counts_single_window_exchange(spark):
     p = _plan(trailing_counts(df, "t", ["k"], 60, "v"))
     assert p.count("Exchange hashpartitioning") == 1, p[:1500]
     assert "Join" not in p and "Generate" not in p, p[:1500]
+
+
+def test_keep_best_single_aggregate_no_window(docs):
+    """Survivor dedup is one partial+final max_by aggregate — no window
+    (whole-group sort), no join-back."""
+    from rdf_indexes_spark.operators.dedup import keep_best
+
+    p = _plan(keep_best(docs, ["lang", "source"], "n_chars"))
+    assert p.count("Exchange hashpartitioning") == 1, p[:1500]
+    assert "Window" not in p and "Join" not in p, p[:1500]
+    assert "partial_max" in p, p[:1500]
