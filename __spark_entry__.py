@@ -920,6 +920,15 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_table_to_triples(spark, sf_dir):
+    """Relational-dimension ingest: the nation table melted to (s,p,o)
+    triples, one per non-null cell."""
+    from rdf_indexes_spark.operators.schema import table_to_triples
+
+    n = _read(spark, sf_dir, "nation")
+    return table_to_triples(n, "n_nationkey", ["n_name", "n_regionkey"])
+
+
 def _q_degree_histogram(spark, sf_dir):
     """Out-degree distribution of the order→part bipartite graph (the
     zipf census that sizes hub salting)."""
@@ -2350,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fuzzy_pairs": _q_fuzzy_pairs,
         "json_field_stats": _q_json_field_stats,
         "kg_degree_histogram": _q_degree_histogram,
+        "kg_table_to_triples": _q_table_to_triples,
         "dedup_keep_best": _q_keep_best,
         "trailing_counts_events": _q_trailing_counts,
         "event_transitions": _q_event_transitions,
@@ -3112,6 +3122,13 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(min(CASE WHEN event_type = 'purchase' THEN props END), '-') AS purchase "
             "FROM events WHERE event_type IN ('click', 'view', 'purchase') "
             "GROUP BY 1"
+        ),
+        "kg_table_to_triples": (
+            "SELECT CAST(n_nationkey AS VARCHAR) AS s, 'n_name' AS p, "
+            "n_name AS o FROM nation WHERE n_name IS NOT NULL "
+            "UNION ALL SELECT CAST(n_nationkey AS VARCHAR), 'n_regionkey', "
+            "CAST(n_regionkey AS VARCHAR) FROM nation "
+            "WHERE n_regionkey IS NOT NULL"
         ),
         "kg_degree_histogram": (
             "WITH e AS (SELECT DISTINCT l_orderkey AS u, l_partkey AS v "

@@ -499,3 +499,36 @@ def property_table(
         F.col(o_col).alias("o"),
     ).filter(F.col("p").isin(preds))
     return t.groupBy("s").pivot("p", preds).agg(F.min("o"))
+
+
+def table_to_triples(
+    df: DataFrame,
+    id_col: str,
+    value_cols: list[str],
+    drop_nulls: bool = True,
+) -> DataFrame:
+    """Wide-table ingest: melt entity records into (s, p, o) triples —
+    one triple per (row, column) with the column name as predicate; the
+    inverse of ``property_table`` and the standard way a relational
+    dimension table enters the KG before dictionary encoding
+    (/root/reference/scripts/extract_vocabs.py consumes exactly this
+    (s, p, o) text shape).
+
+    Values cast to string (the reference's vocabularies are byte
+    strings); nulls dropped by default (a null cell asserts nothing).
+
+    Plan: pure map-side stack expression — |value_cols| output rows per
+    input row, ZERO exchanges, whole-stage codegen.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    if len(set(value_cols)) != len(value_cols):
+        raise ValueError("duplicate value_cols")
+    pairs = ", ".join(
+        f"'{c}', cast(`{c}` as string)" for c in value_cols
+    )
+    out = df.select(
+        F.col(id_col).cast("string").alias("s"),
+        F.expr(f"stack({len(value_cols)}, {pairs}) as (p, o)"),
+    )
+    return out.filter(F.col("o").isNotNull()) if drop_nulls else out

@@ -394,3 +394,30 @@ def test_property_table_golden(spark):
         property_table(df, [])
     with pytest.raises(ValueError):
         property_table(df, ["name", "name"])
+
+
+def test_table_to_triples_roundtrip(spark):
+    """Melt then pivot reproduces the records; nulls assert nothing;
+    zero exchanges (map-side stack)."""
+    import pytest
+
+    from rdf_indexes_spark.operators.schema import property_table, table_to_triples
+
+    df = spark.createDataFrame(
+        [(1, "alice", 30), (2, "bob", None), (3, None, 9)],
+        "id long, name string, age int",
+    )
+    t = table_to_triples(df, "id", ["name", "age"])
+    got = {(r.s, r.p, r.o) for r in t.collect()}
+    assert got == {
+        ("1", "name", "alice"), ("1", "age", "30"),
+        ("2", "name", "bob"), ("3", "age", "9"),
+    }
+    assert "Exchange" not in t._jdf.queryExecution().executedPlan().toString()
+    back = {r.s: (r.name, r.age)
+            for r in property_table(t, ["name", "age"]).collect()}
+    assert back == {"1": ("alice", "30"), "2": ("bob", None), "3": (None, "9")}
+    with pytest.raises(ValueError):
+        table_to_triples(df, "id", [])
+    with pytest.raises(ValueError):
+        table_to_triples(df, "id", ["name", "name"])
