@@ -920,6 +920,16 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_learn_bpe(spark, sf_dir):
+    """First 8 BPE merges learned over the document corpus (rows-only:
+    iterative merge selection isn't SQL-expressible; the exact
+    algorithm oracle is tests/test_textops.py::_python_bpe)."""
+    from rdf_indexes_spark.operators.textops import learn_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    return learn_bpe(docs, n_merges=8)
+
+
 def _q_table_to_triples(spark, sf_dir):
     """Relational-dimension ingest: the nation table melted to (s,p,o)
     triples, one per non-null cell."""
@@ -2360,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field_stats": _q_json_field_stats,
         "kg_degree_histogram": _q_degree_histogram,
         "kg_table_to_triples": _q_table_to_triples,
+        "learn_bpe": _q_learn_bpe,
         "dedup_keep_best": _q_keep_best,
         "trailing_counts_events": _q_trailing_counts,
         "event_transitions": _q_event_transitions,

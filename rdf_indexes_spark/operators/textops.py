@@ -759,3 +759,91 @@ def json_field_stats(
             F.coalesce(F.max("_v"), F.lit(0)).alias("max_val"),
         )
     )
+
+
+def learn_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus:
+    (merge_rank, left, right, merged, pair_count) — Sennrich et al.'s
+    algorithm with a DETERMINISTIC tie rule (max pair count, ties to
+    the lexicographically smallest (left, right)), so the learned
+    merge table is a pure function of the corpus.
+
+    Distributed shape: the corpus collapses ONCE to the distinct-word
+    frequency table (corpus-scale aggregate — the only pass over the
+    data); every merge round then runs on the VOCABULARY-scale frame:
+    one posexplode of per-word symbol arrays into weighted bigrams, one
+    hash aggregate, one 1-row driver take for the winner, one map-side
+    regexp rewrite of the symbol strings (leftmost non-overlapping =
+    BPE's left-to-right application), lineage cut per round. Word
+    boundaries are whitespace; words never merge across boundaries.
+    """
+    import re as _re
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = (
+        docs.select(F.explode(_tokens(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # symbols as a space-joined char string: " c1 c2 ... " with
+        # sentinel spaces so every symbol has an exact " x y " context
+        .select(
+            F.concat(F.lit(" "), F.array_join(F.split(F.col("w"), ""), " "),
+                     F.lit(" ")).alias("sym"),
+            "cnt",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(n_merges):
+        # split once per row (projection), then zip the array against
+        # its own tail — three splits per row was the round's hot cost
+        syms = words.select(F.split(F.trim(F.col("sym")), " ").alias("a"), "cnt")
+        pairs = (
+            syms.select(
+                F.explode(
+                    F.slice(
+                        F.arrays_zip(
+                            F.col("a").alias("l"),
+                            F.slice(F.col("a"), 2, 1 << 30).alias("r"),
+                        ),
+                        1,
+                        F.greatest(F.size(F.col("a")) - 1, F.lit(0)),
+                    )
+                ).alias("pr"),
+                "cnt",
+            )
+            .select(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"), "cnt")
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc()).take(1)
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((rank, l, r, l + r, int(n)))
+        # zero-width lookarounds keep the shared boundary spaces so
+        # " a b a b " merges BOTH pairs in one pass, while consuming
+        # "l r" keeps BPE's leftmost-non-overlapping application order
+        pat = f"(?<= ){_re.escape(l)} {_re.escape(r)}(?= )"
+        rep = (l + r).replace("\\", "\\\\").replace("$", "\\$")
+        words = words.select(
+            F.regexp_replace(F.col("sym"), pat, rep).alias("sym"), "cnt"
+        ).localCheckpoint()
+
+    from ..functions.ranking import _literal_df
+
+    return _literal_df(
+        docs.sparkSession,
+        merges,
+        [
+            ("merge_rank", "long"), ("left", "string"), ("right", "string"),
+            ("merged", "string"), ("pair_count", "long"),
+        ],
+    )

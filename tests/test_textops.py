@@ -621,3 +621,63 @@ def test_json_field_stats_golden(spark):
     assert got == {"a": (3, 2, 8, 3, 5), "b": (2, 1, -2, -2, -2)}
     with pytest.raises(ValueError):
         json_field_stats(df, "props", "$.k", [])
+
+
+def _python_bpe(word_counts, n_merges):
+    """Reference BPE (Sennrich et al.) with the operator's tie rule."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, n))
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges
+
+
+def test_learn_bpe_matches_reference_algorithm(spark):
+    """Parity with a pure-python BPE on a corpus with repeated-symbol
+    words (the overlap edge: 'aaa'), ties, and multi-round merges."""
+    from collections import Counter
+
+    from rdf_indexes_spark.operators.textops import learn_bpe
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "aaa aa aaa banana",
+        "low new aaa",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    wc = Counter(w for t in texts for w in t.split())
+    want = _python_bpe(wc, 6)
+    got = [(r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+           for r in learn_bpe(df, n_merges=6).orderBy("merge_rank").collect()]
+    assert got == want
+
+
+def test_learn_bpe_errors(spark):
+    import pytest
+
+    from rdf_indexes_spark.operators.textops import learn_bpe
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        learn_bpe(df, n_merges=0)
