@@ -387,11 +387,20 @@ def rhodf_entailment(
     predicates themselves must not appear as subjects of subPropertyOf
     — i.e. no meta-hierarchy over rdf:type & co.
 
-    Scale plan: every rule joins the INSTANCE-scale stream against a
-    SCHEMA-scale frame (property closure, domain map, range map, class
-    closure), each checkpointed once and broadcast under
-    ``broadcast_threshold`` — so instance rows never shuffle for any
-    rule; the single wide exchange is the final global dedup. The
+    Scale plan — single-pass rule explosion: all four rules are
+    PRECOMPILED schema-side into one per-predicate ACTION table
+    (property expansions via the rdfs5 closure; domain/range typings
+    already lifted through the rdfs11 closure), checkpointed and
+    broadcast under ``broadcast_threshold``. The instance stream then
+    crosses the executor exactly ONCE: a single broadcast left-join
+    multiplies each row by its actions (rows whose predicate has no
+    schema pass through unchanged), each joined row emits exactly one
+    output triple map-side. A naive per-rule-join formulation re-scans
+    the corpus once per rule PER CONSUMER (Spark plans are trees — a
+    subplan referenced k times executes k times unless persisted);
+    this shape needs no corpus-scale cache to avoid that. Asserted
+    rdf:type rows take one more single-pass broadcast join (their rdfs9
+    lift); the one wide exchange is the final global dedup. The
     reference materializes asserted triples only
     (/root/reference/src/build.cpp workflow); this closure is the KG
     -construction step that makes its pattern queries inference-aware.
@@ -399,6 +408,7 @@ def rhodf_entailment(
     from ..plans.paths import closure_pairs
 
     p_type = triples.schema[p_col].dataType
+    o_type = triples.schema[o_col].dataType
     lits = {
         name: F.lit(v).cast(p_type)
         for name, v in (
@@ -410,55 +420,102 @@ def rhodf_entailment(
         F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
     )
 
-    sp_clo = _maybe_broadcast(
-        closure_pairs(t.filter(F.col("p") == lits["sp"]).select("s", "o"),
-                      max_rounds=max_rounds),
-        broadcast_threshold,
+    # ---- schema-scale frames (tiny; cut once each) ----
+    sp_clo = closure_pairs(
+        t.filter(F.col("p") == lits["sp"]).select("s", "o"), max_rounds=max_rounds
+    ).localCheckpoint()
+    sc_clo = closure_pairs(
+        t.filter(F.col("p") == lits["sc"]).select("s", "o"), max_rounds=max_rounds
+    ).localCheckpoint()
+    dom = t.filter(F.col("p") == lits["dom"]).select(
+        F.col("s").alias("dp"), F.col("o").alias("c")
     )
-    sc_clo = _maybe_broadcast(
-        closure_pairs(t.filter(F.col("p") == lits["sc"]).select("s", "o"),
-                      max_rounds=max_rounds),
-        broadcast_threshold,
-    )
-    dom = _maybe_broadcast(
-        t.filter(F.col("p") == lits["dom"]).select("p", "s", F.col("o").alias("c"))
-         .drop("p"), broadcast_threshold,
-    )
-    rng = _maybe_broadcast(
-        t.filter(F.col("p") == lits["rng"]).select("p", "s", F.col("o").alias("c"))
-         .drop("p"), broadcast_threshold,
+    rng = t.filter(F.col("p") == lits["rng"]).select(
+        F.col("s").alias("rp"), F.col("o").alias("c")
     )
 
+    # identity-closed property map: p sp* q, q including p itself for
+    # every schema-known predicate (so superproperty domains fire on p)
+    p_keys = (
+        sp_clo.select(F.col("s").alias("k"))
+        .unionAll(sp_clo.select(F.col("o").alias("k")))
+        .unionAll(dom.select(F.col("dp").alias("k")))
+        .unionAll(rng.select(F.col("rp").alias("k")))
+        .dropDuplicates()
+    )
+    pmap_full = sp_clo.select(F.col("s").alias("p"), F.col("o").alias("q")).unionAll(
+        p_keys.select(F.col("k").alias("p"), F.col("k").alias("q"))
+    )
+    # identity-closed class map: C sc* D
+    c_keys = (
+        sc_clo.select(F.col("s").alias("k"))
+        .unionAll(sc_clo.select(F.col("o").alias("k")))
+        .unionAll(dom.select(F.col("c").alias("k")))
+        .unionAll(rng.select(F.col("c").alias("k")))
+        .dropDuplicates()
+    )
+    scmap_full = sc_clo.select(F.col("s").alias("c"), F.col("o").alias("d")).unionAll(
+        c_keys.select(F.col("k").alias("c"), F.col("k").alias("d"))
+    )
+
+    # ---- compile the action table: (p, kind, pval, oval) ----
+    # 't': emit (s, pval, o) — rdfs7 expansion incl. the identity row;
+    # 's': emit (s, type, oval) — rdfs2 through rdfs9; 'o': emit
+    # (o, type, oval) — rdfs3 through rdfs9.
+    null_o = F.lit(None).cast(o_type)
+    null_p = F.lit(None).cast(p_type)
+    texp = pmap_full.select(
+        "p", F.lit("t").alias("kind"), F.col("q").alias("pval"), null_o.alias("oval")
+    )
+    stype = (
+        pmap_full.join(dom, pmap_full["q"] == dom["dp"])
+        .join(scmap_full, "c")
+        .select("p", F.lit("s").alias("kind"), null_p.alias("pval"),
+                F.col("d").alias("oval"))
+    )
+    otype = (
+        pmap_full.join(rng, pmap_full["q"] == rng["rp"])
+        .join(scmap_full, "c")
+        .select("p", F.lit("o").alias("kind"), null_p.alias("pval"),
+                F.col("d").alias("oval"))
+    )
+    rules = _maybe_broadcast(
+        texp.unionAll(stype).unionAll(otype).dropDuplicates(), broadcast_threshold
+    )
+
+    # ---- the single instance pass ----
     is_schema = (
         (F.col("p") == lits["sc"]) | (F.col("p") == lits["sp"])
         | (F.col("p") == lits["dom"]) | (F.col("p") == lits["rng"])
         | (F.col("p") == lits["type"])
     )
     inst = t.filter(~is_schema)
-    # rdfs7: (s p o) + p sp* q → (s q o); intermediate dedups deferred
-    # to the single final exchange
-    pmap = sp_clo.select(F.col("s").alias("p"), F.col("o").alias("_q"))
-    inst_all = inst.unionByName(
-        inst.join(pmap, "p").select("s", F.col("_q").alias("p"), "o")
+    joined = inst.join(rules, "p", "left")
+    kind = F.col("kind")
+    inst_out = joined.select(
+        F.when(kind == "o", F.col("o")).otherwise(F.col("s")).alias("s"),
+        F.when(kind.isNull(), F.col("p"))
+        .when(kind == "t", F.col("pval"))
+        .otherwise(lits["type"])
+        .alias("p"),
+        F.when(kind.isNull() | (kind == "t"), F.col("o"))
+        .otherwise(F.col("oval"))
+        .alias("o"),
     )
 
-    # rdfs2 / rdfs3 over the expanded stream (superproperty domains fire)
-    typed = (
-        t.filter(F.col("p") == lits["type"]).select("s", F.col("o").alias("c"))
-        .unionByName(inst_all.join(dom.withColumnRenamed("s", "p"), "p")
-                     .select("s", "c"))
-        .unionByName(inst_all.join(rng.withColumnRenamed("s", "p"), "p")
-                     .select(F.col("o").alias("s"), "c"))
-    )
-    # rdfs9 over the class closure
-    cmap = sc_clo.select(F.col("s").alias("c"), F.col("o").alias("_d"))
-    typed_all = typed.unionByName(
-        typed.join(cmap, "c").select("s", F.col("_d").alias("c"))
+    # asserted rdf:type rows: one more single-pass broadcast lift
+    # (classes the schema never mentions pass through via the left join)
+    sc_lift = _maybe_broadcast(scmap_full.dropDuplicates(), broadcast_threshold)
+    typed_out = (
+        t.filter(F.col("p") == lits["type"])
+        .select("s", F.col("o").alias("c"))
+        .join(sc_lift, "c", "left")
+        .select("s", lits["type"].alias("p"), F.coalesce("d", "c").alias("o"))
     )
 
     out = (
-        inst_all
-        .unionByName(typed_all.select("s", lits["type"].alias("p"), F.col("c").alias("o")))
+        inst_out
+        .unionByName(typed_out)
         .unionByName(sp_clo.select("s", lits["sp"].alias("p"), "o"))
         .unionByName(sc_clo.select("s", lits["sc"].alias("p"), "o"))
         .unionByName(t.filter(F.col("p") == lits["dom"]))
