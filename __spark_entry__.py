@@ -381,6 +381,21 @@ def _q_language_id(spark, sf_dir):
     return language_id(_read(spark, sf_dir, "documents"))
 
 
+def _q_unigram_rarity(spark, sf_dir):
+    """Corpus-conditioned rare-token quality profile (cf <= 2)."""
+    from rdf_indexes_spark.operators.textops import unigram_rarity
+
+    return unigram_rarity(_read(spark, sf_dir, "documents"), rare_max_cf=2)
+
+
+def _q_bigram_pmi(spark, sf_dir):
+    """Collocation mining: corpus bigrams with count >= 5, PMI lift as an
+    exact count ratio."""
+    from rdf_indexes_spark.operators.textops import bigram_collocations
+
+    return bigram_collocations(_read(spark, sf_dir, "documents"), min_count=5)
+
+
 def _q_token_bpe(spark, sf_dir):
     from rdf_indexes_spark.operators.textops import token_count_bpe
 
@@ -2342,6 +2357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "text_token_count": _q_token_count,
         "text_language_id": _q_language_id,
+        "text_unigram_rarity": _q_unigram_rarity,
+        "text_bigram_pmi": _q_bigram_pmi,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
         "text_repetition": _q_repetition,
@@ -3390,6 +3407,59 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END AS BIGINT) AS n_tokens FROM documents"
         ),
         "text_language_id": _lang_sql(),
+        "text_unigram_rarity": (
+            # same explode → (doc,tok) dedup → cf reagg → join shape;
+            # integers only so both engines agree bit-for-bit
+            f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_ALL}) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), per AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+), cf AS (
+  SELECT tok, sum(cnt) AS cf FROM per GROUP BY tok
+)
+SELECT per.doc_id,
+       CAST(sum(per.cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN cf.cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_distinct,
+       CAST(sum(CASE WHEN cf.cf <= 2 THEN per.cnt ELSE 0 END) AS BIGINT) AS n_rare_tokens,
+       CAST(min(cf.cf) AS BIGINT) AS min_cf
+FROM per JOIN cf USING (tok)
+GROUP BY per.doc_id
+"""
+        ),
+        "text_bigram_pmi": (
+            # adjacent bigrams via list positions; lift written in the
+            # SAME left-to-right IEEE order as the Spark expression
+            f"""
+WITH docs AS (
+  SELECT {_TOKS_ALL} AS toks FROM documents WHERE length(trim(text)) > 0
+), uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY w
+), bi AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM docs, unnest(range(1, len(toks))) AS t(i)
+), bic AS (
+  SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY w1, w2 HAVING count(*) >= 5
+), tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS n_uni,
+         (SELECT sum(CASE WHEN len(toks) > 1 THEN len(toks) - 1 ELSE 0 END) FROM docs) AS n_bi
+)
+SELECT bic.w1, bic.w2,
+       CAST(bic.c_xy AS BIGINT) AS c_xy,
+       CAST(cx.c AS BIGINT) AS c_x,
+       CAST(cy.c AS BIGINT) AS c_y,
+       CAST(tot.n_uni AS BIGINT) AS n_uni,
+       CAST(tot.n_bi AS BIGINT) AS n_bi,
+       CAST(bic.c_xy AS DOUBLE) * CAST(tot.n_uni AS DOUBLE) * CAST(tot.n_uni AS DOUBLE)
+         / CAST(tot.n_bi AS DOUBLE) / CAST(cx.c AS DOUBLE) / CAST(cy.c AS DOUBLE) AS lift
+FROM bic
+JOIN uni cx ON cx.w = bic.w1
+JOIN uni cy ON cy.w = bic.w2
+CROSS JOIN tot
+"""
+        ),
         "text_token_bpe": (
             "SELECT doc_id, "
             "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+')) "

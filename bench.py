@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "text_language_id",
     "text_quality",
     "text_fingerprint",
+    "text_unigram_rarity",
+    "text_bigram_pmi",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

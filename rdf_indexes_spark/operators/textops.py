@@ -847,3 +847,131 @@ def learn_bpe(
             ("merged", "string"), ("pair_count", "long"),
         ],
     )
+
+
+def unigram_rarity(
+    docs: DataFrame,
+    rare_max_cf: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-conditioned rarity profile per document — the unigram-LM
+    quality signal data pipelines threshold on (a page whose mass sits in
+    hapax/garbage tokens is noise; one with no rare tokens is boilerplate).
+    Unlike :func:`quality_score` (document-local), this one conditions on
+    the WHOLE corpus: a token is rare when its collection frequency is
+    <= ``rare_max_cf``.
+
+    Returns (doc_id, n_tokens, n_distinct, n_rare_distinct, n_rare_tokens,
+    min_cf) — integers only, so two engines agree bit-for-bit.
+
+    Shape at scale: ONE explode pass; (doc_id, tok) hash-aggregate absorbs
+    in-document repetition map-side (keys carry doc_id, so no hot key);
+    collection frequencies come from re-aggregating that deduped frame by
+    tok (never re-reading the corpus); the tok-keyed join back is zipf-hot
+    on stopwords — AQE skew-join splits those partitions, and the payload
+    is 3 longs, not text. Final per-doc aggregate re-uses the doc_id hash.
+    """
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("tok"))
+    )
+    per = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cf = per.groupBy("tok").agg(F.sum("cnt").alias("cf"))
+    rare = F.col("cf") <= F.lit(int(rare_max_cf))
+    return (
+        per.join(cf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(rare.cast("long")).cast("long").alias("n_rare_distinct"),
+            F.sum(F.when(rare, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("n_rare_tokens"),
+            F.min("cf").cast("long").alias("min_cf"),
+        )
+    )
+
+
+def bigram_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining: adjacent-token bigrams scored by
+    PMI lift = P(xy) / (P(x)·P(y)) = c_xy·N_uni²/(N_bi·c_x·c_y) — the
+    monotone exp() of pointwise mutual information, kept as an exact
+    ratio of counts so no transcendental enters the cross-engine compare
+    (log() is the one libm call two engines never match bit-for-bit).
+
+    Returns one row per bigram with c_xy >= min_count:
+    (w1, w2, c_xy, c_x, c_y, n_uni, n_bi, lift).
+
+    Shape at scale: bigram formation is a pure codegen array transform
+    (no Python, no extra pass over text); bigram + unigram counts are two
+    hash aggregates with map-side combine; totals are 1-row frames
+    cross-joined (broadcast, free); the c_x/c_y decorations join AFTER the
+    min_count filter, so only surviving bigrams (a vocabulary-sized set,
+    not a corpus-sized one) ride the two vocab joins.
+    """
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        _tokens(text_col).alias("toks")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> struct(toks[i-1] as w1, toks[i] as w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= F.lit(int(min_count)))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = bi.sparkSession.createDataFrame([(0,)], "z: long").join(
+        # total bigram count BEFORE the min_count filter must come from
+        # the unfiltered stream: recompute from doc token sizes (exact,
+        # one codegen agg, no second explode)
+        toks.agg(
+            F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("n_bi")
+        ),
+        how="cross",
+    ).select("n_bi")
+    cx = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    out = (
+        bi.join(cx, "w1")
+        .join(cy, "w2")
+        .join(F.broadcast(n_uni), how="cross")
+        .join(F.broadcast(n_bi), how="cross")
+    )
+    # fixed left-to-right operation order — both engines evaluate
+    # ((((c_xy * n_uni) * n_uni) / n_bi) / c_x) / c_y in IEEE doubles
+    lift = (
+        F.col("c_xy").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+        / F.col("n_bi").cast("double")
+        / F.col("c_x").cast("double")
+        / F.col("c_y").cast("double")
+    )
+    return out.select(
+        "w1",
+        "w2",
+        F.col("c_xy").cast("long").alias("c_xy"),
+        F.col("c_x").cast("long").alias("c_x"),
+        F.col("c_y").cast("long").alias("c_y"),
+        F.col("n_uni").cast("long").alias("n_uni"),
+        F.col("n_bi").cast("long").alias("n_bi"),
+        lift.alias("lift"),
+    )

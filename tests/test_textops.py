@@ -681,3 +681,59 @@ def test_learn_bpe_errors(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         learn_bpe(df, n_merges=0)
+
+
+def test_unigram_rarity_matches_python(docs):
+    got = X.unigram_rarity(docs, rare_max_cf=2).toPandas().set_index("doc_id")
+    pdf = docs.toPandas()
+    from collections import Counter
+
+    per_doc = {}
+    cf = Counter()
+    for r in pdf.itertuples():
+        t = str(r.text).strip().lower()
+        if not t:
+            continue
+        toks = t.split()
+        per_doc[r.doc_id] = Counter(toks)
+        cf.update(toks)
+    assert set(got.index) == set(per_doc)
+    for did, c in per_doc.items():
+        row = got.loc[did]
+        assert row["n_tokens"] == sum(c.values())
+        assert row["n_distinct"] == len(c)
+        assert row["n_rare_distinct"] == sum(1 for w in c if cf[w] <= 2)
+        assert row["n_rare_tokens"] == sum(n for w, n in c.items() if cf[w] <= 2)
+        assert row["min_cf"] == min(cf[w] for w in c)
+
+
+def test_bigram_collocations_matches_python(docs):
+    got = X.bigram_collocations(docs, min_count=3).toPandas()
+    pdf = docs.toPandas()
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    n_bi_total = 0
+    for r in pdf.itertuples():
+        t = str(r.text).strip().lower()
+        if not t:
+            continue
+        toks = t.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+        n_bi_total += max(len(toks) - 1, 0)
+    n_uni = sum(uni.values())
+    want = {k: v for k, v in bi.items() if v >= 3}
+    got_idx = {(r.w1, r.w2): r for r in got.itertuples()}
+    assert set(got_idx) == set(want)
+    for (w1, w2), r in got_idx.items():
+        assert r.c_xy == want[(w1, w2)]
+        assert r.c_x == uni[w1] and r.c_y == uni[w2]
+        assert r.n_uni == n_uni and r.n_bi == n_bi_total
+        lift = r.c_xy * float(n_uni) * float(n_uni) / n_bi_total / uni[w1] / uni[w2]
+        assert abs(r.lift - lift) < 1e-9 * max(1.0, lift)
+
+
+def test_bigram_collocations_plan_no_python(docs):
+    plan = X.bigram_collocations(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
