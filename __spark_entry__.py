@@ -868,6 +868,48 @@ def _q_predicate_profile(spark, sf_dir):
     return predicate_profile(triples)
 
 
+def _q_domain_range(spark, sf_dir):
+    """rdfs:domain / rdfs:range induction over the purchase graph:
+    in_nation has a MIXED domain (Customer + Supplier — the modal pick
+    is doing real work), placed_by/contains have order-priority-typed
+    subjects and Customer / brand-typed objects."""
+    from rdf_indexes_spark.operators.schema import domain_range_induction
+
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    pt = _read(spark, sf_dir, "part")
+
+    def ent(prefix, col):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    triples = (
+        c.select(ent("c", "c_custkey").alias("s"), F.lit("in_nation").alias("p"),
+                 ent("n", "c_nationkey").alias("o"))
+        .unionAll(s.select(ent("s", "s_suppkey").alias("s"), F.lit("in_nation").alias("p"),
+                           ent("n", "s_nationkey").alias("o")))
+        .unionAll(o.select(ent("o", "o_orderkey").alias("s"), F.lit("placed_by").alias("p"),
+                           ent("c", "o_custkey").alias("o")))
+        .unionAll(li.select(ent("o", "l_orderkey").alias("s"), F.lit("contains").alias("p"),
+                            ent("p", "l_partkey").alias("o")))
+    )
+    types = (
+        c.select(ent("c", "c_custkey").alias("entity"), F.lit("Customer").alias("cls"))
+        .unionAll(s.select(ent("s", "s_suppkey").alias("entity"), F.lit("Supplier").alias("cls")))
+        .unionAll(
+            n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+                ent("n", "n_nationkey").alias("entity"), F.col("r_name").alias("cls"))
+        )
+        .unionAll(o.select(ent("o", "o_orderkey").alias("entity"),
+                           F.col("o_orderpriority").alias("cls")))
+        .unionAll(pt.select(ent("p", "p_partkey").alias("entity"), F.col("p_brand").alias("cls")))
+    )
+    return domain_range_induction(triples, types)
+
+
 def _q_fact_provenance(spark, sf_dir):
     """Assertion-stream collapse: events replayed as (s, p, o)
     assertions with a derived conversation id (event_id div 50) and the
@@ -2376,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_turns": _q_validate_turns,
         "merge_consecutive_roles": _q_merge_consecutive_roles,
         "kg_predicate_profile": _q_predicate_profile,
+        "kg_domain_range": _q_domain_range,
         "kg_fact_provenance": _q_fact_provenance,
         "kg_inverse_predicates": _q_inverse_predicates,
         "kg_rdfs_closure": _q_rdfs_closure,
@@ -3298,6 +3341,56 @@ def oracle_sql() -> dict[str, str]:
             "JOIN ranked rk ON rk.rank = r.rank "
             "WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.s = r.s "
             "AND t.p = r.p AND t.o = rk.neg)"
+        ),
+        "kg_domain_range": (
+            # typing joins → (p, cls) counts → row_number modal pick,
+            # ties on class ascending; left joins keep untyped predicates
+            """
+WITH triples AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+         'n' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+  UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+         'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR), 'placed_by',
+         'c' || CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o' || CAST(l_orderkey AS VARCHAR), 'contains',
+         'p' || CAST(l_partkey AS VARCHAR) FROM lineitem
+), types AS (
+  SELECT DISTINCT e, cls FROM (
+    SELECT 'c' || CAST(c_custkey AS VARCHAR) AS e, 'Customer' AS cls FROM customer
+    UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), 'Supplier' FROM supplier
+    UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR), r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR), o_orderpriority FROM orders
+    UNION ALL SELECT 'p' || CAST(p_partkey AS VARCHAR), p_brand FROM part
+  )
+), nt AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n_triples FROM triples GROUP BY p
+), ds AS (
+  SELECT t.p, ty.cls, count(*) AS cnt
+  FROM triples t JOIN types ty ON t.s = ty.e GROUP BY t.p, ty.cls
+), rs AS (
+  SELECT t.p, ty.cls, count(*) AS cnt
+  FROM triples t JOIN types ty ON t.o = ty.e GROUP BY t.p, ty.cls
+), dtop AS (
+  SELECT p, cls AS domain_cls, CAST(cnt AS BIGINT) AS domain_support,
+         row_number() OVER (PARTITION BY p ORDER BY cnt DESC, cls ASC) AS rn
+  FROM ds
+), rtop AS (
+  SELECT p, cls AS range_cls, CAST(cnt AS BIGINT) AS range_support,
+         row_number() OVER (PARTITION BY p ORDER BY cnt DESC, cls ASC) AS rn
+  FROM rs
+), dtot AS (SELECT p, CAST(sum(cnt) AS BIGINT) AS n_typed_s FROM ds GROUP BY p),
+   rtot AS (SELECT p, CAST(sum(cnt) AS BIGINT) AS n_typed_o FROM rs GROUP BY p)
+SELECT nt.p, nt.n_triples,
+       dtop.domain_cls, dtop.domain_support, dtot.n_typed_s,
+       rtop.range_cls, rtop.range_support, rtot.n_typed_o
+FROM nt
+LEFT JOIN (SELECT * FROM dtop WHERE rn = 1) dtop ON nt.p = dtop.p
+LEFT JOIN dtot ON nt.p = dtot.p
+LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) rtop ON nt.p = rtop.p
+LEFT JOIN rtot ON nt.p = rtot.p
+"""
         ),
         "kg_predicate_profile": (
             # the same dedup → (p,s)/(p,o) group → per-p reduce → join

@@ -589,3 +589,72 @@ def table_to_triples(
         F.expr(f"stack({len(value_cols)}, {pairs}) as (p, o)"),
     )
     return out.filter(F.col("o").isNotNull()) if drop_nulls else out
+
+
+def domain_range_induction(
+    triples: DataFrame,
+    types: DataFrame,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    entity_col: str = "entity",
+    class_col: str = "cls",
+) -> DataFrame:
+    """Induce rdfs:domain / rdfs:range per predicate from a typed triple
+    set — the inverse problem of :func:`rhodf_entailment` (which APPLIES
+    declared domain/range via rdfs2/3, this one proposes them): the modal
+    subject class and modal object class of each predicate, with support
+    counts a schema curator thresholds on before publishing the rule.
+
+    ``types`` is an (entity, cls) assignment (an entity may carry several
+    classes; every (triple, class) pairing counts — standard type-usage
+    counting). Returns one row per predicate:
+
+      p, n_triples,
+      domain_cls, domain_support, n_typed_s  (triples whose s is typed),
+      range_cls,  range_support,  n_typed_o
+
+    Ties break on class string ascending (deterministic cross-engine).
+
+    Scale plan: the two typing joins key on entity ids (entity-sized
+    dimension, corpus-sized fact stream — plain shuffle hash joins, hub
+    entities bounded by their real degree); each reduces straight into a
+    (p, cls) hash aggregate, so the wide frames never carry more than
+    (p, cls) pairs afterward. The modal pick is a row_number window over
+    the |P|x|classes| profile frame — thousands of rows, one partition
+    exchange, nothing corpus-sized.
+    """
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    )
+    ty = types.select(
+        F.col(entity_col).alias("e"), F.col(class_col).cast("string").alias("cls")
+    ).distinct()
+
+    def _modal(side: str, out_cls: str, out_sup: str, out_n: str) -> DataFrame:
+        per = (
+            t.join(ty, t[side] == ty["e"])
+            .groupBy("p", "cls")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("p").orderBy(F.col("cnt").desc(), F.col("cls").asc())
+        tot = per.groupBy("p").agg(F.sum("cnt").cast("long").alias(out_n))
+        top = (
+            per.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("p", F.col("cls").alias(out_cls), F.col("cnt").cast("long").alias(out_sup))
+        )
+        return top.join(tot, "p")
+
+    n_tri = t.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_triples"))
+    dom = _modal("s", "domain_cls", "domain_support", "n_typed_s")
+    rng = _modal("o", "range_cls", "range_support", "n_typed_o")
+    return (
+        n_tri.join(dom, "p", "left")
+        .join(rng, "p", "left")
+        .select(
+            "p", "n_triples",
+            "domain_cls", "domain_support", "n_typed_s",
+            "range_cls", "range_support", "n_typed_o",
+        )
+    )

@@ -421,3 +421,52 @@ def test_table_to_triples_roundtrip(spark):
         table_to_triples(df, "id", [])
     with pytest.raises(ValueError):
         table_to_triples(df, "id", ["name", "name"])
+
+
+def test_domain_range_induction_golden(spark):
+    """Modal domain/range pick with deterministic tie-break, multi-class
+    entities counted per class, untyped endpoints excluded from typing
+    totals but kept in n_triples."""
+    from rdf_indexes_spark.operators.schema import domain_range_induction
+
+    triples = spark.createDataFrame(
+        [
+            # 'works_at': subjects 2 Person + 1 Robot, objects all Org
+            ("p1", "works_at", "o1"), ("p2", "works_at", "o1"),
+            ("r1", "works_at", "o2"),
+            # 'likes': tie City vs Org on object side → 'City' (asc) wins;
+            # subject u9 untyped → n_typed_s < n_triples
+            ("p1", "likes", "c1"), ("p1", "likes", "o1"), ("u9", "likes", "c1"),
+        ],
+        "s string, p string, o string",
+    )
+    types = spark.createDataFrame(
+        [
+            ("p1", "Person"), ("p2", "Person"), ("r1", "Robot"),
+            ("o1", "Org"), ("o2", "Org"),
+            ("c1", "City"),
+            ("c1", "City"),  # duplicate assignment collapses
+        ],
+        "entity string, cls string",
+    )
+    out = {r.p: r for r in domain_range_induction(triples, types).collect()}
+    wa = out["works_at"]
+    assert (wa.n_triples, wa.domain_cls, wa.domain_support, wa.n_typed_s) == (3, "Person", 2, 3)
+    assert (wa.range_cls, wa.range_support, wa.n_typed_o) == ("Org", 3, 3)
+    lk = out["likes"]
+    assert (lk.n_triples, lk.domain_cls, lk.domain_support, lk.n_typed_s) == (3, "Person", 2, 2)
+    # object side: c1 twice, o1 once → City by count; and the tie rule:
+    assert (lk.range_cls, lk.range_support, lk.n_typed_o) == ("City", 2, 3)
+
+
+def test_domain_range_tie_breaks_on_class_asc(spark):
+    from rdf_indexes_spark.operators.schema import domain_range_induction
+
+    triples = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "x")], "s string, p string, o string"
+    )
+    types = spark.createDataFrame(
+        [("a", "Zeta"), ("b", "Alpha"), ("x", "T")], "entity string, cls string"
+    )
+    row = domain_range_induction(triples, types).collect()[0]
+    assert row.domain_cls == "Alpha" and row.domain_support == 1
