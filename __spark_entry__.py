@@ -977,6 +977,20 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(triples, "subClassOf", "type")
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """Rows-only: tokenizer application (learned merge table broadcast,
+    map-side Arrow-batched encode; iterative learning isn't
+    SQL-expressible). Sequential-application parity + lossless
+    round-trip asserted in tests/test_textops.py."""
+    from rdf_indexes_spark.operators.textops import bpe_encode, learn_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=8)
+    return bpe_encode(docs, merges).select(
+        "doc_id", "n_bpe_tokens", F.slice("tokens", 1, 12).alias("head_tokens")
+    )
+
+
 def _q_learn_bpe(spark, sf_dir):
     """First 8 BPE merges learned over the document corpus (rows-only:
     iterative merge selection isn't SQL-expressible; the exact
@@ -2431,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_histogram": _q_degree_histogram,
         "kg_table_to_triples": _q_table_to_triples,
         "learn_bpe": _q_learn_bpe,
+        "bpe_encode": _q_bpe_encode,
         "dedup_keep_best": _q_keep_best,
         "trailing_counts_events": _q_trailing_counts,
         "event_transitions": _q_event_transitions,

@@ -975,3 +975,82 @@ def bigram_collocations(
         F.col("n_bi").cast("long").alias("n_bi"),
         lift.alias("lift"),
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table (:func:`learn_bpe`'s output) to
+    encode documents: (doc_id, n_bpe_tokens, tokens array<string>).
+
+    Same text model as learning: lowercase, whitespace word boundaries,
+    char-level start symbols, merges applied leftmost-non-overlapping in
+    rank order. The encoder iterates min-rank-present-pair-first, which
+    is provably identical to sequential rank-order application (a merge
+    of rank k can never create a pair of rank < k, because a pair's
+    components must already exist when the pair is learned) — the pytest
+    golden checks against the literal sequential model anyway.
+
+    Scale shape: the merge table is tokenizer-sized (32k-100k rows, a
+    few MB) — collected once and broadcast, NEVER joined; encoding runs
+    map-side in an Arrow-batched mapInPandas with a per-batch distinct-
+    word cache (zipf: most words repeat, so each distinct word encodes
+    once per batch, not once per occurrence). No shuffle anywhere.
+    """
+    import pandas as pd
+
+    rank_rows = merges.select("merge_rank", "left", "right").collect()
+    ranks = {(r["left"], r["right"]): int(r["merge_rank"]) for r in rank_rows}
+    spark = docs.sparkSession
+    b_ranks = spark.sparkContext.broadcast(ranks)
+    inf = float("inf")
+
+    def _encode_batches(batches):
+        rk = b_ranks.value
+
+        def enc_word(w: str, cache: dict) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            while len(syms) > 1:
+                best, best_rank = None, inf
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]), inf)
+                    if r < best_rank:
+                        best, best_rank = (syms[i], syms[i + 1]), r
+                if best is None:
+                    break
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        for pdf in batches:
+            cache: dict = {}
+            toks_col, n_col = [], []
+            for text in pdf["text"].astype(str):
+                toks: list[str] = []
+                for w in text.strip().lower().split():
+                    toks.extend(enc_word(w, cache))
+                toks_col.append(toks)
+                n_col.append(len(toks))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_bpe_tokens": n_col, "tokens": toks_col}
+            )
+
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(
+        _encode_batches,
+        schema="doc_id long, n_bpe_tokens long, tokens array<string>",
+    )

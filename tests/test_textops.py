@@ -737,3 +737,55 @@ def test_bigram_collocations_matches_python(docs):
 def test_bigram_collocations_plan_no_python(docs):
     plan = X.bigram_collocations(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_encode_matches_sequential_application(spark):
+    """Encoding must equal the literal sequential rank-order application
+    of the learned merges (the learning-time semantics)."""
+    from rdf_indexes_spark.operators.textops import bpe_encode, learn_bpe
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "aaa aa aaa banana",
+        "low new aaa",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = learn_bpe(df, n_merges=6)
+    mrows = [(r.left, r.right) for r in merges.orderBy("merge_rank").collect()]
+
+    def seq_encode_word(w):
+        syms = list(w)
+        for l, r in mrows:  # sequential, rank order, leftmost non-overlap
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r.doc_id: (r.n_bpe_tokens, list(r.tokens))
+           for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        want = [s for w in t.strip().lower().split() for s in seq_encode_word(w)]
+        assert got[i] == (len(want), want), (i, got[i], want)
+
+
+def test_bpe_encode_on_real_docs_roundtrip(docs):
+    """Concatenating each doc's tokens reproduces its lowercased
+    whitespace-normalized text (BPE is lossless within words)."""
+    from rdf_indexes_spark.operators.textops import bpe_encode, learn_bpe
+
+    merges = learn_bpe(docs.limit(50), n_merges=4)
+    out = bpe_encode(docs.limit(50), merges).collect()
+    pdf = {r.doc_id: str(r.text) for r in docs.limit(50).collect()}
+    assert len(out) == len(pdf)
+    for r in out:
+        want = "".join(pdf[r.doc_id].strip().lower().split())
+        assert "".join(r.tokens) == want
