@@ -472,7 +472,10 @@ def _q_duplicate_spans(spark, sf_dir):
     from rdf_indexes_spark.operators.dedup import duplicate_spans
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    return duplicate_spans(docs, k=8, fingerprint="md5")
+    out = duplicate_spans(docs, k=8, fingerprint="md5")
+    # pos is int32 in the operator (window ordinal); surface as long so
+    # the cross-engine frame dtypes line up exactly
+    return out.withColumn("pos", F.col("pos").cast("long"))
 
 
 def _q_ann(spark, sf_dir):
@@ -3024,13 +3027,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(value * 100) AS BIGINT) AS v FROM events) "
             "SELECT 'hour' AS resolution, "
             "CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start, "
-            "event_type, COUNT(*) AS n_rows, SUM(v) AS sum_x1e2, "
+            "event_type, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_x1e2, "
             "CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_epoch, "
             "CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch "
             "FROM s GROUP BY 2, 3 "
             "UNION ALL "
             "SELECT 'day', CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT), "
-            "event_type, COUNT(*), SUM(v), "
+            "event_type, COUNT(*), CAST(SUM(v) AS BIGINT), "
             "CAST(floor(epoch(MIN(ts))) AS BIGINT), "
             "CAST(floor(epoch(MAX(ts))) AS BIGINT) "
             "FROM s GROUP BY 2, 3"
@@ -3093,9 +3096,9 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN event_type = 'purchase' THEN props END AS tool, ts "
             "FROM events) "
             "SELECT conv_id, COUNT(*) AS n_turns, "
-            "SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns, "
-            "SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant_turns, "
-            "SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns, "
+            "CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns, "
+            "CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant_turns, "
+            "CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns, "
             "COUNT(DISTINCT tool) AS n_tools, "
             "CAST(SUM(length(text)) AS BIGINT) AS total_chars, "
             "CAST(MAX(length(text)) AS BIGINT) AS max_turn_chars, "
