@@ -227,7 +227,9 @@ def _run_level(n_exec: int, corpus_path: str, warm_path: str) -> dict:
 
 
 ACCEPT_CEILING = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_CEILING", "0.70"))
-MAX_REPROBES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPROBES", "6"))
+# 12s per reprobe (10s wait + 2s probe) — a budget of 12 costs ≤2.5 min
+# across the whole run and is far cheaper than one crushed 32M pair
+MAX_REPROBES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPROBES", "12"))
 
 
 def _quick_membw_ceiling() -> float:
@@ -455,16 +457,19 @@ def main() -> None:
                     c_hi, c_lo, c_win = hi, lo, min(windows)
                     c_effs = accepted
                 else:
-                    # two gated pairs; efficiency = median of the
-                    # window-matched pair ratios (same estimator as the
-                    # headline); sec_hi/sec_lo stay min-per-level for
-                    # throughput display
+                    # three gated pairs; efficiency = median of the
+                    # WINDOW-ACCEPTED pair ratios (same estimator and
+                    # acceptance rule as the headline — with 3 pairs the
+                    # median rejects one crushed window, which 2 pairs
+                    # cannot: a 0.244 pair in a 0.67-ceiling window
+                    # dragged a curve point from 0.47 to 0.36 once);
+                    # sec_hi/sec_lo stay min-per-level for display
                     cpath = _corpus_path(nt)
-                    pairs = [_gated_pair(cpath, warm_path, reprobes) for _ in range(2)]
+                    pairs = [_gated_pair(cpath, warm_path, reprobes) for _ in range(3)]
                     c_hi = min((p["hi"] for p in pairs), key=lambda r: r["elapsed_sec"])
                     c_lo = min((p["lo"] for p in pairs), key=lambda r: r["elapsed_sec"])
                     c_win = min(p["window_ceiling"] for p in pairs)
-                    c_effs = [
+                    all_effs = [
                         round(
                             (p["hi"]["triples"] / p["hi"]["elapsed_sec"])
                             / (p["lo"]["triples"] / p["lo"]["elapsed_sec"])
@@ -473,6 +478,11 @@ def main() -> None:
                         )
                         for p in pairs
                     ]
+                    c_effs = [
+                        e
+                        for e, p in zip(all_effs, pairs)
+                        if ACCEPT_CEILING <= p["window_ceiling"] <= 1.15
+                    ] or all_effs
                 curve.append(
                     {
                         "n_turns": nt,
@@ -480,7 +490,15 @@ def main() -> None:
                         "sec_hi": round(c_hi["elapsed_sec"], 3),
                         "sec_lo": round(c_lo["elapsed_sec"], 3),
                         "efficiency": round(statistics.median(c_effs), 3),
+                        # accepted-window pairs only (the estimator's
+                        # input); the per-pair windows ship so a reader
+                        # can audit the acceptance
                         "pair_efficiencies": c_effs,
+                        "pair_windows": (
+                            [p["window_ceiling"] for p in pairs]
+                            if nt != n_turns
+                            else windows
+                        ),
                         "window_ceiling": c_win,
                     }
                 )
