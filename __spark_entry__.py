@@ -1556,6 +1556,29 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(cust.union(supp).union(nat), iterations=10)
 
 
+def _q_kg_link_prediction(spark, sf_dir):
+    """KG-completion candidates over the customer–part co-purchase graph
+    (2% order sample; part keys folded to 499 slots and offset past the
+    custkey space so the graph stays bipartite). Gate columns are the
+    EXACT-INTEGER scores only — aa/ra/jaccard are sum-order-dependent
+    floats by design (operators/graph.link_prediction docstring)."""
+    from rdf_indexes_spark.operators.graph import link_prediction
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    e = (
+        li.filter(F.col("l_orderkey") % 50 == 0)
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000) + F.col("l_partkey") % 499).alias("dst"),
+        )
+    )
+    return link_prediction(e, max_center_degree=200).select(
+        "x", "y", "cn", "deg_x", "deg_y", "n_union"
+    )
+
+
 def _q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over a deterministic entity co-occurrence
     graph (order/part keys folded into one 9973-node space). Exercises
@@ -2446,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fuzzy_pairs": _q_fuzzy_pairs,
         "json_field_stats": _q_json_field_stats,
         "kg_degree_histogram": _q_degree_histogram,
+        "kg_link_prediction": _q_kg_link_prediction,
         "kg_table_to_triples": _q_table_to_triples,
         "learn_bpe": _q_learn_bpe,
         "bpe_encode": _q_bpe_encode,
@@ -3225,6 +3249,33 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT u, COUNT(*) AS degree FROM e GROUP BY u) "
             "SELECT CAST(degree AS BIGINT) AS degree, "
             "CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d GROUP BY 1"
+        ),
+        "kg_link_prediction": (
+            # wedge expansion replayed verbatim: adjacency both ways,
+            # center-degree cap BEFORE pairing, degrees over ALL edges,
+            # anti-join out adjacent pairs; integer columns only
+            "WITH raw AS (SELECT DISTINCT o_custkey AS a, "
+            "1000000 + (l_partkey % 499) AS b "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_orderkey % 50 = 0), "
+            "e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v "
+            "FROM raw WHERE a <> b), "
+            "adj AS (SELECT u AS node, v AS c FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node), "
+            "ctr AS (SELECT node AS c, d FROM deg WHERE d <= 200), "
+            "w AS (SELECT l.node AS x, r.node AS y, COUNT(*) AS cn "
+            "FROM adj l JOIN ctr ON l.c = ctr.c "
+            "JOIN adj r ON r.c = ctr.c AND l.node < r.node "
+            "GROUP BY l.node, r.node), "
+            "nonadj AS (SELECT w.* FROM w LEFT JOIN e "
+            "ON w.x = e.u AND w.y = e.v WHERE e.u IS NULL) "
+            "SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, "
+            "CAST(cn AS BIGINT) AS cn, CAST(dx.d AS BIGINT) AS deg_x, "
+            "CAST(dy.d AS BIGINT) AS deg_y, "
+            "CAST(dx.d + dy.d - cn AS BIGINT) AS n_union "
+            "FROM nonadj JOIN deg dx ON dx.node = nonadj.x "
+            "JOIN deg dy ON dy.node = nonadj.y"
         ),
         "dedup_keep_best": (
             "SELECT lang, source, doc_id, text, n_chars FROM ("

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "kg_bfs_distances",
     "kg_property_table",
     "kg_domain_range",
+    "kg_link_prediction",
     # g4_path_closure stays OUT of the bench set: on this table's random
     # quasi-bipartite edge graph the closure ANSWER is ~|V|^2 — timing it
     # measures output size, not the engine. Correctness gates at sf0.01.

@@ -453,3 +453,89 @@ def degree_histogram(
         .groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_center_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Common-neighbor link-prediction scores (Liben-Nowell & Kleinberg
+    2003) over the simple undirected graph: one row per NON-adjacent
+    unordered pair (x, y) sharing >= ``min_common`` neighbors, with
+
+      cn          exact common-neighbor count |N(x) ∩ N(y)|
+      deg_x/deg_y exact degrees
+      n_union     exact |N(x) ∪ N(y)| = deg_x + deg_y - cn
+      aa          Adamic-Adar  Σ_z 1/ln(deg(z))   (z = common neighbor)
+      ra          resource-allocation Σ_z 1/deg(z)
+      jaccard     cn / n_union
+
+    The KG-completion candidate generator: scored pairs are the edges a
+    curator (or a TransE ranker fed by kg_negative_samples) reviews.
+    Every count/degree column is an exact integer so a SQL oracle can
+    replay them bit-for-bit; aa/ra/jaccard are float conveniences
+    DERIVED from those integers (sum order makes them engine-specific —
+    oracles should compare the integer columns).
+
+    Scale design: the only quadratic surface is the wedge expansion —
+    Σ_z deg(z)² pairs, one self-equi-join of the adjacency list keyed on
+    the center. ``max_center_degree`` drops centers above the cap BEFORE
+    pairing (the same guard as cooccurrence_counts' max_group_size, and
+    principled here: a hub center contributes only 1/ln(deg) ≈ 0 weight
+    per pair while emitting deg² of them). Degrees still count ALL
+    edges — the cap prunes candidates, never the statistics. The
+    existing-edge exclusion is a left-anti equi-join on the canonical
+    (u < v) pair; everything shuffles integers only.
+    """
+    e = _simple_edges(edges, src_col, dst_col).localCheckpoint(eager=False)
+    deg = _degrees(e)  # (n, d)
+    # adjacency list (node, c): each undirected edge both ways
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("c")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("c"))
+    )
+    centers = deg.select(F.col("n").alias("c"), F.col("d").alias("deg_c"))
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("deg_c") <= max_center_degree)
+    wedge_src = adj.join(centers, "c")
+    l, r = wedge_src.alias("l"), wedge_src.alias("r")
+    scores = (
+        l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.node") < F.col("r.node")))
+        .select(
+            F.col("l.node").alias("x"),
+            F.col("r.node").alias("y"),
+            F.col("l.deg_c").alias("deg_c"),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.lit(1.0) / F.log(F.col("deg_c"))).alias("aa"),
+            F.sum(F.lit(1.0) / F.col("deg_c")).alias("ra"),
+        )
+        .filter(F.col("cn") >= min_common)
+    )
+    # non-adjacent pairs only: (x, y) is already canonical (x < y), so one
+    # anti-join against the canonical edge frame suffices
+    cand = scores.join(
+        e, (scores["x"] == e["u"]) & (scores["y"] == e["v"]), "left_anti"
+    )
+    return (
+        cand.join(deg.select(F.col("n").alias("x"), F.col("d").alias("deg_x")), "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("deg_y")), "y")
+        .select(
+            "x",
+            "y",
+            "cn",
+            "deg_x",
+            "deg_y",
+            (F.col("deg_x") + F.col("deg_y") - F.col("cn")).alias("n_union"),
+            "aa",
+            "ra",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+    )

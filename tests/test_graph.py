@@ -490,3 +490,115 @@ def test_degree_histogram_golden(spark):
            for r in degree_histogram(edges, directed=False).collect()}
     # simple undirected: 1-2,1-3,2-3,1-4 → deg(1)=3, deg(2)=2, deg(3)=2, deg(4)=1
     assert und == {3: 1, 2: 2, 1: 1}
+
+
+# ---------------------------------------------------------------- link_prediction
+
+
+def _lp_model(edges, max_center_degree=None, min_common=1):
+    """Pure-python common-neighbor scorer (the brute-force oracle)."""
+    import math
+    from collections import defaultdict
+
+    simple = set()
+    for a, b in edges:
+        if a != b:
+            simple.add((min(a, b), max(a, b)))
+    nbrs = defaultdict(set)
+    for u, v in simple:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    deg = {n: len(s) for n, s in nbrs.items()}
+    out = {}
+    nodes = sorted(nbrs)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            if (x, y) in simple:
+                continue
+            common = nbrs[x] & nbrs[y]
+            if max_center_degree is not None:
+                common = {z for z in common if deg[z] <= max_center_degree}
+            if len(common) < min_common:
+                continue
+            out[(x, y)] = {
+                "cn": len(common),
+                "deg_x": deg[x],
+                "deg_y": deg[y],
+                "n_union": deg[x] + deg[y] - len(common),
+                "aa": sum(1.0 / math.log(deg[z]) for z in common),
+                "ra": sum(1.0 / deg[z] for z in common),
+            }
+    return out
+
+
+def test_link_prediction_golden_path(spark):
+    from rdf_indexes_spark.operators.graph import link_prediction
+
+    # path 0-1-2-3: non-adjacent pairs sharing a neighbor are (0,2) via 1
+    # and (1,3) via 2; (0,3) shares none. Center degrees are both 2.
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    rows = {(r["x"], r["y"]): r for r in link_prediction(e).collect()}
+    assert set(rows) == {(0, 2), (1, 3)}
+    r = rows[(0, 2)]
+    assert (r["cn"], r["deg_x"], r["deg_y"], r["n_union"]) == (1, 1, 2, 2)
+    assert r["jaccard"] == pytest.approx(0.5)
+    import math
+
+    assert r["aa"] == pytest.approx(1 / math.log(2))
+    assert r["ra"] == pytest.approx(0.5)
+
+
+def test_link_prediction_excludes_existing_edges_and_self(spark):
+    from rdf_indexes_spark.operators.graph import link_prediction
+
+    # triangle + pendant: every triangle pair is adjacent (excluded even
+    # though each shares the third vertex); duplicate/reversed/self edges
+    # collapse first
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 3)], "src long, dst long"
+    )
+    got = {(r["x"], r["y"]) for r in link_prediction(e).collect()}
+    assert got == {(0, 3), (1, 3)}  # pendant 3 pairs with 2's other neighbors
+
+
+def test_link_prediction_center_cap_prunes_candidates_not_degrees(spark):
+    from rdf_indexes_spark.operators.graph import link_prediction
+
+    # star center 9 (degree 3) + an edge 1-2: capping centers at degree 2
+    # kills the star's wedges but keeps TRUE degrees in the survivors
+    e = spark.createDataFrame(
+        [(9, 0), (9, 1), (9, 2), (1, 2)], "src long, dst long"
+    )
+    uncapped = {(r["x"], r["y"]): r for r in link_prediction(e).collect()}
+    assert (0, 1) in uncapped and (0, 2) in uncapped  # via center 9
+    capped = {(r["x"], r["y"]): r for r in link_prediction(e, max_center_degree=2).collect()}
+    assert (0, 1) not in capped and (0, 2) not in capped
+    # 0-9 pair survives via centers 1 and 2? 0's nbrs={9}, 9 adjacent to 0 -> excluded.
+    # survivors: none share a sub-cap center while non-adjacent
+    assert capped == {}
+
+
+def test_link_prediction_matches_bruteforce(spark):
+    import random
+
+    from rdf_indexes_spark.operators.graph import link_prediction
+
+    rng = random.Random(4177)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    for cap in (None, 4):
+        want = _lp_model(edges, max_center_degree=cap)
+        got = {
+            (r["x"], r["y"]): r
+            for r in link_prediction(
+                spark.createDataFrame(edges, "src long, dst long"),
+                max_center_degree=cap,
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for k, w in want.items():
+            g = got[k]
+            assert (g["cn"], g["deg_x"], g["deg_y"], g["n_union"]) == (
+                w["cn"], w["deg_x"], w["deg_y"], w["n_union"],
+            ), k
+            assert g["aa"] == pytest.approx(w["aa"], rel=1e-9)
+            assert g["ra"] == pytest.approx(w["ra"], rel=1e-9)
