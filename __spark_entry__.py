@@ -1579,6 +1579,24 @@ def _q_kg_link_prediction(spark, sf_dir):
     )
 
 
+def _q_kg_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus over the folded part→supplier graph
+    (both key spaces folded into 0..498 so supplier slots have out-edges
+    too and walks actually chain). Every step is affine-hash arithmetic
+    over the 31-bit Mersenne prime — the oracle replays the walks
+    value-for-value with a recursive CTE."""
+    from rdf_indexes_spark.operators.graph import random_walks
+
+    li = _read(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") % 499).alias("src"),
+        (F.col("l_suppkey") % 499).alias("dst"),
+    )
+    return random_walks(e, num_walks=2, walk_length=6).select(
+        "walk_id", F.col("step").cast("long").alias("step"), "node"
+    )
+
+
 def _q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts over a deterministic entity co-occurrence
     graph (order/part keys folded into one 9973-node space). Exercises
@@ -2470,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field_stats": _q_json_field_stats,
         "kg_degree_histogram": _q_degree_histogram,
         "kg_link_prediction": _q_kg_link_prediction,
+        "kg_random_walks": _q_kg_random_walks,
         "kg_table_to_triples": _q_table_to_triples,
         "learn_bpe": _q_learn_bpe,
         "bpe_encode": _q_bpe_encode,
@@ -3249,6 +3268,35 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT u, COUNT(*) AS degree FROM e GROUP BY u) "
             "SELECT CAST(degree AS BIGINT) AS degree, "
             "CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d GROUP BY 1"
+        ),
+        "kg_random_walks": (
+            # the walk contract replayed step-for-step: h1 = H(walk_id),
+            # step t moves to neighbor H(h1 + t) mod out_deg in
+            # dst-ascending index order (H = (625341585*k + 461845907)
+            # mod 2^31-1, operators/sampling._A/_B over dedup._P)
+            "WITH RECURSIVE "
+            "e AS (SELECT DISTINCT CAST(l_partkey % 499 AS BIGINT) AS s, "
+            "CAST(l_suppkey % 499 AS BIGINT) AS d FROM lineitem), "
+            "adj AS (SELECT s, d, ROW_NUMBER() OVER "
+            "(PARTITION BY s ORDER BY d) - 1 AS idx FROM e), "
+            "deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s), "
+            "starts AS (SELECT s * 2 + w.i AS walk_id, s AS node "
+            "FROM deg CROSS JOIN (SELECT unnest([0, 1]) AS i) w), "
+            "walk(walk_id, step, node, h1) AS ("
+            "SELECT walk_id, CAST(0 AS BIGINT), node, "
+            "(625341585 * (walk_id % 2147483647) + 461845907) % 2147483647 "
+            "FROM starts "
+            "UNION ALL "
+            "SELECT wk.walk_id, wk.step + 1, adj.d, wk.h1 "
+            "FROM walk wk "
+            "JOIN deg ON deg.s = wk.node "
+            "JOIN adj ON adj.s = wk.node AND adj.idx = "
+            "((625341585 * ((wk.h1 + wk.step + 1) % 2147483647) "
+            "+ 461845907) % 2147483647) % deg.deg "
+            "WHERE wk.step < 6) "
+            "SELECT CAST(walk_id AS BIGINT) AS walk_id, "
+            "CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node "
+            "FROM walk"
         ),
         "kg_link_prediction": (
             # wedge expansion replayed verbatim: adjacency both ways,

@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "kg_property_table",
     "kg_domain_range",
     "kg_link_prediction",
+    # kg_random_walks stays OUT too: 13 chained tiny joins measure driver
+    # dispatch latency at sf0.1, not the engine (correctness gates at both
+    # SFs; the per-step join is the scalable surface).
     # g4_path_closure stays OUT of the bench set: on this table's random
     # quasi-bipartite edge graph the closure ANSWER is ~|V|^2 — timing it
     # measures output size, not the engine. Correctness gates at sf0.01.

@@ -539,3 +539,92 @@ def link_prediction(
             ).alias("jaccard"),
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    num_walks: int = 4,
+    walk_length: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    a: int | None = None,
+    b: int | None = None,
+    checkpoint_every: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(walk_id, step, node) — a DETERMINISTIC random-walk corpus over
+    the directed graph: ``num_walks`` walks of up to ``walk_length``
+    steps from every node with out-edges (the DeepWalk/node2vec training
+    corpus for KG embeddings). A walk ends early at a dead end.
+
+    Unlike rand()-driven walks, every step is a pure function of
+    (walk_id, step) through the repo's engine-portable affine-hash
+    contract (operators/sampling._variate's family over the 31-bit
+    Mersenne prime): step t from node u moves to u's neighbor with index
+    ``H(H(walk_id), t) mod out_deg(u)`` in dst-ascending order. The
+    corpus is therefore reproducible across runs, cluster sizes, and
+    input layouts, and a SQL oracle replays it value-for-value with a
+    recursive CTE — the same portability contract every sampler here
+    honors.
+
+    Scale design: adjacency neighbor indices come from
+    functions.ranking.grouped_rank (range exchange + per-partition rank
+    + distributed offsets — a 10^7-degree hub contributes rows, never a
+    single 10^7-row sort task); the per-step move is ONE equi-join of
+    the walker frame (|V|·num_walks rows, integers only) against the
+    adjacency on (node, index) plus one against the degree frame; hub
+    in-degree concentrates walkers on hot rows, which a hash equi-join
+    absorbs map-side. Lineage is cut every ``checkpoint_every`` steps.
+    """
+    from .sampling import _A, _B
+    from ..functions.ranking import grouped_rank
+    from .dedup import _P
+
+    a = _A if a is None else a
+    b = _B if b is None else b
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("s"),
+            F.col(dst_col).cast("long").alias("d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = grouped_rank(
+        e, "s", [F.col("d")], id_col="idx", num_partitions=num_partitions
+    ).select(
+        F.col("s").alias("a_node"), F.col("d").alias("a_next"), F.col("idx")
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("s").alias("d_node"), "deg"
+    )
+
+    def _h(key):  # affine over the Mersenne prime, non-negative longs
+        return F.pmod(F.lit(a) * F.pmod(key, F.lit(_P)) + F.lit(b), F.lit(_P))
+
+    state = (
+        deg.select(F.col("d_node").alias("s"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("w"),
+            F.col("s").alias("node"),
+        )
+        .select(
+            (F.col("node") * num_walks + F.col("w")).alias("walk_id"),
+            F.col("node"),
+        )
+        .withColumn("h1", _h(F.col("walk_id")))
+    )
+    out = state.select("walk_id", F.lit(0).alias("step"), "node")
+    for t in range(1, walk_length + 1):
+        nxt = (
+            state.join(deg, state["node"] == deg["d_node"])
+            .withColumn("pick", F.pmod(_h(F.col("h1") + F.lit(t)), F.col("deg")))
+            .drop("d_node", "deg")
+            .join(adj, (F.col("node") == F.col("a_node")) & (F.col("pick") == F.col("idx")))
+            .select("walk_id", F.col("a_next").alias("node"), "h1")
+        )
+        if t % checkpoint_every == 0 and t < walk_length:
+            nxt = nxt.localCheckpoint(eager=False)
+        state = nxt
+        out = out.unionByName(state.select("walk_id", F.lit(t).alias("step"), "node"))
+    return out

@@ -602,3 +602,85 @@ def test_link_prediction_matches_bruteforce(spark):
             ), k
             assert g["aa"] == pytest.approx(w["aa"], rel=1e-9)
             assert g["ra"] == pytest.approx(w["ra"], rel=1e-9)
+
+
+# ---------------------------------------------------------------- random_walks
+
+
+def _walk_model(edges, num_walks, walk_length):
+    """Pure-python replay of the deterministic walk contract."""
+    from rdf_indexes_spark.operators.dedup import _P
+    from rdf_indexes_spark.operators.sampling import _A, _B
+
+    def h(k):
+        return (_A * (k % _P) + _B) % _P
+
+    nbrs = {}
+    for s, d in sorted(set(edges)):
+        nbrs.setdefault(s, []).append(d)
+    for s in nbrs:
+        nbrs[s] = sorted(set(nbrs[s]))
+    rows = set()
+    for node in nbrs:
+        for w in range(num_walks):
+            wid = node * num_walks + w
+            h1 = h(wid)
+            cur = node
+            rows.add((wid, 0, cur))
+            for t in range(1, walk_length + 1):
+                if cur not in nbrs:
+                    break
+                cur = nbrs[cur][h(h1 + t) % len(nbrs[cur])]
+                rows.add((wid, t, cur))
+    return rows
+
+
+def test_random_walks_matches_python_model(spark):
+    import random
+
+    from rdf_indexes_spark.operators.graph import random_walks
+
+    rng = random.Random(99)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(80)]
+    got = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(
+            spark.createDataFrame(edges, "src long, dst long"),
+            num_walks=3,
+            walk_length=6,
+        ).collect()
+    }
+    assert got == _walk_model(edges, 3, 6)
+
+
+def test_random_walks_dead_end_stops_early(spark):
+    from rdf_indexes_spark.operators.graph import random_walks
+
+    # 0 -> 1 -> 2, 2 has no out-edges: every walk is exactly 0,1,2 / 1,2
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    rows = random_walks(e, num_walks=1, walk_length=5).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert by_walk[0] == {0: 0, 1: 1, 2: 2}  # stops at the dead end
+    assert by_walk[1] == {0: 1, 1: 2}
+    assert 2 * 1 not in by_walk or by_walk.get(2) is None  # node 2 never starts
+
+
+def test_random_walks_layout_invariant(spark):
+    import random
+
+    from rdf_indexes_spark.operators.graph import random_walks
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(df, num_walks=2, walk_length=4).collect()
+    }
+    shuffled = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(df.repartition(7), num_walks=2, walk_length=4).collect()
+    }
+    assert base == shuffled
