@@ -1579,6 +1579,20 @@ def _q_kg_link_prediction(spark, sf_dir):
     )
 
 
+def _q_kg_personalized_pagerank(spark, sf_dir):
+    """Seed-relatedness ranks over the folded part→supplier graph
+    (rows-only like kg_pagerank: iterative float fixpoint; the exact
+    python-model oracle lives in tests/test_graph.py)."""
+    from rdf_indexes_spark.operators.graph import personalized_pagerank
+
+    li = _read(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") % 499).alias("src"),
+        (F.col("l_suppkey") % 499).alias("dst"),
+    )
+    return personalized_pagerank(e, sources=[0, 1], iterations=8)
+
+
 def _q_kg_random_walks(spark, sf_dir):
     """Deterministic DeepWalk corpus over the folded part→supplier graph
     (both key spaces folded into 0..498 so supplier slots have out-edges
@@ -2489,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_histogram": _q_degree_histogram,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_random_walks": _q_kg_random_walks,
+        "kg_personalized_pagerank": _q_kg_personalized_pagerank,
         "kg_table_to_triples": _q_table_to_triples,
         "learn_bpe": _q_learn_bpe,
         "bpe_encode": _q_bpe_encode,

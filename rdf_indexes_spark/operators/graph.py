@@ -628,3 +628,91 @@ def random_walks(
         state = nxt
         out = out.unionByName(state.select("walk_id", F.lit(t).alias("step"), "node"))
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list[int],
+    damping: float = 0.85,
+    iterations: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, rank) — PageRank with teleport restricted to ``sources``
+    (uniformly): the random surfer restarts at the seed set, so rank is
+    relatedness TO the seeds — the standard KG entity-similarity /
+    recommendation signal (seed = a query entity's neighborhood). Ranks
+    sum to 1; nodes unreachable from the seeds converge to 0.
+
+    Same plan shape as pagerank (one src-keyed join + one dst-keyed SUM
+    aggregate per iteration, dangling mass as a broadcast one-row frame,
+    lineage cut every ``checkpoint_every`` rounds); the teleport vector
+    rides as a broadcast |seeds|-row frame instead of a constant — seed
+    sets are query-sized, never corpus-sized.
+    """
+    if not sources:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    from ..functions.ranking import _literal_df
+
+    seeds = set(int(s) for s in sources)
+    t = F.broadcast(
+        _literal_df(spark, [(s,) for s in sorted(seeds)], [("node", "long")])
+        .withColumn("t", F.lit(1.0 / len(seeds)))
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    w_edges = (
+        e.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .persist()
+    )
+    dangling = nodes.join(
+        e.select("src").distinct(), nodes["node"] == F.col("src"), "left_anti"
+    ).persist()
+
+    ranks = nodes.join(t, "node", "left").select(
+        "node", F.coalesce(F.col("t"), F.lit(0.0)).alias("rank")
+    )
+    for i in range(iterations):
+        contribs = (
+            w_edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+            .withColumnRenamed("dst", "node")
+        )
+        dmass = dangling.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .join(t, "node", "left")
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "node",
+                (
+                    F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") * F.coalesce(F.col("t"), F.lit(0.0))
+                    )
+                    + (1.0 - damping) * F.coalesce(F.col("t"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.localCheckpoint(eager=True)
+    for df in (nodes, w_edges, dangling):
+        df.unpersist()
+    return out

@@ -684,3 +684,69 @@ def test_random_walks_layout_invariant(spark):
         for r in random_walks(df.repartition(7), num_walks=2, walk_length=4).collect()
     }
     assert base == shuffled
+
+
+# ------------------------------------------------------------ personalized_pagerank
+
+
+def _numpy_ppr(edges, n, seeds, d, iters):
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[s] += 1
+    t = np.zeros(n)
+    for s in seeds:
+        t[s] = 1.0 / len(seeds)
+    r = t.copy()
+    for _ in range(iters):
+        nxt = (1 - d) * t
+        dm = 0.0
+        for i in range(n):
+            if out[i] == 0:
+                dm += r[i]
+        nxt += d * dm * t
+        for s, dst in edges:
+            nxt[dst] += d * r[s] / out[s]
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    import random
+
+    from rdf_indexes_spark.operators.graph import personalized_pagerank
+
+    rng = random.Random(31)
+    n = 20
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(60)})
+    seeds = [0, 7]
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            sources=seeds,
+            iterations=8,
+        ).collect()
+    }
+    want = _numpy_ppr(edges, n, seeds, 0.85, 8)
+    for node, rank in got.items():
+        assert rank == pytest.approx(want[node], abs=1e-12), node
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_unreachable_is_zero(spark):
+    from rdf_indexes_spark.operators.graph import personalized_pagerank
+
+    # two components; seeding in one leaves the other at exactly 0
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (5, 6), (6, 5)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, sources=[0], iterations=6).collect()
+    }
+    assert got[5] == 0.0 and got[6] == 0.0
+    assert got[0] > got[1] > 0  # seed holds the teleport mass
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        personalized_pagerank(e, sources=[])
