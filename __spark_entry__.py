@@ -1579,6 +1579,25 @@ def _q_kg_link_prediction(spark, sf_dir):
     )
 
 
+def _q_kg_weighted_distances(spark, sf_dir):
+    """Hop-bounded weighted shortest distances over the 2%-sampled
+    folded part→supplier graph, edge cost = cheapest quantity; seeds are
+    slots 0 and 1 (dist-0 rows exist even if a slot is isolated). Small
+    integer costs keep the oracle CTE's dedup'd state space bounded."""
+    from rdf_indexes_spark.operators.graph import weighted_distances
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    e = li.select(
+        (F.col("l_partkey") % 499).alias("src"),
+        (F.col("l_suppkey") % 499).alias("dst"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    from rdf_indexes_spark.functions.ranking import _literal_df
+
+    seeds = _literal_df(spark, [(0,), (1,)], [("node", "long")])
+    return weighted_distances(e, seeds, max_hops=3)
+
+
 def _q_kg_personalized_pagerank(spark, sf_dir):
     """Seed-relatedness ranks over the folded part→supplier graph
     (rows-only like kg_pagerank: iterative float fixpoint; the exact
@@ -2504,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_random_walks": _q_kg_random_walks,
         "kg_personalized_pagerank": _q_kg_personalized_pagerank,
+        "kg_weighted_distances": _q_kg_weighted_distances,
         "kg_table_to_triples": _q_table_to_triples,
         "learn_bpe": _q_learn_bpe,
         "bpe_encode": _q_bpe_encode,
@@ -3283,6 +3303,24 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT u, COUNT(*) AS degree FROM e GROUP BY u) "
             "SELECT CAST(degree AS BIGINT) AS degree, "
             "CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d GROUP BY 1"
+        ),
+        "kg_weighted_distances": (
+            # hop-bounded Bellman-Ford replayed as bounded path
+            # enumeration; recursive UNION dedups (source,node,dist,hops)
+            # states, which small integer costs keep bounded
+            "WITH RECURSIVE "
+            "e AS (SELECT CAST(l_partkey % 499 AS BIGINT) AS s, "
+            "CAST(l_suppkey % 499 AS BIGINT) AS d, "
+            "MIN(CAST(l_quantity AS BIGINT)) AS w "
+            "FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY 1, 2), "
+            "walk(source, node, dist, hops) AS ("
+            "SELECT CAST(x AS BIGINT), CAST(x AS BIGINT), "
+            "CAST(0 AS BIGINT), 0 FROM (SELECT unnest([0, 1]) AS x) "
+            "UNION "
+            "SELECT wk.source, e.d, wk.dist + e.w, wk.hops + 1 "
+            "FROM walk wk JOIN e ON e.s = wk.node WHERE wk.hops < 3) "
+            "SELECT source, node, MIN(dist) AS dist FROM walk "
+            "GROUP BY source, node"
         ),
         "kg_random_walks": (
             # the walk contract replayed step-for-step: h1 = H(walk_id),

@@ -716,3 +716,68 @@ def personalized_pagerank(
     for df in (nodes, w_edges, dangling):
         df.unpersist()
     return out
+
+
+def weighted_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(source, node, dist) — minimum total edge weight from each seed
+    over directed paths of AT MOST ``max_hops`` edges (exact integers).
+    The weighted complement of bfs_distances: cost-bounded neighborhood
+    extraction over a KG whose edges carry confidence / latency /
+    toll-style integer costs. The hop bound is part of the SEMANTICS
+    (k-hop Bellman-Ford), which keeps the answer well-defined and
+    SQL-replayable on any graph — including ones with cycles — without
+    assuming convergence.
+
+    Scale shape per round (classic Bellman-Ford relaxation): one
+    equi-join of the current best frame keyed on node against the edge
+    list keyed on src, then one (source, node) min-aggregate over
+    best ∪ relaxed — map-side partial mins absorb hub fan-in. The best
+    frame is (|seeds| × reachable-nodes) rows of three integers;
+    lineage is cut every ``checkpoint_every`` rounds. Negative weights
+    are rejected (with a hop bound they would be path-length-dependent,
+    not shortest-path, semantics).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    # parallel edges collapse to their cheapest — the only one a
+    # shortest path ever uses
+    e = e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+    e = e.withColumn(
+        "w",
+        F.when(
+            F.col("w") < 0,
+            F.raise_error(F.lit("weighted_distances: negative edge weight")),
+        ).otherwise(F.col("w")),
+    ).localCheckpoint(eager=False)
+    best = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("source"))
+        .dropDuplicates()
+        .select("source", F.col("source").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    for h in range(1, max_hops + 1):
+        relaxed = (
+            best.join(e, best["node"] == e["src"])
+            .select("source", F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        best = (
+            best.unionByName(relaxed)
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if h % checkpoint_every == 0 or h == max_hops:
+            best = best.localCheckpoint(eager=False)
+    return best

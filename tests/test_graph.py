@@ -750,3 +750,72 @@ def test_personalized_pagerank_unreachable_is_zero(spark):
 
     with _pt.raises(ValueError):
         personalized_pagerank(e, sources=[])
+
+
+# ---------------------------------------------------------------- weighted_distances
+
+
+def _wd_model(edges, seeds, max_hops):
+    """Hop-bounded Bellman-Ford in pure python."""
+    best = {}
+    cheapest = {}
+    for s, d, w in edges:
+        k = (s, d)
+        cheapest[k] = min(cheapest.get(k, w), w)
+    for src in set(seeds):
+        dist = {src: 0}
+        for _ in range(max_hops):
+            nxt = dict(dist)
+            for (s, d), w in cheapest.items():
+                if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                    nxt[d] = dist[s] + w
+            dist = nxt
+        for node, dv in dist.items():
+            best[(src, node)] = dv
+    return best
+
+
+def test_weighted_distances_matches_python_model(spark):
+    import random
+
+    from rdf_indexes_spark.operators.graph import weighted_distances
+
+    rng = random.Random(13)
+    edges = [
+        (rng.randrange(15), rng.randrange(15), rng.randrange(1, 9))
+        for _ in range(50)
+    ]
+    seeds = spark.createDataFrame([(0,), (3,)], "node long")
+    got = {
+        (r["source"], r["node"]): r["dist"]
+        for r in weighted_distances(
+            spark.createDataFrame(edges, "src long, dst long, w long"),
+            seeds,
+            max_hops=4,
+        ).collect()
+    }
+    assert got == _wd_model(edges, [0, 3], 4)
+
+
+def test_weighted_distances_hop_bound_is_semantics(spark):
+    from rdf_indexes_spark.operators.graph import weighted_distances
+
+    # cheap long way (1+1+1) vs expensive shortcut (10): the 2-hop answer
+    # must take the shortcut, the 3-hop answer the cheap path
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    two = {r["node"]: r["dist"] for r in weighted_distances(e, seeds, 2).collect()}
+    three = {r["node"]: r["dist"] for r in weighted_distances(e, seeds, 3).collect()}
+    assert two[3] == 10 and three[3] == 3
+
+
+def test_weighted_distances_rejects_negative(spark):
+    from rdf_indexes_spark.operators.graph import weighted_distances
+
+    e = spark.createDataFrame([(0, 1, -2)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(Exception, match="negative edge weight"):
+        weighted_distances(e, seeds, 2).collect()
