@@ -162,6 +162,17 @@ def _scratch_dir() -> str:
 
 def _worker(n_exec: int, corpus_path: str, warm_path: str, out_json: str) -> None:
     """Subprocess body: warm-up run then timed run at n_exec executors."""
+    # Confine the WHOLE level (driver JVM + executor JVMs + python workers,
+    # which all inherit the affinity mask) to its nominal core budget. A
+    # real N-executor cluster has N x EXEC_CORES vCPUs TOTAL — python UDF
+    # workers compete INSIDE that budget, they don't get extra silicon.
+    # Unpinned, the lo level's pandas-UDF stages ran python workers BESIDE
+    # its 8 task slots (~14-16 host vCPUs observed for the "8-core"
+    # cluster), understating hi/lo scaling efficiency by construction.
+    try:
+        os.sched_setaffinity(0, set(range(n_exec * EXEC_CORES)))
+    except (AttributeError, OSError):
+        pass  # non-Linux / restricted: run unpinned, as before
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo)
     # local-cluster executors launch their OWN python workers — they need
