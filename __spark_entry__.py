@@ -2472,6 +2472,52 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+def _q_retention(spark, sf_dir):
+    """Weekly cohort-retention triangle over the events stream."""
+    from rdf_indexes_spark.operators.temporal import retention_cohorts
+
+    out = retention_cohorts(_read(spark, sf_dir, "events"), "ts", "user_id", "week")
+    return out.select(
+        F.col("cohort").cast("string").alias("cohort"),
+        F.col("period_offset").cast("int").alias("period_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+    )
+
+
+def _q_funnel(spark, sf_dir):
+    """view→click→purchase conversion funnel, 24h completion window."""
+    from rdf_indexes_spark.operators.temporal import funnel
+
+    out = funnel(
+        _read(spark, sf_dir, "events"), ["view", "click", "purchase"], within_s=86400
+    )
+    return out.select("step_idx", "step", F.col("n_keys").cast("long").alias("n_keys"))
+
+
+def _q_embedding_norms(spark, sf_dir):
+    """Per-label quantized-norm census of the embedding corpus."""
+    from rdf_indexes_spark.operators.similarity import embedding_norm_stats
+
+    return embedding_norm_stats(_read(spark, sf_dir, "embeddings"))
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: BM25 top-50 ⊕ cosine top-50 (query vec 0) fused
+    by exact-integer reciprocal-rank fusion, final top-10."""
+    from rdf_indexes_spark.functions.ranking import rrf_fuse
+    from rdf_indexes_spark.operators.similarity import brute_force_topk
+    from rdf_indexes_spark.operators.textops import bm25_search
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    text_top = bm25_search(docs, ["scan", "join", "merge"], k=50).select("doc_id", "rank")
+    qv = emb.filter(F.col("vec_id") == 0)
+    vec_top = brute_force_topk(emb, qv, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([text_top, vec_top], k0=60, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "b1_term_freq": _q_b1,
@@ -2622,6 +2668,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g28_sparql_strbind": _q_sparql_strbind,
         "g29_sparql_optional": _q_sparql_optional,
         "g30_sparql_bound": _q_sparql_bound,
+        "retention_cohorts_events": _q_retention,
+        "funnel_events": _q_funnel,
+        "embedding_norm_stats": _q_embedding_norms,
+        "hybrid_search_rrf": _q_hybrid_rrf,
     }
     masks = {
         "f1_member": (True, True, True),
@@ -4132,5 +4182,75 @@ CROSS JOIN tot
         "CAST(count(DISTINCT l.gram_hash) AS BIGINT) AS shared "
         "FROM ok l JOIN ok r USING (gram_hash) WHERE l.doc_id < r.doc_id "
         "GROUP BY l.doc_id, r.doc_id HAVING count(DISTINCT l.gram_hash) >= 1"
+    )
+    # cohort retention: exact integer week arithmetic (datediff // 7 on
+    # Monday-truncated dates — both engines truncate weeks to Monday)
+    sql["retention_cohorts_events"] = (
+        "WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort "
+        "FROM events GROUP BY user_id), "
+        "a AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS period FROM events), "
+        "j AS (SELECT DISTINCT f.cohort, "
+        "CAST(datediff('day', f.cohort, a.period) // 7 AS INT) AS period_offset, a.user_id "
+        "FROM a JOIN f USING (user_id)) "
+        "SELECT CAST(cohort AS VARCHAR) AS cohort, period_offset, "
+        "CAST(count(*) AS BIGINT) AS n_active FROM j GROUP BY 1, 2"
+    )
+    # funnel: chained earliest-valid-step CTEs replay the join+min rounds
+    sql["funnel_events"] = (
+        "WITH s0 AS (SELECT user_id, min(ts) AS t, min(ts) AS t0 FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "s1 AS (SELECT e.user_id, min(e.ts) AS t, min(c.t0) AS t0 FROM events e "
+        "JOIN s0 c USING (user_id) WHERE e.event_type = 'click' AND e.ts > c.t "
+        "AND e.ts <= c.t0 + INTERVAL 86400 SECOND GROUP BY e.user_id), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t, min(c.t0) AS t0 FROM events e "
+        "JOIN s1 c USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > c.t "
+        "AND e.ts <= c.t0 + INTERVAL 86400 SECOND GROUP BY e.user_id) "
+        "SELECT CAST(0 AS INT) AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS n_keys FROM s0 "
+        "UNION ALL SELECT CAST(1 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s1 "
+        "UNION ALL SELECT CAST(2 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s2"
+    )
+    # embedding norms: per-component quantization (floor(x*1000)) makes the
+    # squared norm an exact integer — order-free, engine-identical
+    sql["embedding_norm_stats"] = (
+        "WITH q AS (SELECT label AS grp, CAST(list_sum(list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS n2 FROM embeddings) "
+        "SELECT grp, CAST(count(*) AS BIGINT) AS n_vecs, min(n2) AS min_norm2_q, "
+        "max(n2) AS max_norm2_q, CAST(sum(n2) AS BIGINT) AS sum_norm2_q, "
+        "CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero "
+        "FROM q GROUP BY grp"
+    )
+    # hybrid RRF: the BM25 twin re-derived at k=50 + the cosine-rank twin
+    # for query vector 0, fused with integer division — engine-exact
+    sql["hybrid_search_rrf"] = (
+        "WITH base AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts FROM documents), "
+        "d AS (SELECT doc_id, len(ts) AS dl, ts FROM base), "
+        "st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d), "
+        "pairs AS (SELECT doc_id, dl, unnest(ts) AS term FROM d), "
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM pairs "
+        "WHERE term IN ('scan', 'join', 'merge') GROUP BY 1, 2, 3), "
+        "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "c AS (SELECT doc_id, CAST(floor((1000000.0 * "
+        "(((CAST(st.n AS DOUBLE) - df) + 0.5) / (df + 0.5))) * "
+        "((tf * 2.2) / (tf + 1.2 * (0.25 + ((0.75 * dl) / st.avgdl))))) AS BIGINT) AS c "
+        "FROM tf JOIN dft USING (term), st), "
+        "sc AS (SELECT doc_id, sum(c) AS score FROM c GROUP BY doc_id), "
+        "bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank "
+        "FROM sc ORDER BY rank LIMIT 50), "
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        "qv AS (SELECT * FROM v WHERE vec_id = 0), "
+        "s AS (SELECT v.vec_id AS doc_id, list_dot_product(qv.e, v.e) / "
+        "(sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(v.e, v.e))) AS cos "
+        "FROM qv CROSS JOIN v WHERE v.vec_id <> qv.vec_id), "
+        "vr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank "
+        "FROM s ORDER BY rank LIMIT 50), "
+        "contrib AS (SELECT doc_id, 1000000000 // (60 + rank) AS c FROM bm "
+        "UNION ALL SELECT doc_id, 1000000000 // (60 + rank) FROM vr), "
+        "fused AS (SELECT doc_id, sum(c) AS score_x1e9, count(*) AS n_lists FROM contrib GROUP BY doc_id) "
+        "SELECT doc_id, CAST(score_x1e9 AS BIGINT) AS score_x1e9, "
+        "CAST(n_lists AS BIGINT) AS n_lists, "
+        "CAST(row_number() OVER (ORDER BY score_x1e9 DESC, doc_id) AS BIGINT) AS rank "
+        "FROM fused ORDER BY score_x1e9 DESC, doc_id LIMIT 10"
     )
     return sql

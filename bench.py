@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "kg_property_table",
     "kg_domain_range",
     "kg_link_prediction",
+    "retention_cohorts_events",
+    "funnel_events",
+    "hybrid_search_rrf",
     # kg_random_walks stays OUT too: 13 chained tiny joins measure driver
     # dispatch latency at sf0.1, not the engine (correctness gates at both
     # SFs; the per-step join is the scalable surface).

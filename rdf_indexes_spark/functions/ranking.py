@@ -315,3 +315,54 @@ def grouped_quantiles(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def rrf_fuse(
+    ranked: list,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    the standard hybrid-search combiner (e.g. BM25 ⊕ embedding-cosine).
+
+    Contract is EXACT-INTEGER so the result is engine-portable: each
+    list contributes ``1e9 div (k0 + rank)`` (integer division, not a
+    float reciprocal — a double 1/(k0+r) sum would be association-
+    ordered), a document absent from a list contributes 0, and the
+    fused score is an order-free integer sum. Returns the top ``k``:
+    (id, score_x1e9, n_lists, rank), ties by id ascending.
+
+    Scale shape: ranked lists are already top-N frames (tiny); the
+    union + id-keyed sum + TakeOrdered top-k never touches the corpus.
+    When fusing corpus-scale rankings the same plan holds: one union,
+    one hash aggregate on the id, per-partition top-k merge — no
+    single-partition sort of the corpus.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    parts = [
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"1000000000L div ({int(k0)} + {rank_col})").alias("_c"),
+        )
+        for df in ranked
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy("_id").agg(
+        F.sum("_c").alias("score_x1e9"), F.count(F.lit(1)).alias("n_lists")
+    )
+    top = fused.orderBy(F.desc("score_x1e9"), F.asc("_id")).limit(k)
+    w = Window.orderBy(F.desc("score_x1e9"), F.asc("_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("_id").alias(id_col),
+        "score_x1e9",
+        F.col("n_lists").cast("long").alias("n_lists"),
+        F.col("rank").cast("long").alias("rank"),
+    )

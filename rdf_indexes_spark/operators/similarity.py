@@ -766,3 +766,42 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
     )
+
+
+def embedding_norm_stats(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str | None = "label",
+    quant: int = 1000,
+) -> DataFrame:
+    """Per-group embedding-norm census — the sanity profile run before
+    any ANN build (zero vectors, norm drift between shards/labels).
+
+    Engine-portable by construction: each component is first quantized
+    ``floor(double(x) * quant)`` (one IEEE multiply + floor, identical
+    everywhere), the squared norm is then an EXACT integer sum over the
+    array — order-free — and all group aggregates (count, min, max,
+    sum) run on integers. No float ever crosses an aggregation.
+
+    Plan: pure map-side array fold inside codegen + one tiny group
+    hash aggregate; zero joins, zero windows. Output:
+    (group, n_vecs, min_norm2_q, max_norm2_q, sum_norm2_q, n_zero).
+    """
+    q = F.lit(int(quant))
+    norm2 = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * q).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, xi: acc + xi * xi,
+    )
+    gcol = F.col(group_col) if group_col else F.lit(0)
+    return (
+        corpus.select(gcol.alias("grp"), norm2.alias("_n2"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("_n2").alias("min_norm2_q"),
+            F.max("_n2").alias("max_norm2_q"),
+            F.sum("_n2").alias("sum_norm2_q"),
+            F.sum((F.col("_n2") == 0).cast("long")).alias("n_zero"),
+        )
+    )

@@ -419,3 +419,115 @@ def event_transitions(
         .groupBy("prev_state", "state")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    unit: str = "week",
+) -> DataFrame:
+    """Classic cohort-retention triangle: keys are cohorted by the
+    period of their FIRST event; for every (cohort, period_offset) the
+    number of distinct keys active in that later period. The product-
+    analytics staple (DAU/WAU retention curves) over the engine's
+    events stream.
+
+    ``unit`` ∈ {day, week, month}. Offsets are EXACT integer period
+    arithmetic (day counts / 7 for weeks, year*12+month deltas for
+    months) — never float date math, so the result is engine-portable.
+
+    Plan: one key-keyed min aggregate (map-side partials) → |keys|
+    frame; one equi-join back on the key (the natural co-partitioned
+    join — both sides hash on the key, no broadcast of a corpus-scale
+    frame); one (cohort, offset, key) distinct whose partial
+    aggregation dedups each key's repeat activity map-side BEFORE the
+    exchange; one tiny (cohort, offset) count. No window, no global
+    sort; hub users cost their own rows only.
+    """
+    if unit not in ("day", "week", "month"):
+        raise ValueError(f"unit must be day/week/month, got {unit!r}")
+    trunc = lambda c: F.date_trunc(unit, F.col(c)).cast("date")  # noqa: E731
+    firsts = (
+        df.groupBy(key_col)
+        .agg(F.min(ts_col).alias("_first_ts"))
+        .select(F.col(key_col), F.date_trunc(unit, F.col("_first_ts")).cast("date").alias("cohort"))
+    )
+    activity = df.select(F.col(key_col), trunc(ts_col).alias("_period"))
+    joined = activity.join(firsts, key_col)
+    if unit == "day":
+        offset = F.datediff("_period", "cohort")
+    elif unit == "week":
+        offset = (F.datediff("_period", "cohort") / 7).cast("int")
+    else:  # month — pure integer month index delta, no months_between float
+        offset = (F.year("_period") * 12 + F.month("_period")) - (
+            F.year("cohort") * 12 + F.month("cohort")
+        )
+    return (
+        joined.select("cohort", offset.cast("int").alias("period_offset"), key_col)
+        .distinct()
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    within_s: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel conversion census: for each prefix of ``steps``,
+    how many keys performed those event types in strictly increasing
+    timestamp order (optionally all within ``within_s`` seconds of the
+    first step). Returns (step_idx, step, n_keys) with n_keys
+    monotonically non-increasing down the funnel.
+
+    Semantics: a key converts through step k iff it has a step-k event
+    STRICTLY after its chosen step-(k-1) time; the chosen time is the
+    EARLIEST valid one (min-aggregated), which maximizes the remaining
+    window — so the count is the standard "could complete the funnel"
+    semantics and is deterministic under timestamp ties without any
+    tiebreak column.
+
+    Plan: one filtered scan per step (the event_type predicate is
+    pushed to the source scan), each joined to the survivors frame on
+    the key — |keys|-scale frames after the first aggregate, so every
+    join after step 0 is key-keyed over shrinking inputs. No window,
+    no driver loop over data; ``steps`` is metadata-sized.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("_t"))
+        .withColumn("_t0", F.col("_t"))
+    )
+    levels = [cur.select(F.lit(0).alias("step_idx"), F.lit(steps[0]).alias("step"), key_col)]
+    for i, step in enumerate(steps[1:], 1):
+        ev = df.filter(F.col(type_col) == step).select(
+            F.col(key_col), F.col(ts_col).alias("_ts")
+        )
+        cond = F.col("_ts") > F.col("_t")
+        if within_s is not None:
+            cond = cond & (
+                F.col("_ts") <= F.col("_t0") + F.expr(f"INTERVAL {int(within_s)} SECONDS")
+            )
+        cur = (
+            ev.join(cur, key_col)
+            .filter(cond)
+            .groupBy(key_col)
+            .agg(F.min("_ts").alias("_t"), F.min("_t0").alias("_t0"))
+        )
+        levels.append(cur.select(F.lit(i).alias("step_idx"), F.lit(step).alias("step"), key_col))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return (
+        out.groupBy("step_idx", "step")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .select(F.col("step_idx").cast("int"), "step", "n_keys")
+    )

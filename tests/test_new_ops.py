@@ -491,3 +491,55 @@ def test_knn_graph_block_invariance_and_brute_parity(spark, emb):
     assert g1 == g3  # block partitioning must not change the graph
     brute = key(brute_force_topk(emb, emb, k=4))
     assert g1 == brute  # every-vector-as-query == the collected-query path
+
+
+def test_embedding_norm_stats_exact(spark, emb):
+    """Exact numpy recount of the quantized-norm census (per label)."""
+    import math
+
+    from rdf_indexes_spark.operators.similarity import embedding_norm_stats
+
+    got = {r.grp: r for r in embedding_norm_stats(emb).collect()}
+    pdf = emb.toPandas()
+    want: dict[int, list[int]] = {}
+    for _, row in pdf.iterrows():
+        n2 = sum(int(math.floor(float(x) * 1000)) ** 2 for x in row["embedding"])
+        want.setdefault(int(row["label"]), []).append(n2)
+    assert set(got) == set(want)
+    for g, norms in want.items():
+        r = got[g]
+        assert (r.n_vecs, r.min_norm2_q, r.max_norm2_q, r.sum_norm2_q, r.n_zero) == (
+            len(norms), min(norms), max(norms), sum(norms), sum(1 for v in norms if v == 0)
+        )
+
+
+def test_rrf_fuse_golden(spark):
+    """Hand-checked fusion: integer-division contributions, full-outer
+    semantics (single-list docs score with one term), id tie-break."""
+    from rdf_indexes_spark.functions.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank long")
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k0=60, k=10).collect()}
+    c = lambda r: 1_000_000_000 // (60 + r)  # noqa: E731
+    assert out[2].score_x1e9 == c(2) + c(1) and out[2].n_lists == 2
+    assert out[1].score_x1e9 == c(1) and out[1].n_lists == 1
+    assert out[4].score_x1e9 == c(2)
+    # doc 2 (both lists) outranks doc 1 (rank-1 in one list)
+    assert out[2].rank == 1 and out[1].rank == 2
+    # tie-break by id: docs 3 (rank 3 in a) vs hypothetical equals —
+    # verify full ordering is deterministic and dense
+    assert sorted(r.rank for r in out.values()) == [1, 2, 3, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_rrf_fuse_topk_truncation(spark):
+    from rdf_indexes_spark.functions.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(i, i + 1) for i in range(20)], "doc_id long, rank long")
+    out = rrf_fuse([a], k=5).collect()
+    assert len(out) == 5
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [0, 1, 2, 3, 4]

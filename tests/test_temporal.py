@@ -376,3 +376,88 @@ def test_event_transitions_golden(spark):
     got = {(r.prev_state, r.state): r.n
            for r in event_transitions(df, "t", "k", "s", "id").collect()}
     assert got == {("x", "y"): 1, ("y", "x"): 1, ("y", "y"): 1}
+
+
+def test_retention_cohorts_golden(spark):
+    """Two day-cohorts; user u2 skips day 1 and returns day 2 — the
+    triangle must show the gap (no offset-1 row for u2's cohort)."""
+    from rdf_indexes_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        ("u1", _ts(0)), ("u1", _ts(60 * 24)),            # day0 cohort, active d0+d1
+        ("u2", _ts(10)), ("u2", _ts(60 * 48 + 5)),       # day0 cohort, active d0+d2
+        ("u3", _ts(60 * 24)),                            # day1 cohort, active d1 only
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (str(r.cohort), r.period_offset): r.n_active
+        for r in retention_cohorts(df, "ts", "user_id", "day").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # u1+u2
+        ("2024-01-01", 1): 1,   # u1 only
+        ("2024-01-01", 2): 1,   # u2 returns
+        ("2024-01-02", 0): 1,   # u3's own cohort
+    }
+
+
+def test_retention_cohorts_week_month_units(spark):
+    from rdf_indexes_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 2)),   # week of Jan 1 (Mon), month Jan
+        ("a", dt.datetime(2024, 1, 10)),  # next week, same month
+        ("a", dt.datetime(2024, 3, 5)),   # +9 weeks, +2 months
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    wk = {r.period_offset for r in retention_cohorts(df, unit="week", key_col="user_id").collect()}
+    assert wk == {0, 1, 9}
+    mo = {r.period_offset for r in retention_cohorts(df, unit="month", key_col="user_id").collect()}
+    assert mo == {0, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retention_cohorts(df, unit="fortnight")
+
+
+def test_funnel_golden(spark):
+    """Order strictness + completion window: u1 converts fully; u2 did
+    click BEFORE view (doesn't count); u3 purchases outside 1h window."""
+    from rdf_indexes_spark.operators.temporal import funnel
+
+    rows = [
+        ("u1", _ts(0), "view"), ("u1", _ts(1), "click"), ("u1", _ts(2), "purchase"),
+        ("u2", _ts(5), "click"), ("u2", _ts(6), "view"),
+        ("u3", _ts(0), "view"), ("u3", _ts(2), "click"), ("u3", _ts(120), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    got = {
+        r.step_idx: (r.step, r.n_keys)
+        for r in funnel(df, ["view", "click", "purchase"], within_s=3600).collect()
+    }
+    assert got == {0: ("view", 3), 1: ("click", 2), 2: ("purchase", 1)}
+
+
+def test_funnel_earliest_valid_semantics(spark):
+    """The chosen step time is the EARLIEST valid one, so a later
+    step-2 event can still pair with an early step-1 event."""
+    from rdf_indexes_spark.operators.temporal import funnel
+
+    rows = [
+        ("u", _ts(0), "a"), ("u", _ts(1), "b"), ("u", _ts(0), "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    got = {r.step_idx: r.n_keys for r in funnel(df, ["a", "b"]).collect()}
+    # the t=0 'b' is NOT strictly after a's t=0; the t=1 'b' is
+    assert got == {0: 1, 1: 1}
+    # same-instant only → no conversion
+    df2 = spark.createDataFrame(
+        [("u", _ts(0), "a"), ("u", _ts(0), "b")],
+        "user_id string, ts timestamp, event_type string",
+    )
+    got2 = {r.step_idx: r.n_keys for r in funnel(df2, ["a", "b"]).collect()}
+    assert got2 == {0: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel(df, [])
