@@ -2472,6 +2472,17 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+def _q_profile_columns(spark, sf_dir):
+    """Ingest-time data-quality profile of the orders table (integer,
+    string and key columns; min/max rendered as strings)."""
+    from rdf_indexes_spark.operators.schema import profile_columns
+
+    return profile_columns(
+        _read(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 def _q_retention(spark, sf_dir):
     """Weekly cohort-retention triangle over the events stream."""
     from rdf_indexes_spark.operators.temporal import retention_cohorts
@@ -2670,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g30_sparql_bound": _q_sparql_bound,
         "retention_cohorts_events": _q_retention,
         "funnel_events": _q_funnel,
+        "profile_columns_orders": _q_profile_columns,
         "embedding_norm_stats": _q_embedding_norms,
         "hybrid_search_rrf": _q_hybrid_rrf,
     }
@@ -4182,6 +4194,19 @@ CROSS JOIN tot
         "CAST(count(DISTINCT l.gram_hash) AS BIGINT) AS shared "
         "FROM ok l JOIN ok r USING (gram_hash) WHERE l.doc_id < r.doc_id "
         "GROUP BY l.doc_id, r.doc_id HAVING count(DISTINCT l.gram_hash) >= 1"
+    )
+    # column profile: one UNION branch per profiled column mirrors the
+    # melted single-aggregate row
+    _prof = (
+        "SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        "CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        "CAST(min({c}) AS VARCHAR) AS min_value, CAST(max({c}) AS VARCHAR) AS max_value "
+        "FROM orders"
+    )
+    sql["profile_columns_orders"] = " UNION ALL ".join(
+        _prof.format(c=c)
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
     )
     # cohort retention: exact integer week arithmetic (datediff // 7 on
     # Monday-truncated dates — both engines truncate weeks to Monday)

@@ -658,3 +658,60 @@ def domain_range_induction(
             "range_cls", "range_support", "n_typed_o",
         )
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column data-quality census — the ingest-time profiling pass a
+    pipeline runs on every new table before trusting it: (col_name, n,
+    n_null, n_distinct, min_value, max_value) with min/max rendered as
+    strings so one output schema covers heterogeneous column types.
+
+    Everything is computed in ONE aggregation job over ONE scan: all
+    per-column aggregates live in a single wide agg row, melted to
+    per-column rows map-side afterwards (the melt is over a 1-row
+    frame — free). n excludes nothing, n_null counts SQL NULLs,
+    min/max ignore NULLs (SQL semantics) and render NULL as the empty
+    marker when a column is all-NULL.
+
+    ``exact_distinct=True`` uses countDistinct — one expand ×|columns|
+    inside the single aggregate, exact, the oracle-checkable contract.
+    At petabyte scale with many columns pass ``exact_distinct=False``
+    to switch to HyperLogLog++ ``approx_count_distinct`` (fixed-size
+    mergeable sketch per column, no expand — the 100 TB path; ±2%
+    by default, not oracle-comparable across engines by design).
+    """
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    nd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs: list = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            nd(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _null_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return wide.select(
+        F.col("_n").alias("n"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_null, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "col_name",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

@@ -470,3 +470,38 @@ def test_domain_range_tie_breaks_on_class_asc(spark):
     )
     row = domain_range_induction(triples, types).collect()[0]
     assert row.domain_cls == "Alpha" and row.domain_support == 1
+
+
+def test_profile_columns_golden(spark):
+    """Nulls, distincts, and string-rendered min/max across mixed types;
+    all-NULL column renders empty min/max."""
+    from rdf_indexes_spark.operators.schema import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, None, None), (2, "a", None), (None, "a", None)],
+        "k long, s string, z string",
+    )
+    got = {r.col_name: r for r in profile_columns(df).collect()}
+    assert set(got) == {"k", "s", "z"}
+    k, s, z = got["k"], got["s"], got["z"]
+    assert (k.n, k.n_null, k.n_distinct, k.min_value, k.max_value) == (4, 1, 2, "1", "2")
+    assert (s.n_null, s.n_distinct, s.min_value, s.max_value) == (1, 2, "a", "b")
+    assert (z.n_null, z.n_distinct, z.min_value, z.max_value) == (4, 0, None, None)
+    # column subset + unknown-column error
+    sub = profile_columns(df, ["k"]).collect()
+    assert len(sub) == 1 and sub[0].col_name == "k"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_columns(df, ["nope"])
+
+
+def test_profile_columns_approx_mode(spark):
+    """The HLL path (100 TB knob) stays within its documented error."""
+    from rdf_indexes_spark.operators.schema import profile_columns
+
+    df = spark.range(0, 5000).selectExpr("id", "CAST(id % 97 AS STRING) AS m")
+    got = {r.col_name: r for r in profile_columns(df, exact_distinct=False).collect()}
+    # default rsd is 5% RELATIVE STD DEV — allow a 3-sigma draw
+    assert abs(got["id"].n_distinct - 5000) / 5000 < 0.15
+    assert abs(got["m"].n_distinct - 97) / 97 < 0.15
