@@ -100,3 +100,42 @@ def test_bounded_pattern_broadcasts(tables):
         tables, [("?x", 10, "?y"), ("?x", 11, 4)]
     )._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+STATS = {
+    "num_triples": 10, "distinct_subjects": 5, "distinct_predicates": 3,
+    "distinct_objects": 5, "distinct_sp_pairs": 8, "distinct_po_pairs": 9,
+    "distinct_os_pairs": 10,
+}
+
+
+def test_estimate_pattern_uniform_frequency():
+    from rdf_indexes_spark.plans.bgp import estimate_pattern
+
+    assert estimate_pattern(STATS, ("?x", "?p", "?o")) == 10          # scan
+    assert estimate_pattern(STATS, (1, "?p", "?o")) == 10 / 5         # s-bound
+    assert estimate_pattern(STATS, ("?x", 10, "?o")) == 10 / 3        # p-bound
+    assert estimate_pattern(STATS, (1, 10, "?o")) == 10 / 8           # sp
+    assert estimate_pattern(STATS, ("?x", 10, 2)) == 10 / 9           # po
+    assert estimate_pattern(STATS, (1, "?p", 2)) == 10 / 10           # so
+    assert estimate_pattern(STATS, (1, 10, 2)) == 1.0                 # member
+
+
+def test_stats_driven_plan_matches_structural(tables):
+    """Stats-driven ordering must not change SEMANTICS, only the plan."""
+    pats = [("?x", 10, "?y"), ("?y", 11, "?z"), ("?z", 12, "?w")]
+    base = bgp_join(tables, pats, project=["x", "y", "z", "w"])
+    st = bgp_join(tables, pats, project=["x", "y", "z", "w"], stats=STATS)
+    assert _sorted_rows(base) == _sorted_rows(st)
+
+
+def test_stats_broadcast_decision(tables):
+    """Under the estimate threshold every side broadcasts; with a
+    tiny threshold the join falls back to a shuffled hash join."""
+    pats = [("?x", 10, "?y"), ("?y", 11, "?z")]
+    small = bgp_join(tables, pats, stats=STATS, broadcast_rows=100)
+    assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+    big = bgp_join(tables, pats, stats=STATS, broadcast_rows=0)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert _sorted_rows(small) == _sorted_rows(big)
