@@ -2472,6 +2472,18 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+def _q_sketch_stats(spark, sf_dir):
+    """Mergeable HLL stats: sketch two simulated delta generations of
+    the triple set, merge WITHOUT rescanning — the incremental D1 path.
+    Rows-only: DataSketches estimates have no DuckDB twin; the exact-
+    accuracy + mergeability oracle lives in test_pipeline."""
+    from rdf_indexes_spark.operators import permutations as perm
+
+    t = _derived_triples(spark, sf_dir)
+    gens = [t.filter(F.col("s") % 2 == i) for i in (0, 1)]
+    return perm.merge_sketch_stats([perm.sketch_stats(g) for g in gens])
+
+
 def _q_profile_columns(spark, sf_dir):
     """Ingest-time data-quality profile of the orders table (integer,
     string and key columns; min/max rendered as strings)."""
@@ -2682,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts_events": _q_retention,
         "funnel_events": _q_funnel,
         "profile_columns_orders": _q_profile_columns,
+        "d1_stats_sketch_merge": _q_sketch_stats,
         "embedding_norm_stats": _q_embedding_norms,
         "hybrid_search_rrf": _q_hybrid_rrf,
     }

@@ -321,3 +321,37 @@ def test_canonicalize_no_broadcast_paths_identical(spark, transcripts):
     canon_bc = canonicalize_mentions(facts, cmap_bc.localCheckpoint())
     canon_sh = canonicalize_mentions(facts, cmap_sh.localCheckpoint(), broadcast_map=False)
     assert canon_bc.exceptAll(canon_sh).isEmpty() and canon_sh.exceptAll(canon_bc).isEmpty()
+
+
+def test_sketch_stats_accuracy_and_mergeability(spark):
+    """HLL sketch stats: estimates within the lg_k error bound of the
+    exact D1 counts, and merging per-half sketches ≈ sketching the
+    whole — the incremental-ingest contract (no rescan of old data)."""
+    from rdf_indexes_spark.operators import permutations as perm
+
+    t = (
+        spark.range(0, 20000)
+        .selectExpr(
+            "CAST(id % 997 AS LONG) AS s",
+            "CAST(id % 41 AS LONG) AS p",
+            "CAST(id % 1531 AS LONG) AS o",
+        )
+        .distinct()
+    )
+    exact = perm.compute_stats(t).first().asDict()
+    whole = perm.merge_sketch_stats([perm.sketch_stats(t)]).first().asDict()
+    halves = perm.merge_sketch_stats(
+        [perm.sketch_stats(t.filter("s % 2 = 0")), perm.sketch_stats(t.filter("s % 2 = 1"))]
+    ).first().asDict()
+    assert whole["num_triples"] == exact["num_triples"]        # exact, additive
+    assert halves["num_triples"] == exact["num_triples"]
+    for k, v in exact.items():
+        if k == "num_triples":
+            continue
+        # lg_k=14 → ~0.8% rse; allow 5 sigma
+        assert abs(whole[k] - v) / max(1, v) < 0.05, (k, whole[k], v)
+        assert abs(halves[k] - v) / max(1, v) < 0.05, (k, halves[k], v)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        perm.merge_sketch_stats([])
