@@ -140,6 +140,31 @@ def _perms_width_is_int32(spark: SparkSession, perms_dir: str) -> bool | None:
         return None
 
 
+def _base_sketch_path(workdir: str) -> str:
+    return os.path.join(workdir, "perms", "stats_sketch_base")
+
+
+def _level_sketch(spark: SparkSession, level_dir: str) -> DataFrame:
+    """The level's stats sketch row — read if the level wrote one,
+    else derived from its (delta-scale) triples_new parquet (levels
+    created before sketch mode existed)."""
+    p = os.path.join(level_dir, "stats_sketch")
+    if os.path.isdir(p):
+        return spark.read.parquet(p)
+    return perm.sketch_stats(spark.read.parquet(os.path.join(level_dir, "triples_new")))
+
+
+def approx_stats(spark: SparkSession, workdir: str) -> DataFrame:
+    """Whole-index 7-count stats from the persisted generation sketches
+    — O(#generations) rows touched, NO triple rescan. num_triples is
+    exact (additive); distinct counts are HLL-union estimates. Requires
+    the base sketch (written by the first sketch-mode ``merge_delta``,
+    or lay it down directly with ``sketch_stats``)."""
+    base = spark.read.parquet(_base_sketch_path(workdir))
+    levels = [_level_sketch(spark, lv) for lv in _levels(workdir)]
+    return perm.merge_sketch_stats([base, *levels])
+
+
 def merge_delta(
     spark: SparkSession,
     workdir: str,
@@ -147,12 +172,25 @@ def merge_delta(
     num_partitions: int | None = None,
     extend_vocab: bool = True,
     delta_id: str = "",
+    stats_mode: str = "exact",
 ) -> dict:
     """Merge one transcript batch into the index at ``workdir``.
 
     Returns counters: mentions, new_terms, new_triples, total_triples,
     quarantined. Id stability contract: every pre-existing (role, term)
-    keeps its id; new terms extend each role's dense id space."""
+    keeps its id; new terms extend each role's dense id space.
+
+    ``stats_mode``: 'exact' (default) recomputes the 7-count stats row
+    over base+delta — a FULL RESCAN per merge, exact, fine while the
+    index is small. 'sketch' refreshes stats from mergeable HLL
+    sketches instead: the delta is sketched once (delta-scale), the
+    base is sketched once EVER (first sketch-mode merge), and every
+    later refresh merges 16 KiB sketch rows — the O(delta) maintenance
+    path continuous ingest needs at 10^12 triples. num_triples stays
+    exact either way; distinct counts in sketch mode carry ~0.8% HLL
+    error (consumers size structures, they don't need the last bit)."""
+    if stats_mode not in ("exact", "sketch"):
+        raise ValueError(f"stats_mode must be exact|sketch, got {stats_mode!r}")
     n = num_partitions or spark.sparkContext.defaultParallelism
     _snap = _persistent_rdd_ids(spark)
     t0 = time.monotonic()
@@ -256,8 +294,21 @@ def merge_delta(
     level = os.path.join(_deltas_dir(workdir), str(len(_levels(workdir))))
     vocab_new.write.mode("overwrite").parquet(os.path.join(level, "vocab_new"))
     delta_triples.write.mode("overwrite").parquet(os.path.join(level, "triples_new"))
-    all_triples = base_triples.unionByName(delta_triples)
-    stats = perm.compute_stats(all_triples)
+    if stats_mode == "sketch":
+        # one-time base sketch over the BASE build only (workdir/triples —
+        # levels each carry their own sketch, so base+levels partition the
+        # triple set exactly and num_triples stays additive-exact); this is
+        # the only base scan sketch mode ever does
+        if not os.path.isdir(_base_sketch_path(workdir)):
+            base_only = spark.read.parquet(os.path.join(workdir, "triples")).select("s", "p", "o")
+            perm.sketch_stats(base_only).write.parquet(_base_sketch_path(workdir))
+        perm.sketch_stats(delta_triples).write.mode("overwrite").parquet(
+            os.path.join(level, "stats_sketch")
+        )
+        stats = approx_stats(spark, workdir)
+    else:
+        all_triples = base_triples.unionByName(delta_triples)
+        stats = perm.compute_stats(all_triples)
     stats.write.mode("overwrite").parquet(os.path.join(workdir, "perms", "stats"))
     total = int(stats.first()["num_triples"])
     counters = {

@@ -143,3 +143,39 @@ def test_quarantine_mode_drops_unknown_terms(spark):
     for role, col in (("s", "s"), ("p", "p"), ("o", "o")):
         v = ranked.filter(F.col("role") == role).select(F.col("id").alias(col))
         assert triples.join(v, col, "left_anti").count() == 0
+
+
+def test_sketch_mode_stats_refresh(spark):
+    """stats_mode='sketch': num_triples exact, distinct counts within
+    HLL error of the exact row, base sketched exactly ONCE, and
+    approx_stats answers from sketches alone after any merge."""
+    a = spark.createDataFrame(generate(300, seed=31).transcripts)
+    b = spark.createDataFrame(generate(150, seed=32).transcripts)
+    c = spark.createDataFrame(generate(150, seed=33).transcripts)
+    wd = tempfile.mkdtemp(prefix="delta_sketch_")
+    run_pipeline(spark, a, wd, num_partitions=8, input_id="a")
+
+    dl.merge_delta(spark, wd, b, num_partitions=8, delta_id="b", stats_mode="sketch")
+    base_sk = dl._base_sketch_path(wd)
+    assert os.path.isdir(base_sk)
+    mtime = max(
+        os.path.getmtime(os.path.join(base_sk, f)) for f in os.listdir(base_sk)
+    )
+    dl.merge_delta(spark, wd, c, num_partitions=8, delta_id="c", stats_mode="sketch")
+    # base sketch untouched by the second merge (no base rescan)
+    assert mtime == max(
+        os.path.getmtime(os.path.join(base_sk, f)) for f in os.listdir(base_sk)
+    )
+
+    from rdf_indexes_spark.operators import permutations as perm
+
+    got = dl.approx_stats(spark, wd).first().asDict()
+    stored = spark.read.parquet(os.path.join(wd, "perms", "stats")).first().asDict()
+    exact = perm.compute_stats(dl.read_triples(spark, wd)).first().asDict()
+    assert got == stored  # the persisted row IS the sketch merge
+    assert got["num_triples"] == exact["num_triples"]  # additive-exact
+    for k, v in exact.items():
+        if k != "num_triples":
+            assert abs(got[k] - v) / max(1, v) < 0.05, (k, got[k], v)
+    with pytest.raises(ValueError):
+        dl.merge_delta(spark, wd, c, stats_mode="bogus")
