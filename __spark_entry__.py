@@ -396,6 +396,27 @@ def _q_bigram_pmi(spark, sf_dir):
     return bigram_collocations(_read(spark, sf_dir, "documents"), min_count=5)
 
 
+def _q_lm_surprisal(spark, sf_dir):
+    """Bigram stupid-backoff LM quality scores: LM trained on the src0
+    slice only, every document scored against it — so all three paths
+    (seen / unigram-backoff / OOV) carry rows. Integer-exact surrogate
+    (summed floored inverse probabilities), no libm in the compare."""
+    from rdf_indexes_spark.operators.textops import lm_bigram_surprisal
+
+    docs = _read(spark, sf_dir, "documents")
+    return lm_bigram_surprisal(
+        docs, train_docs=docs.filter(F.col("source") == "src0"), backoff_penalty=10
+    )
+
+
+def _q_source_overlap(spark, sf_dir):
+    """Cross-source 8-gram containment matrix (data-mixing / leakage
+    audit): ordered source pairs with distinct-gram overlap counts."""
+    from rdf_indexes_spark.operators.contamination import source_overlap
+
+    return source_overlap(_read(spark, sf_dir, "documents"), n=8)
+
+
 def _q_token_bpe(spark, sf_dir):
     from rdf_indexes_spark.operators.textops import token_count_bpe
 
@@ -2560,6 +2581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_token_count,
         "text_language_id": _q_language_id,
         "text_unigram_rarity": _q_unigram_rarity,
+        "text_lm_surprisal": _q_lm_surprisal,
+        "corpus_source_overlap": _q_source_overlap,
         "text_bigram_pmi": _q_bigram_pmi,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
@@ -3765,6 +3788,80 @@ SELECT per.doc_id,
        CAST(min(cf.cf) AS BIGINT) AS min_cf
 FROM per JOIN cf USING (tok)
 GROUP BY per.doc_id
+"""
+        ),
+        "text_lm_surprisal": (
+            # LM trained on src0 only; integer division (//) everywhere so
+            # the surrogate is engine-exact; penalty = 10, OOV = 2*10*N
+            f"""
+WITH tdocs AS (
+  SELECT {_TOKS_ALL} AS toks FROM documents
+  WHERE length(trim(text)) > 0 AND source = 'src0'
+), uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM tdocs) GROUP BY w
+), bilm AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS c_xy
+  FROM tdocs, unnest(range(1, len(toks))) AS t(i) GROUP BY 1, 2
+), tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS n_uni
+), sdocs AS (
+  SELECT doc_id, {_TOKS_ALL} AS toks FROM documents
+  WHERE length(trim(text)) > 0 AND len({_TOKS_ALL}) >= 2
+), sbi AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, count(*) AS cnt
+  FROM sdocs, unnest(range(1, len(toks))) AS t(i) GROUP BY 1, 2, 3
+), j AS (
+  SELECT sbi.doc_id, sbi.cnt,
+         bilm.c_xy IS NOT NULL AS seen,
+         bilm.c_xy IS NULL AND cy.c IS NOT NULL AS backoff,
+         CASE
+           WHEN bilm.c_xy IS NOT NULL THEN cx.c // bilm.c_xy
+           WHEN cy.c IS NOT NULL THEN 10 * (tot.n_uni // cy.c)
+           ELSE 20 * tot.n_uni
+         END AS contrib
+  FROM sbi
+  LEFT JOIN bilm ON bilm.w1 = sbi.w1 AND bilm.w2 = sbi.w2
+  LEFT JOIN uni cx ON cx.w = sbi.w1
+  LEFT JOIN uni cy ON cy.w = sbi.w2
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN seen THEN cnt ELSE 0 END) AS BIGINT) AS n_seen,
+       CAST(sum(CASE WHEN backoff THEN cnt ELSE 0 END) AS BIGINT) AS n_backoff,
+       CAST(sum(CASE WHEN NOT seen AND NOT backoff THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(cnt * contrib) AS BIGINT) AS inv_prob_sum
+FROM j GROUP BY doc_id
+"""
+        ),
+        "corpus_source_overlap": (
+            # distinct (source, 8-gram) sets; containment = one integer
+            # IEEE division, identical in any engine
+            f"""
+WITH grams AS (
+  SELECT DISTINCT source AS src, gram
+  FROM (
+    SELECT source,
+           array_to_string(toks[i:i+7], ' ') AS gram
+    FROM (
+      SELECT source, {_TOKS_ALL} AS toks FROM documents
+      WHERE length(trim(text)) > 0
+    ), unnest(range(1, len(toks) - 6)) AS t(i)
+    WHERE len(toks) >= 8
+  )
+), totals AS (
+  SELECT src, count(*) AS n_grams FROM grams GROUP BY src
+)
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST(ta.n_grams AS BIGINT) AS ngrams_a,
+       CAST(tb.n_grams AS BIGINT) AS ngrams_b,
+       CAST(count(*) AS BIGINT) AS common,
+       CAST(count(*) AS DOUBLE) / CAST(ta.n_grams AS DOUBLE) AS containment_a_in_b
+FROM grams a
+JOIN grams b ON a.gram = b.gram AND a.src <> b.src
+JOIN totals ta ON ta.src = a.src
+JOIN totals tb ON tb.src = b.src
+GROUP BY a.src, b.src, ta.n_grams, tb.n_grams
 """
         ),
         "text_bigram_pmi": (

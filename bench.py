@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_unigram_rarity",
     "text_bigram_pmi",
+    "text_lm_surprisal",
+    "corpus_source_overlap",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

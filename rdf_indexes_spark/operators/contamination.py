@@ -203,3 +203,62 @@ def remove_contaminated_spans(
             .alias("removed_tokens"),
         )
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 8,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source n-gram containment matrix: for every ordered pair of
+    corpus sources (a, b), how much of a's distinct n-gram set also
+    occurs in b. The corpus-level companion to :func:`decontaminate` —
+    data-mixing decisions (and leakage audits between crawl snapshots,
+    dumps, or vendors) start from exactly this matrix.
+
+    Returns one row per ordered source pair with any overlap:
+    (source_a, source_b, ngrams_a, ngrams_b, common,
+    containment_a_in_b) where containment = common / ngrams_a — a single
+    integer-over-integer IEEE division, identical in any engine.
+
+    Shape at scale: ONE explode pass → distinct (source, gram) hash
+    aggregate (absorbs within-source repetition map-side; keys carry the
+    gram so no hot key); the pair join is gram-keyed and each gram
+    matches at most |sources| rows per side, so the worst-case blowup is
+    |sources|² per gram — bounded by the (small) source cardinality, not
+    the corpus; per-source totals ride back in as a broadcast dimension.
+    Document text never crosses a shuffle (grams only).
+    """
+    grams = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(ngram_set(text_col, n)).alias("gram"),
+        )
+        .distinct()
+    )
+    totals = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .filter(F.col("a.src") != F.col("b.src"))
+        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ta = F.broadcast(totals.select(F.col("src").alias("source_a"), F.col("n_grams").alias("ngrams_a")))
+    tb = F.broadcast(totals.select(F.col("src").alias("source_b"), F.col("n_grams").alias("ngrams_b")))
+    return (
+        pairs.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("ngrams_a").cast("long").alias("ngrams_a"),
+            F.col("ngrams_b").cast("long").alias("ngrams_b"),
+            F.col("common").cast("long").alias("common"),
+            (F.col("common").cast("double") / F.col("ngrams_a").cast("double")).alias(
+                "containment_a_in_b"
+            ),
+        )
+    )

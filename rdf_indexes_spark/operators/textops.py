@@ -1054,3 +1054,112 @@ def bpe_encode(
         _encode_batches,
         schema="doc_id long, n_bpe_tokens long, tokens array<string>",
     )
+
+
+def lm_bigram_surprisal(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    backoff_penalty: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality signal: score every document against a
+    bigram stupid-backoff language model trained on ``train_docs``
+    (default: the corpus itself). High-perplexity documents are noise;
+    near-zero-perplexity ones are boilerplate — pipelines threshold on
+    both tails (reference workflow analogue: the corpus-conditioned
+    ranking that orders vocabularies in scripts/extract_vocabs.py:64-67,
+    lifted from term level to sequence level).
+
+    Kept INTEGER-EXACT so two engines agree bit-for-bit (log() is the
+    one libm call two engines never match on): the per-bigram surprisal
+    contribution is the floored inverse conditional probability
+      seen bigram:        c_x div c_xy            (>= 1)
+      unigram backoff:    penalty * (N_uni div c_y)
+      OOV continuation:   2 * penalty * N_uni
+    and the document score is the SUM of contributions — the arithmetic
+    mean of inverse probabilities, the monotone exact cousin of
+    exp(cross-entropy). Integers sum exactly in any order, so the
+    distributed aggregate is deterministic.
+
+    Returns (doc_id, n_bigrams, n_seen, n_backoff, n_oov, inv_prob_sum).
+
+    Shape at scale: LM training is two hash aggregates with map-side
+    combine over one explode pass of the training corpus; scoring
+    aggregates the scored corpus per (doc_id, w1, w2) first (absorbs
+    in-document repetition, keys carry doc_id so no hot key), then makes
+    three zipf-hot dimension joins — c_xy on (w1,w2), c_x on w1, c_y on
+    w2 — whose payload is counts, never text; AQE skew-join splits the
+    stopword keys. N_uni rides in as a broadcast 1-row frame. The final
+    per-doc aggregate reuses the doc_id hash distribution.
+    """
+    train = train_docs if train_docs is not None else docs
+    ttoks = train.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        _tokens(text_col).alias("toks")
+    )
+    uni = (
+        ttoks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi_lm = (
+        ttoks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> struct(toks[i-1] as w1, toks[i] as w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    n_uni = ttoks.select(F.explode("toks").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_uni")
+    )
+
+    scored = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .filter(F.size(_tokens(text_col)) >= 2)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            _tokens(text_col).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> struct(toks[i-1] as w1, toks[i] as w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pen = F.lit(int(backoff_penalty)).cast("long")
+    joined = (
+        scored.join(bi_lm, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2", "left")
+        .crossJoin(F.broadcast(n_uni))
+    )
+    seen = F.col("c_xy").isNotNull()
+    backoff = (~seen) & F.col("c_y").isNotNull()
+    # `div` is exact 64-bit integer division (F.floor(a/b) routes through a
+    # double and can round up across a ulp at large counts)
+    contrib = (
+        F.when(seen, F.expr("c_x div c_xy"))
+        .when(backoff, pen * F.expr("n_uni div c_y"))
+        .otherwise(F.lit(2).cast("long") * pen * F.col("n_uni"))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.sum(F.when(seen, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("n_seen"),
+        F.sum(F.when(backoff, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("n_backoff"),
+        F.sum(F.when(~seen & ~backoff, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("n_oov"),
+        F.sum(F.col("cnt") * contrib).cast("long").alias("inv_prob_sum"),
+    )

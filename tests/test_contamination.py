@@ -102,3 +102,33 @@ def test_decontaminate_case_and_whitespace(spark):
     corpus = spark.createDataFrame([(1, "  A  b\tC ")], "doc_id long, text string")
     bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
     assert _rows(decontaminate(corpus, bench, n=3)) == [(1, 1, 1, 1)]
+
+
+def test_source_overlap_ground_truth(spark):
+    from rdf_indexes_spark.operators.contamination import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            # srcA grams (n=2): {"a b", "b c"}; srcB: {"b c", "c d"};
+            # srcC: {"x y"} (disjoint)
+            (1, "A", "a b c"),
+            (2, "B", "b c d"),
+            (3, "B", "b c"),  # duplicate gram within B — distinct-set semantics
+            (4, "C", "x y"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["ngrams_a"],
+            r["ngrams_b"],
+            r["common"],
+            r["containment_a_in_b"],
+        )
+        for r in source_overlap(docs, n=2, source_col="source").collect()
+    }
+    # only overlapping ordered pairs appear; C is disjoint → absent
+    assert got == {
+        ("A", "B"): (2, 2, 1, 0.5),
+        ("B", "A"): (2, 2, 1, 0.5),
+    }

@@ -789,3 +789,49 @@ def test_bpe_encode_on_real_docs_roundtrip(docs):
     for r in out:
         want = "".join(pdf[r.doc_id].strip().lower().split())
         assert "".join(r.tokens) == want
+
+
+def test_lm_bigram_surprisal_ground_truth(spark):
+    from rdf_indexes_spark.operators.textops import lm_bigram_surprisal
+
+    train = spark.createDataFrame(
+        # uni: a:3 b:2 c:1 (N=6); bigrams: (a,b):2 (b,a):1 (a,c):1
+        [(100, "a b a b"), (101, "a c")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),      # seen: c_x(a)=3 div c_xy(ab)=2 -> 1
+            (2, "c a"),      # unseen bigram, w2=a known: 10 * (6 div 3) = 20
+            (3, "a z"),      # z OOV: 2 * 10 * 6 = 120
+            (4, "b a b"),    # (b,a): 2 div 1 = 2; (a,b): 1 -> sum 3
+            (5, "q"),        # < 2 tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["n_seen"], r["n_backoff"], r["n_oov"], r["inv_prob_sum"]
+        )
+        for r in lm_bigram_surprisal(docs, train_docs=train, backoff_penalty=10).collect()
+    }
+    assert got == {
+        1: (1, 1, 0, 0, 1),
+        2: (1, 0, 1, 0, 20),
+        3: (1, 0, 0, 1, 120),
+        4: (2, 2, 0, 0, 3),
+    }
+
+
+def test_lm_bigram_surprisal_self_trained_all_seen(spark):
+    """Trained on the scored corpus itself, every bigram is seen and the
+    score is >= n_bigrams (inverse probability >= 1)."""
+    from rdf_indexes_spark.operators.textops import lm_bigram_surprisal
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = lm_bigram_surprisal(docs).collect()
+    assert out
+    for r in out:
+        assert r["n_backoff"] == 0 and r["n_oov"] == 0
+        assert r["n_seen"] == r["n_bigrams"]
+        assert r["inv_prob_sum"] >= r["n_bigrams"]
