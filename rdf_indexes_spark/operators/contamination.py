@@ -61,6 +61,43 @@ def ngram_set(text_col: str, n: int):
     return F.array_distinct(ngram_list(text_col, n))
 
 
+def ngram_key_array(text_col: str, n: int, hashed: bool = True, with_pos: bool = False):
+    """One-pass n-gram KEY array — the hot-path twin of
+    :func:`ngram_list` for consumers that only need gram keys (hashes or
+    strings), not the text-order gram strings themselves.
+
+    Two measured pathologies of the naive ``ngram_list`` shape at scale:
+    (a) the position lambda references the ``split()`` expression
+    INLINE, so Catalyst re-evaluates the whole-text tokenization once
+    per gram position (~4× CPU at n=8); (b) gram strings materialize
+    through the explode only to be hashed afterwards (~4× again on the
+    generate + exchange). Here the split is bound once as an outer
+    LAMBDA VARIABLE (``array(split(..)) → transform``) and the xxhash64
+    is applied INSIDE the same expression, so only 8-byte longs leave
+    the projection. Same normalization and gram contract as
+    :func:`ngram_list` (verified hashed ≡ raw in tests).
+
+    with_pos=True returns array<struct<start,g>> (1-based gram start),
+    for span-level consumers.
+    """
+    gram = f"array_join(slice(toks, i, {n}), ' ')"
+    if hashed:
+        gram = f"xxhash64({gram})"
+    gtype = "bigint" if hashed else "string"
+    if with_pos:
+        elem = f"struct(i as start, {gram} as g)"
+        etype = f"array<struct<start:int,g:{gtype}>>"
+    else:
+        elem = gram
+        etype = f"array<{gtype}>"
+    return F.expr(
+        f"flatten(transform(array(split(lower(trim({text_col})), '\\\\s+')), "
+        f"toks -> CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), i -> {elem}) "
+        f"ELSE cast(array() as {etype}) END))"
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -79,18 +116,16 @@ def decontaminate(
     shares at least one n-gram with; contaminated — 1 if n_hit_ngrams>0.
     Every corpus document appears exactly once (zeros when clean).
     """
-    gram = F.explode(ngram_set(text_col, n)).alias("gram")
-    key = (F.xxhash64("gram") if hashed_keys else F.col("gram")).alias("g")
-
-    cg = (
-        corpus.select(F.col(id_col).alias("doc_id"), gram)
-        .select("doc_id", key)
+    # one-pass keyed grams (split bound once, hash in-expression — see
+    # ngram_key_array); per-doc array_distinct runs over longs, cheap
+    cg = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(ngram_key_array(text_col, n, hashed_keys))).alias("g"),
     )
-    bg = (
-        benchmark.select(F.col(bench_id_col).alias("bench_id"), gram)
-        .select("bench_id", key)
-        .dropDuplicates(["g", "bench_id"])
-    )
+    bg = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(ngram_key_array(bench_text_col, n, hashed_keys))).alias("g"),
+    ).dropDuplicates(["g", "bench_id"])
     if broadcast_benchmark:
         bg = F.broadcast(bg)
 
@@ -144,21 +179,22 @@ def remove_contaminated_spans(
     as in `decontaminate`; covered positions are derived by exploding
     each hit's [start, start+n-1] range and anti-joining.
     """
-    key_of = (lambda c: F.xxhash64(c)) if hashed_keys else (lambda c: c)
-
     base = corpus.select(
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("toks"),
-        ngram_list(text_col, n).alias("grams"),
     )
-    # (doc_id, start, gramkey): 1-based start of every corpus n-gram
-    cg = base.select(
-        "doc_id", F.posexplode("grams").alias("pos0", "gram")
-    ).select("doc_id", (F.col("pos0") + 1).alias("start"), key_of(F.col("gram")).alias("g"))
+    # (doc_id, start, gramkey): 1-based start of every corpus n-gram —
+    # positions and keys built in ONE pass (ngram_key_array with_pos);
+    # gram strings never materialize on the corpus side
+    cg = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngram_key_array(text_col, n, hashed_keys, with_pos=True)).alias("sg"),
+    ).select("doc_id", F.col("sg.start").alias("start"), F.col("sg.g").alias("g"))
 
     bg = (
-        benchmark.select(F.explode(ngram_set(bench_text_col, n)).alias("gram"))
-        .select(key_of(F.col("gram")).alias("g"))
+        benchmark.select(
+            F.explode(F.array_distinct(ngram_key_array(bench_text_col, n, hashed_keys))).alias("g")
+        )
         .distinct()
     )
     if broadcast_benchmark:
@@ -237,28 +273,15 @@ def source_overlap(
     trade :func:`decontaminate` documents; pass False for byte-exact
     auditing).
     """
-    # ONE-PASS gram generation: the token split is bound as a LAMBDA
-    # VARIABLE (array(split(..)) → outer transform), so it evaluates once
-    # per row — referencing the split through ngram_list's inline
-    # expression re-runs it per gram position (measured 4× slower at 8
-    # grams/doc; the per-doc array_distinct of ngram_set costs another
-    # 2×, and the global distinct below subsumes it). With hashed keys
-    # the gram string dies inside the same expression — only longs ride
-    # the explode, the distinct, and the join (measured 10× end-to-end).
-    elem = f"array_join(slice(toks, i, {n}), ' ')"
-    if hashed_keys:
-        elem = f"xxhash64({elem})"
-    gram_arr = F.expr(
-        f"flatten(transform(array(split(lower(trim({text_col})), '\\\\s+')), "
-        f"toks -> CASE WHEN size(toks) >= {n} THEN "
-        f"transform(sequence(1, size(toks) - {n - 1}), i -> {elem}) "
-        f"ELSE {'cast(array() as array<bigint>)' if hashed_keys else 'cast(array() as array<string>)'} END))"
-    )
+    # one-pass keyed gram generation (split bound once, hash applied
+    # in-expression — see ngram_key_array; measured 10× end-to-end vs
+    # the explode-strings-then-hash shape). The global distinct below
+    # subsumes a per-doc array_distinct.
     grams = (
         docs.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
             F.col(source_col).alias("src"),
-            F.explode(gram_arr).alias("gram"),
+            F.explode(ngram_key_array(text_col, n, hashed_keys)).alias("gram"),
         )
         .distinct()
     )
