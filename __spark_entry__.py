@@ -417,6 +417,18 @@ def _q_source_overlap(spark, sf_dir):
     return source_overlap(_read(spark, sf_dir, "documents"), n=8)
 
 
+def _q_vote_classifier(spark, sf_dir):
+    """Model-based quality filter: integer-exact token-vote surrogate of
+    the fasttext curated-vs-crawl classifier. Positive class = src0/src1
+    slices, negative = the rest; every document scored."""
+    from rdf_indexes_spark.operators.textops import vote_quality_classifier
+
+    docs = _read(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("source").isin("src0", "src1"))
+    neg = docs.filter(~F.col("source").isin("src0", "src1"))
+    return vote_quality_classifier(docs, pos, neg)
+
+
 def _q_token_bpe(spark, sf_dir):
     from rdf_indexes_spark.operators.textops import token_count_bpe
 
@@ -2582,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_language_id,
         "text_unigram_rarity": _q_unigram_rarity,
         "text_lm_surprisal": _q_lm_surprisal,
+        "text_vote_classifier": _q_vote_classifier,
         "corpus_source_overlap": _q_source_overlap,
         "text_bigram_pmi": _q_bigram_pmi,
         "text_quality": _q_quality,
@@ -3832,6 +3845,47 @@ SELECT doc_id,
        CAST(sum(CASE WHEN NOT seen AND NOT backoff THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
        CAST(sum(cnt * contrib) AS BIGINT) AS inv_prob_sum
 FROM j GROUP BY doc_id
+"""
+        ),
+        "text_vote_classifier": (
+            # add-one-smoothed NB likelihood ratio, cross-multiplied to
+            # integers; pos = src0/src1, neg = rest; V = union vocab
+            f"""
+WITH pos_t AS (
+  SELECT unnest({_TOKS_ALL}) AS w FROM documents
+  WHERE length(trim(text)) > 0 AND source IN ('src0', 'src1')
+), neg_t AS (
+  SELECT unnest({_TOKS_ALL}) AS w FROM documents
+  WHERE length(trim(text)) > 0 AND source NOT IN ('src0', 'src1')
+), cp AS (SELECT w, count(*) AS c FROM pos_t GROUP BY w),
+cn AS (SELECT w, count(*) AS c FROM neg_t GROUP BY w),
+tot AS (
+  SELECT (SELECT sum(c) FROM cp) AS n_pos,
+         (SELECT sum(c) FROM cn) AS n_neg,
+         (SELECT count(*) FROM (SELECT w FROM cp UNION SELECT w FROM cn)) AS v
+), per AS (
+  SELECT doc_id, w, count(*) AS cnt FROM (
+    SELECT doc_id, unnest({_TOKS_ALL}) AS w FROM documents
+    WHERE length(trim(text)) > 0
+  ) GROUP BY doc_id, w
+), j AS (
+  SELECT per.doc_id, per.cnt,
+         (coalesce(cp.c, 0) + 1) * (tot.n_neg + tot.v) AS lhs,
+         (coalesce(cn.c, 0) + 1) * (tot.n_pos + tot.v) AS rhs
+  FROM per
+  LEFT JOIN cp ON cp.w = per.w
+  LEFT JOIN cn ON cn.w = per.w
+  CROSS JOIN tot
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN lhs > rhs THEN cnt ELSE 0 END) AS BIGINT) AS votes_pos,
+         CAST(sum(CASE WHEN lhs < rhs THEN cnt ELSE 0 END) AS BIGINT) AS votes_neg
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, votes_pos, votes_neg,
+       CAST(CASE WHEN votes_pos > votes_neg THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM agg
 """
         ),
         "corpus_source_overlap": (

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "text_unigram_rarity",
     "text_bigram_pmi",
     "text_lm_surprisal",
+    "text_vote_classifier",
     "corpus_source_overlap",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -1163,3 +1163,85 @@ def lm_bigram_surprisal(
         F.sum(F.when(~seen & ~backoff, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("n_oov"),
         F.sum(F.col("cnt") * contrib).cast("long").alias("inv_prob_sum"),
     )
+
+
+def vote_quality_classifier(
+    docs: DataFrame,
+    pos_docs: DataFrame,
+    neg_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Binary model-based quality filter (the fasttext-style
+    curated-vs-crawl classifier data pipelines gate on), as an
+    INTEGER-EXACT token-vote surrogate: every token of a document votes
+    for the class where its add-one-smoothed relative frequency is
+    higher, and the document is classified by the (multiplicity-
+    weighted) majority.
+
+    A token w votes positive iff
+        (c_w_pos + 1) * (N_neg + V) > (c_w_neg + 1) * (N_pos + V)
+    — the exact cross-multiplied form of the smoothed naive-Bayes
+    per-token likelihood ratio, so no log()/exp() enters the compare
+    and two engines agree bit-for-bit (same reasoning as
+    :func:`lm_bigram_surprisal`). V is the union vocabulary size.
+
+    Returns (doc_id, n_tokens, votes_pos, votes_neg, pred) with
+    pred = 1 iff votes_pos > votes_neg.
+
+    Shape at scale: class counts are one hash aggregate per side over an
+    explode pass (map-side combine); scoring aggregates the corpus per
+    (doc_id, w) first, then two zipf-hot count joins (payload: longs);
+    the N/V totals ride in as one broadcast 1-row frame; the final
+    per-doc aggregate reuses the doc_id hash distribution. Overflow-safe
+    by construction for corpora up to ~2^31 tokens per class (the cross
+    product stays under 2^63); beyond that, scale counts down.
+    """
+    def _counts(d):
+        return (
+            d.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.explode(_tokens(text_col)).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    cp = _counts(pos_docs)
+    cn = _counts(neg_docs)
+    totals = F.broadcast(
+        cp.agg(F.sum("c").alias("n_pos")).crossJoin(
+            cn.agg(F.sum("c").alias("n_neg"))
+        ).crossJoin(
+            cp.select("w").union(cn.select("w")).distinct().agg(
+                F.count(F.lit(1)).alias("v")
+            )
+        )
+    )
+
+    per = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    joined = (
+        per.join(cp.select(F.col("w"), F.col("c").alias("c_pos")), "w", "left")
+        .join(cn.select(F.col("w"), F.col("c").alias("c_neg")), "w", "left")
+        .crossJoin(totals)
+    )
+    lhs = (F.coalesce("c_pos", F.lit(0)) + 1) * (F.col("n_neg") + F.col("v"))
+    rhs = (F.coalesce("c_neg", F.lit(0)) + 1) * (F.col("n_pos") + F.col("v"))
+    out = joined.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.when(lhs > rhs, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("votes_pos"),
+        F.sum(F.when(lhs < rhs, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("votes_neg"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "votes_pos",
+        "votes_neg",
+        F.when(F.col("votes_pos") > F.col("votes_neg"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pred"),
+    )

@@ -835,3 +835,31 @@ def test_lm_bigram_surprisal_self_trained_all_seen(spark):
         assert r["n_backoff"] == 0 and r["n_oov"] == 0
         assert r["n_seen"] == r["n_bigrams"]
         assert r["inv_prob_sum"] >= r["n_bigrams"]
+
+
+def test_vote_quality_classifier_ground_truth(spark):
+    from rdf_indexes_spark.operators.textops import vote_quality_classifier
+
+    pos = spark.createDataFrame([(100, "good good fine")], "doc_id long, text string")
+    neg = spark.createDataFrame([(200, "bad bad awful")], "doc_id long, text string")
+    # counts: pos {good:2, fine:1} N_pos=3; neg {bad:2, awful:1} N_neg=3
+    # V = 4; smoothed vote for w: (c_pos+1)*(3+4) vs (c_neg+1)*(3+4)
+    #   good: 3*7 vs 1*7 -> pos; bad: 1*7 vs 3*7 -> neg
+    #   fine: 2*7 vs 1*7 -> pos; zzz (OOV): 1*7 vs 1*7 -> tie, no vote
+    docs = spark.createDataFrame(
+        [
+            (1, "good fine zzz"),       # pos 2, neg 0 -> pred 1
+            (2, "bad bad good"),        # pos 1, neg 2 -> pred 0
+            (3, "zzz zzz"),             # no votes -> pred 0 (tie)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["votes_pos"], r["votes_neg"], r["pred"])
+        for r in vote_quality_classifier(docs, pos, neg).collect()
+    }
+    assert got == {
+        1: (3, 2, 0, 1),
+        2: (3, 1, 2, 0),
+        3: (2, 0, 0, 0),
+    }
