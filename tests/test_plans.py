@@ -404,3 +404,42 @@ def test_keep_best_single_aggregate_no_window(docs):
     assert p.count("Exchange hashpartitioning") == 1, p[:1500]
     assert "Window" not in p and "Join" not in p, p[:1500]
     assert "partial_max" in p, p[:1500]
+
+
+def test_lm_surprisal_no_python_and_long_exchanges(docs):
+    """LM training + scoring stay whole-JVM (no BatchEvalPython) and the
+    scoring joins exchange count payloads, never document text."""
+    from rdf_indexes_spark.operators.textops import lm_bigram_surprisal
+
+    p = _plan(lm_bigram_surprisal(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:1500]
+    for l in p.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text" not in l, l
+
+
+def test_vote_classifier_no_python_and_broadcast_totals(docs):
+    """Classifier plan: JVM-only; the N/V totals ride a broadcast (no
+    corpus-sized exchange for the 1-row frame)."""
+    from rdf_indexes_spark.operators.textops import vote_quality_classifier
+
+    pos = docs.filter(F.col("doc_id") % 7 == 0)
+    neg = docs.filter(F.col("doc_id") % 7 != 0)
+    p = _plan(vote_quality_classifier(docs, pos, neg))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:1500]
+    assert "BroadcastExchange" in p, p[:1500]
+
+
+def test_source_overlap_exchanges_carry_hashed_longs(docs):
+    """The distinct and the pair join must key on the 8-byte gram hash —
+    gram strings (or text) in a wide exchange would defeat the one-pass
+    keyed generation."""
+    from rdf_indexes_spark.operators.contamination import source_overlap
+
+    p = _plan(source_overlap(docs))
+    ex = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex, p[:1500]
+    for l in ex:
+        assert "text" not in l, l
+    # the generate emits bigint gram keys, not strings
+    assert "xxhash64(array_join" in p, p[:2000]
