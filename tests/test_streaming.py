@@ -512,3 +512,47 @@ def test_tool_stats_golden(spark, transcripts):
     assert t.n_calls == manual.count()
     assert t.n_conversations == manual.select("conv_id").distinct().count()
     assert all(r.n_conversations <= r.n_calls for r in out)
+
+
+def test_stream_ingest_crash_replay_idempotent(spark, workdir):
+    """Crash-recovery contract: wiping the streaming checkpoint forces
+    Structured Streaming to replay the feed from scratch (the worst-case
+    crash), and the applied-batch manifest must skip the replayed batch
+    ids — the index's generations, triples, and manifest stay identical."""
+    import json
+    import tempfile
+
+    from rdf_indexes_spark import delta as dl
+    from rdf_indexes_spark.pipeline import run_pipeline
+    from rdf_indexes_spark.streaming.ingest_stream import stream_ingest
+    from rdf_indexes_spark.synth import generate
+
+    base = spark.createDataFrame(generate(200, seed=41).transcripts)
+    feed1 = spark.createDataFrame(generate(90, seed=42).transcripts)
+
+    swd = tempfile.mkdtemp(prefix="replay_idx_")
+    run_pipeline(spark, base, swd, num_partitions=4, input_id="base")
+    feed = os.path.join(workdir, "replay_feed")
+    ckpt = os.path.join(workdir, "replay_ckpt")
+    write_transcripts(feed1.coalesce(1), feed)
+    q = stream_ingest(spark, feed, swd, ckpt, max_files=16, num_partitions=4)
+    q.awaitTermination(300)
+
+    def _state():
+        ranked, triples, gens = dl.read_index(spark, swd)
+        with open(os.path.join(swd, "stream_applied.json")) as f:
+            applied = f.read()
+        return ranked.count(), triples.count(), applied
+
+    before = _state()
+
+    # simulated crash: checkpoint lost, the whole feed replays as batch 0
+    import shutil as sh
+
+    sh.rmtree(ckpt)
+    q = stream_ingest(spark, feed, swd, ckpt, max_files=16, num_partitions=4)
+    q.awaitTermination(300)
+
+    assert _state() == before
+    applied = json.loads(before[2])
+    assert list(applied) == ["0"]  # one applied batch, never re-applied
