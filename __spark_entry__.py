@@ -878,6 +878,15 @@ def _q_render_chat(spark, sf_dir):
     return render_chat(_events_transcript(spark, sf_dir))
 
 
+def _q_dedup_conversations(spark, sf_dir):
+    """Conversation-level exact dedup of the SFT export: identical
+    rendered dialogues collapse to their first conv_id (hash-keyed in
+    Spark, raw-text groups in the oracle — same groups either way)."""
+    from rdf_indexes_spark.operators.dialogue import dedup_conversations
+
+    return dedup_conversations(_events_transcript(spark, sf_dir))
+
+
 def _q_loss_spans(spark, sf_dir):
     """Loss-mask spans for the same render — codepoint offsets of every
     assistant turn's content inside the rendered string."""
@@ -2648,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": _q_time_rollup,
         "exact_quantiles_value": _q_exact_quantiles,
         "render_chat": _q_render_chat,
+        "dedup_conversations": _q_dedup_conversations,
         "loss_spans": _q_loss_spans,
         "fim_transform": _q_fim_transform,
         "text_compression": _q_compression_stats,
@@ -3178,6 +3188,23 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_turns, "
             "CAST(length(string_agg(piece, '' ORDER BY turn_idx)) AS BIGINT) AS n_chars "
             "FROM p GROUP BY conv_id"
+        ),
+        "dedup_conversations": (
+            # same rendered string as render_chat; groups on the raw
+            # render (Spark keys on its hash+len — identical groups)
+            "WITH t AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS turn_idx, "
+            "CASE WHEN event_type IN ('click','view') THEN 'user' "
+            "ELSE 'assistant' END AS role, props AS text FROM events), "
+            "p AS (SELECT conv_id, turn_idx, '<|im_start|>' || role || chr(10) "
+            "|| text || '<|im_end|>' || chr(10) AS piece FROM t), "
+            "r AS (SELECT conv_id, string_agg(piece, '' ORDER BY turn_idx) AS text, "
+            "CAST(COUNT(*) AS BIGINT) AS n_turns FROM p GROUP BY conv_id), "
+            "g AS (SELECT text, CAST(count(*) AS BIGINT) AS group_size, "
+            "min(conv_id) AS keeper FROM r GROUP BY text) "
+            "SELECT r.conv_id, r.n_turns, g.group_size, "
+            "CAST(CASE WHEN r.conv_id = g.keeper THEN 1 ELSE 0 END AS BIGINT) AS keep "
+            "FROM r JOIN g ON r.text = g.text"
         ),
         "loss_spans": (
             # exclusive prefix sum of piece lengths over the identical

@@ -398,3 +398,54 @@ def tool_stats(
             "last_epoch",
         )
     )
+
+
+def dedup_conversations(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level exact dedup for SFT exports: two conversations
+    are duplicates iff their rendered training strings (role sequence +
+    turn texts in order, :func:`render_chat`) are byte-identical. The
+    lexicographically-first conv_id of each group survives — the
+    conversation-granular sibling of operators/dedup.exact_dedup, which
+    multi-turn corpora need because turn-level dedup cannot see that two
+    whole dialogues repeat.
+
+    Returns (conv_id, n_turns, group_size, keep).
+
+    Shape at scale: the rendered frame is conversation-scale (one row per
+    conversation); the dedup keys on xxhash64(render) + codepoint length
+    — 12 bytes instead of the rendered string — so the wide exchange
+    never carries conversation text; min/count fold in one hash
+    aggregate and rejoin on the same key.
+    """
+    rendered = render_chat(
+        transcripts, conv_col=conv_col, idx_col=idx_col,
+        role_col=role_col, text_col=text_col,
+    )
+    keyed = rendered.select(
+        "conv_id",
+        "n_turns",
+        F.xxhash64("text").alias("_h"),
+        F.col("n_chars").alias("_len"),
+    )
+    groups = keyed.groupBy("_h", "_len").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("conv_id").alias("_keeper"),
+    )
+    return (
+        keyed.join(groups, ["_h", "_len"])
+        .select(
+            "conv_id",
+            "n_turns",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.when(F.col("conv_id") == F.col("_keeper"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+        )
+    )

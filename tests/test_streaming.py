@@ -556,3 +556,23 @@ def test_stream_ingest_crash_replay_idempotent(spark, workdir):
     assert _state() == before
     applied = json.loads(before[2])
     assert list(applied) == ["0"]  # one applied batch, never re-applied
+
+
+def test_dedup_conversations_golden(spark):
+    from rdf_indexes_spark.operators.dialogue import dedup_conversations
+
+    rows = []
+    # conv a and conv c render identically; b differs in one turn text
+    for conv, texts in (("a", ["hi", "yo"]), ("b", ["hi", "no"]), ("c", ["hi", "yo"])):
+        for i, t in enumerate(texts):
+            rows.append((conv, i, "user" if i % 2 == 0 else "assistant", t))
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {
+        r["conv_id"]: (r["n_turns"], r["group_size"], r["keep"])
+        for r in dedup_conversations(tr).collect()
+    }
+    assert got == {
+        "a": (2, 2, 1),  # first of the duplicate pair survives
+        "b": (2, 1, 1),
+        "c": (2, 2, 0),
+    }
