@@ -977,6 +977,22 @@ def _q_fact_provenance(spark, sf_dir):
     )
 
 
+def _q_fuse_facts(spark, sf_dir):
+    """Knowledge fusion: majority-vote truth discovery over the same
+    events-derived assertion stream as kg_fact_provenance — per (s, p)
+    the object with the most independent (conversation-distinct) votes
+    wins, ties to the codepoint-smallest o."""
+    from rdf_indexes_spark.operators.schema import fuse_facts
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("p"),
+        F.col("props").alias("o"),
+        F.floor(F.col("event_id") / 50).cast("long").alias("conv_id"),
+    )
+    return fuse_facts(ev)
+
+
 def _q_inverse_predicates(spark, sf_dir):
     """Inverse/symmetric predicate induction over a lineitem-folded
     triple set (parallel predicates from l_linenumber give real
@@ -2625,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_profile": _q_predicate_profile,
         "kg_domain_range": _q_domain_range,
         "kg_fact_provenance": _q_fact_provenance,
+        "kg_fuse_facts": _q_fuse_facts,
         "kg_inverse_predicates": _q_inverse_predicates,
         "kg_rdfs_closure": _q_rdfs_closure,
         "kg_sameas_smush": _q_sameas_smush,
@@ -3730,6 +3747,20 @@ LEFT JOIN rtot ON nt.p = rtot.p
             "CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_epoch, "
             "CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch "
             "FROM events GROUP BY 1, 2, 3"
+        ),
+        "kg_fuse_facts": (
+            # votes = conversation-distinct support per (s,p,o); winner by
+            # (max votes, min o) — the same min(struct(-votes, o)) rule
+            "WITH a AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS s, "
+            "event_type AS p, props AS o, event_id // 50 AS conv FROM events), "
+            "v AS (SELECT s, p, o, COUNT(*) AS votes FROM a GROUP BY 1, 2, 3), "
+            "w AS (SELECT s, p, min(struct_pack(nv := -votes, o := o)) AS w, "
+            "CAST(SUM(votes) AS BIGINT) AS total_votes, "
+            "CAST(COUNT(*) AS BIGINT) AS n_candidates FROM v GROUP BY s, p) "
+            "SELECT s, p, w.o AS o, CAST(-w.nv AS BIGINT) AS support, "
+            "total_votes, n_candidates, "
+            "CAST(floor(1000 * (-w.nv) / total_votes) AS BIGINT) AS confidence_x1000 "
+            "FROM w"
         ),
         "kg_cooccurrence": (
             # presence-deduped (doc, token) frame, pair expansion on the

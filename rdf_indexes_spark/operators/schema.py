@@ -715,3 +715,71 @@ def profile_columns(
         "min_value",
         "max_value",
     )
+
+
+def fuse_facts(
+    assertions: DataFrame,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Knowledge fusion / truth discovery: when independent extractions
+    assert CONFLICTING objects for the same (subject, predicate) — the
+    normal state of a transcript-mined KG — pick one value per (s, p) by
+    independent-evidence majority vote (Dong et al.'s knowledge-fusion
+    baseline; the reference has no conflict story at all — its prep
+    keeps every distinct triple, scripts/sort.py:6-10).
+
+    Vote = distinct ``conv_col`` count per (s, p, o) — repeats inside one
+    conversation are one vote, matching :func:`fact_provenance`'s
+    independence rule. Winner = max votes, ties broken by smallest o
+    (codepoint order; deterministic and engine-portable). Returns one
+    row per (s, p):
+
+      s, p, o (the winner), support (its votes),
+      total_votes (sum over candidates), n_candidates
+      confidence_x1000 = floor(1000 * support / total_votes)
+
+    Shape at scale: one (s,p,o,conv) distinct hash-aggregate (absorbs
+    within-conversation repeats map-side), one (s,p,o) count, one
+    (s,p) max-struct reduce — three exchanges on progressively smaller
+    key spaces, no window, no join; integer outputs only.
+    """
+    votes = (
+        assertions.select(
+            F.col(s_col).alias("s"),
+            F.col(p_col).alias("p"),
+            F.col(o_col).alias("o"),
+            F.col(conv_col).alias("conv"),
+        )
+        .distinct()
+        .groupBy("s", "p", "o")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    # max(struct(votes, neg-codepoint-rank o)) in ONE reduce: encode the
+    # tie rule directly in the struct order — max votes first, then the
+    # SMALLEST o, via a descending string under max = filter-free argmin.
+    # Spark/DuckDB both order structs field-by-field, but a "negated
+    # string" is not portable — so take min(struct(-votes, o)) instead:
+    # the smallest (-votes) is the largest vote count, and ties fall to
+    # the smallest o in plain codepoint order.
+    return (
+        votes.groupBy("s", "p")
+        .agg(
+            F.min(F.struct((-F.col("votes")).alias("nv"), F.col("o").alias("o"))).alias("w"),
+            F.sum("votes").cast("long").alias("total_votes"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        )
+        .select(
+            "s",
+            "p",
+            F.col("w.o").alias("o"),
+            (-F.col("w.nv")).cast("long").alias("support"),
+            "total_votes",
+            "n_candidates",
+            F.floor(F.lit(1000) * (-F.col("w.nv")) / F.col("total_votes"))
+            .cast("long")
+            .alias("confidence_x1000"),
+        )
+    )

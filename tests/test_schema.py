@@ -505,3 +505,34 @@ def test_profile_columns_approx_mode(spark):
     # default rsd is 5% RELATIVE STD DEV — allow a 3-sigma draw
     assert abs(got["id"].n_distinct - 5000) / 5000 < 0.15
     assert abs(got["m"].n_distinct - 97) / 97 < 0.15
+
+
+def test_fuse_facts_golden(spark):
+    """Majority vote with conversation-independence and codepoint tie
+    break, on a hand-computed conflict set."""
+    from rdf_indexes_spark.operators.schema import fuse_facts
+
+    rows = [
+        # (s,p) = (e1, born_in): "paris" from convs 1,2; "rome" from conv 3
+        ("e1", "born_in", "paris", 1),
+        ("e1", "born_in", "paris", 1),  # repeat inside conv 1: one vote
+        ("e1", "born_in", "paris", 2),
+        ("e1", "born_in", "rome", 3),
+        # (e2, color): tie 1-1 -> codepoint-smallest wins ("blue" < "red")
+        ("e2", "color", "red", 1),
+        ("e2", "color", "blue", 2),
+        # (e3, x): single candidate
+        ("e3", "x", "y", 9),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, conv_id long")
+    got = {
+        (r["s"], r["p"]): (
+            r["o"], r["support"], r["total_votes"], r["n_candidates"], r["confidence_x1000"]
+        )
+        for r in fuse_facts(df).collect()
+    }
+    assert got == {
+        ("e1", "born_in"): ("paris", 2, 3, 2, 666),
+        ("e2", "color"): ("blue", 1, 2, 2, 500),
+        ("e3", "x"): ("y", 1, 1, 1, 1000),
+    }
