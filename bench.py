@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "c4_filter",
     "fim_transform",
     "render_chat",
+    "dedup_conversations",
+    "kg_fuse_facts",
     "asof_join_events",
     "time_rollup_events",
     "kg_rhodf_entailment",
