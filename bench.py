@@ -25,13 +25,16 @@ MIN per level is reported (this host's vCPU capacity varies ~2x with
 co-tenancy — the harness also records a raw CPU-capacity probe so the
 environment is visible in the result).
 
-Corpus: sf × 160M turns (sf0.1 → 16M; override SPARK_GRAFT_BENCH_TURNS),
+Corpus: sf × 80M turns (sf0.1 → 8M; override SPARK_GRAFT_BENCH_TURNS),
 generated distributed once and cached under /tmp keyed by (n, seed) —
-sized so one trial fits ~1 min and multiple trials fit the round budget
-(bigger corpora raise measured efficiency further; see BENCH/BASELINE.md
-for the corpus-size → efficiency curve and its extrapolation).
+sized so the DEFAULT run always fits the driver's time budget (bigger
+corpora raise measured efficiency further; see BENCH/BASELINE.md for
+the corpus-size → efficiency curve and its extrapolation). The run
+self-budgets against SPARK_GRAFT_BENCH_BUDGET_S and re-prints the
+artifact line after every completed stage — the LAST line is always the
+most complete parseable artifact, even under an external timeout.
 
-Prints ONE JSON line:
+Prints the artifact as ONE JSON line (re-printed incrementally):
   {"metric": "pipeline_e2e", "value": <sec at 32 cores>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ..., "triples_per_sec": ...,
    "scaling": {...}, "cpu_probe": {...}}
@@ -57,9 +60,57 @@ SHUFFLE_PARTITIONS = CPUS                        # FIXED across levels: sized
 # trials: each is one window-matched (hi, lo) pair; the headline
 # efficiency is the median of the pair ratios (outlier-robust in both
 # directions), throughputs report the min-of-trials per level.
-TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+# Hard wall-clock self-budget: the round-3 driver bench timed out (rc=124)
+# with an EMPTY artifact because the default run (16M turns x 4 trials x
+# ~58 queries + an 8M/16M/32M curve) outgrew the driver's budget. The
+# bench now (a) defaults to a configuration that fits comfortably
+# (8M turns, 2 trials, headline queries, no curve), (b) tracks a
+# deadline and sheds optional work (2nd trial, 2nd query pass, curve)
+# when behind, and (c) prints a parseable full-schema JSON line after
+# EVERY completed stage, so even a hard kill leaves the best artifact
+# so far as the last line of output.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+_T_START = time.monotonic()
 
-BENCH_QUERIES = [
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T_START)
+
+
+# ~26 headline queries (the round-2 artifact set plus SPARQL/KG
+# representatives). The full ~58-query table is opt-in: it belongs to
+# the builder-side BENCH/BASELINE.md runs, not the driver's budget.
+HEADLINE_QUERIES = [
+    "b1_term_freq",
+    "b2_dense_ids",
+    "b4_dict_encode",
+    "c1_sort_permutation",
+    "d1_stats",
+    "d3_skew_census",
+    "e1_broadcast_join",
+    "e4_p_index",
+    "f1_member",
+    "f2_pattern_sp",
+    "f5_pattern_p",
+    "f8_scan_all",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "text_token_count",
+    "text_language_id",
+    "text_quality",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "g3_sparql_chain",
+    "g12_sparql_group_count",
+    "kg_fuse_facts",
+    "kg_rhodf_entailment",
+]
+
+FULL_QUERIES = [
     "b1_term_freq",
     "b2_dense_ids",
     "b4_dict_encode",
@@ -125,6 +176,12 @@ BENCH_QUERIES = [
     # measures output size, not the engine. Correctness gates at sf0.01.
 ]
 
+BENCH_QUERIES = (
+    FULL_QUERIES
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL_QUERIES", "0") == "1"
+    else HEADLINE_QUERIES
+)
+
 
 def _sf_of(sf_dir: str) -> float:
     import re
@@ -168,6 +225,33 @@ def _scratch_dir() -> str:
     return tempfile.mkdtemp(prefix="bench_perms_", dir=base)
 
 
+def _stage_walls(evdir: str, t_after_ms: float) -> dict[str, int]:
+    """Reduce a Spark event log to {stage name: summed wall ms} for stages
+    submitted after t_after_ms (filters the warm-up run out). Stage names
+    carry the code callsite, so they match 1:1 between the hi and lo
+    levels of the same pipeline — the per-stage shrink table in the
+    artifact is built by joining these maps by name."""
+    walls: dict[str, int] = {}
+    for dirpath, _, fns in os.walk(evdir):
+        for fn in fns:
+            if fn.startswith("appstatus"):
+                continue
+            with open(os.path.join(dirpath, fn)) as f:
+                for line in f:
+                    if '"SparkListenerStageCompleted"' not in line:
+                        continue
+                    try:
+                        si = json.loads(line)["Stage Info"]
+                    except (json.JSONDecodeError, KeyError):
+                        continue
+                    sub, com = si.get("Submission Time"), si.get("Completion Time")
+                    if not sub or not com or sub < t_after_ms:
+                        continue
+                    name = si.get("Stage Name", "")[:80]
+                    walls[name] = walls.get(name, 0) + (com - sub)
+    return walls
+
+
 def _worker(n_exec: int, corpus_path: str, warm_path: str, out_json: str) -> None:
     """Subprocess body: warm-up run then timed run at n_exec executors."""
     # Confine the WHOLE level (driver JVM + executor JVMs + python workers,
@@ -193,6 +277,9 @@ def _worker(n_exec: int, corpus_path: str, warm_path: str, out_json: str) -> Non
     from rdf_indexes_spark.session import get_spark
     from rdf_indexes_spark.sources.transcripts import TRANSCRIPT_SCHEMA
 
+    import tempfile
+
+    evdir = tempfile.mkdtemp(prefix=f"bench_ev_{n_exec}_")
     spark = get_spark(
         cores=n_exec * EXEC_CORES,
         shuffle_partitions=SHUFFLE_PARTITIONS,
@@ -205,7 +292,15 @@ def _worker(n_exec: int, corpus_path: str, warm_path: str, out_json: str) -> Non
         # pre-touch the driver heap too (executors get it from get_spark's
         # local-cluster branch): concurrent first-touch faults serialize
         # in the hypervisor — see session.py. ~1s at 6g, untimed.
-        extra_conf={"spark.driver.extraJavaOptions": "-Xms6g -XX:+AlwaysPreTouch"},
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-Xms6g -XX:+AlwaysPreTouch",
+            # event log feeds the artifact's per-stage shrink table
+            # (driver-side JSON append, negligible next to the work)
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
     )
     # warm-up must SATURATE every executor core: python workers fork (and
     # cold-import pandas/numpy) on first concurrent demand, and 32
@@ -226,13 +321,22 @@ def _worker(n_exec: int, corpus_path: str, warm_path: str, out_json: str) -> Non
     tr = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(corpus_path)
     tr.count()  # file listing + first scan outside the timed window
     out_dir = _scratch_dir()
+    t_epoch_ms = time.time() * 1000  # event-log filter: timed run only
     t0 = time.monotonic()
     counters = run_pipeline_fast(spark, tr, out_dir, num_partitions=SHUFFLE_PARTITIONS)
     elapsed = time.monotonic() - t0
-    with open(out_json, "w") as f:
-        json.dump({"n_exec": n_exec, "elapsed_sec": elapsed, **counters}, f)
-    shutil.rmtree(out_dir, ignore_errors=True)
     spark.stop()
+    time.sleep(0.5)  # let the event log flush
+    try:
+        stages = _stage_walls(evdir, t_epoch_ms)
+    except Exception:  # the shrink table is evidence, never a failure
+        stages = {}
+    with open(out_json, "w") as f:
+        json.dump(
+            {"n_exec": n_exec, "elapsed_sec": elapsed, "stages": stages, **counters}, f
+        )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(evdir, ignore_errors=True)
 
 
 def _run_level(n_exec: int, corpus_path: str, warm_path: str) -> dict:
@@ -301,15 +405,19 @@ def _gated_pair(corpus_path: str, warm_path: str, reprobe_budget: list[int]) -> 
     artifact shows the conditions."""
     while True:
         pre = _quick_membw_ceiling()
-        if _in_band(pre) or reprobe_budget[0] <= 0:
+        # a reprobe/redo is worth its cost only while the wall-clock
+        # budget has room for it — behind the deadline, the pair stands
+        # whatever the window (its probes ship in the artifact)
+        can_retry = reprobe_budget[0] > 0 and _remaining() > 300
+        if _in_band(pre) or not can_retry:
             hi = _run_level(N_EXEC_HI, corpus_path, warm_path)
             mid = _quick_membw_ceiling()
-            if not _in_band(mid) and reprobe_budget[0] > 0:
+            if not _in_band(mid) and reprobe_budget[0] > 0 and _remaining() > 300:
                 reprobe_budget[0] -= 3  # discard the hi run, redo the pair
                 continue
             lo = _run_level(N_EXEC_LO, corpus_path, warm_path)
             post = _quick_membw_ceiling()
-            if not _in_band(post) and reprobe_budget[0] > 0:
+            if not _in_band(post) and reprobe_budget[0] > 0 and _remaining() > 300:
                 reprobe_budget[0] -= 3  # discard both runs, redo the pair
                 continue
             return {
@@ -415,8 +523,14 @@ def _time_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     # pass 5-10x; the min is the engine, the spread is the neighbor.
     # A failing query is recorded, never fatal: one bad plan (or a dead
     # JVM it leaves behind) must not cost the whole bench artifact.
-    for _ in range(2):
+    # Deadline-aware: a partial first-pass table (or a single pass) beats
+    # blowing the budget — each completed query's time is already final.
+    for pass_i in range(2):
+        if pass_i > 0 and _remaining() < 120:
+            break
         for name in BENCH_QUERIES:
+            if _remaining() < 45:
+                break
             try:
                 t0 = time.monotonic()
                 df = qs[name](spark, sf_dir)
@@ -442,16 +556,16 @@ def main() -> None:
         _worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
         return
     sf = _sf_of(SF_DIR)
-    # sf x 160M turns (sf0.1 -> 16M): the non-scaling component is a fixed
-    # floor that amortizes with corpus size (round-3 curve: 0.28 @4M/8M ->
-    # 0.37 @32M in the same windows), so the default sits high enough on
-    # the curve that a trial measures parallel work, not floor — while
-    # keeping a pair ~2 min.  Round-2 history: 4M -> 8M for the same
-    # reason after the serial-floor fixes.  With the first-touch fixes
-    # (executor heap pre-touch + saturating worker warm-up) a clean 16M
-    # pair measured hi 54.1s / lo 108.3s -> efficiency 0.50.
+    # sf x 80M turns (sf0.1 -> 8M): bigger corpora sit higher on the
+    # efficiency curve (the ~14s serial floor amortizes: round-3 curve
+    # 0.62 @8M -> 0.52 @16M -> 0.68 @32M, builder artifacts), but the
+    # 16M default grew the round-3 driver bench past its budget (rc=124,
+    # empty artifact). 8M keeps a window-matched pair ~2-3 min so the
+    # default run ALWAYS completes; the 16M/32M curve points are opt-in
+    # (SPARK_GRAFT_BENCH_CURVE=1 / SPARK_GRAFT_BENCH_TURNS) and live in
+    # BENCH/BASELINE.md.
     n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "0")) or max(
-        10_000, int(round(sf * 160_000_000))
+        10_000, int(round(sf * 80_000_000))
     )
     warm_path = _warm_corpus()
     corpus_path = _corpus_path(n_turns)
@@ -462,8 +576,17 @@ def main() -> None:
     trials: dict[int, list[float]] = {N_EXEC_HI: [], N_EXEC_LO: []}
     windows: list[float] = []
     pair_effs: list[float] = []
-    for _ in range(TRIALS):
+    trials_run = 0
+    for i in range(TRIALS):
+        if i > 0 and trials[N_EXEC_HI]:
+            # shed later trials when behind: one completed pair + queries
+            # beats two pairs + a dead artifact. Estimate the next pair
+            # from the last one, keep ~3 min of tail for the query table.
+            est = trials[N_EXEC_HI][-1] + trials[N_EXEC_LO][-1] + 120
+            if _remaining() < est * 1.3 + 180:
+                break
         pair = _gated_pair(corpus_path, warm_path, reprobes)
+        trials_run += 1
         windows.append(pair["window_ceiling"])
         pair_effs.append(
             round(
@@ -480,6 +603,24 @@ def main() -> None:
     hi, lo = best[N_EXEC_HI], best[N_EXEC_LO]
     thr_hi = hi["triples"] / hi["elapsed_sec"]
     thr_lo = lo["triples"] / lo["elapsed_sec"]
+
+    # per-stage shrink table, live-measured from this run's event logs:
+    # stages matched by name between the best hi and best lo level; a
+    # corpus-proportional stage should shrink toward 4.0x with 4x the
+    # executors, and the table makes visible which do and which are the
+    # fixed floor. Top stages by lo-level wall time.
+    stage_shrink = []
+    hs, ls = hi.get("stages") or {}, lo.get("stages") or {}
+    for name in sorted(ls, key=lambda n: -ls[n])[:12]:
+        if name in hs and hs[name] > 0 and ls[name] >= 200:
+            stage_shrink.append(
+                {
+                    "stage": name,
+                    "wall_lo_ms": ls[name],
+                    "wall_hi_ms": hs[name],
+                    "shrink": round(ls[name] / hs[name], 2),
+                }
+            )
     # headline efficiency = MEDIAN of the WINDOW-MATCHED per-trial pair
     # efficiencies (accepted windows only). Each trial runs hi and lo
     # back-to-back inside one probed co-tenancy window, so the pair
@@ -495,13 +636,88 @@ def main() -> None:
     eff = statistics.median(accepted)
     eff_min_ratio = (thr_hi / thr_lo) / (N_EXEC_HI / N_EXEC_LO)
 
-    # efficiency-vs-corpus-size curve (half / main / 4x the main size, one
-    # probe-gated pair each): the non-scaling component is a fixed floor
+    def emit(queries, query_errors, curve, partial):
+        """Print the artifact JSON line with everything measured so far.
+        Called after EVERY completed stage (pairs -> queries -> curve):
+        the driver takes the LAST parseable line, so a timeout or kill
+        mid-stage still leaves the best-so-far artifact behind."""
+        print(
+            json.dumps(
+                {
+                    "metric": "pipeline_e2e",
+                    "value": round(hi["elapsed_sec"], 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    **({"query_errors": query_errors} if query_errors else {}),
+                    **({"partial": True} if partial else {}),
+                    "sf": sf,
+                    "n_turns": n_turns,
+                    "mentions": hi["mentions"],
+                    "triples_emitted": hi["triples"],
+                    "triples_per_sec": round(thr_hi, 1),
+                    "mentions_per_sec": round(hi["mentions"] / hi["elapsed_sec"], 1),
+                    "budget_s": BUDGET_S,
+                    "elapsed_total_s": round(time.monotonic() - _T_START, 1),
+                    "scaling": {
+                        "mode": f"local-cluster[N,{EXEC_CORES},8192] — separate executor JVMs",
+                        "executors_hi": N_EXEC_HI,
+                        "executors_lo": N_EXEC_LO,
+                        "cores_hi": N_EXEC_HI * EXEC_CORES,
+                        "cores_lo": N_EXEC_LO * EXEC_CORES,
+                        "sec_hi": round(hi["elapsed_sec"], 3),
+                        "sec_lo": round(lo["elapsed_sec"], 3),
+                        "throughput_hi": round(thr_hi, 1),
+                        "throughput_lo": round(thr_lo, 1),
+                        "efficiency": round(eff, 3),
+                        "efficiency_estimator": (
+                            "median of window-matched per-trial pair "
+                            "efficiencies (accepted windows)"
+                        ),
+                        # the old cross-window ratio of best-of-trials — kept
+                        # for comparability; statistically weaker (mixes
+                        # co-tenancy windows between numerator and denominator)
+                        "efficiency_min_ratio": round(eff_min_ratio, 3),
+                        # the same number with the host's co-tenancy ceiling
+                        # divided out (memory-bandwidth probe, same run): what
+                        # the plan would scale to on non-co-tenant hardware
+                        "efficiency_probe_normalized": round(
+                            min(1.0, eff / max(1e-9, probe["membw_scaling_ceiling"])),
+                            3,
+                        ),
+                        "membw_scaling_ceiling": probe["membw_scaling_ceiling"],
+                        "trials": trials_run,
+                        "trials_sec_hi": trials[N_EXEC_HI],
+                        "trials_sec_lo": trials[N_EXEC_LO],
+                        "trial_pair_efficiencies": pair_effs,
+                        "trial_window_ceilings": windows,
+                        "accept_ceiling": ACCEPT_CEILING,
+                        # live per-stage shrink (event logs, best hi vs best
+                        # lo): corpus-proportional stages approach 4.0, the
+                        # fixed serial floor stays ~1 and amortizes with
+                        # corpus size (BENCH/BASELINE.md curve)
+                        "stage_shrink": stage_shrink,
+                        "curve": curve,
+                    },
+                    "cpu_probe": probe,
+                },
+            ),
+            flush=True,
+        )
+
+    emit({}, {}, [], partial=True)  # pairs done — artifact is now parseable
+
+    queries, query_errors = _time_queries(SF_DIR)
+    emit(queries, query_errors, [], partial=True)
+
+    # efficiency-vs-corpus-size curve (half / main / 2x the main size,
+    # probe-gated pairs): the non-scaling component is a fixed floor
     # that AMORTIZES with corpus size — a rising, then holding, curve is
     # the design evidence that the pipeline itself scales and the plateau
     # is the host's co-tenancy ceiling (see membw_scaling_ceiling).
+    # OPT-IN (off by default): 7+ extra pipeline runs do not fit the
+    # driver's budget — the curve lives in BENCH/BASELINE.md artifacts.
     curve = []
-    if os.environ.get("SPARK_GRAFT_BENCH_CURVE", "1") != "0":
+    if os.environ.get("SPARK_GRAFT_BENCH_CURVE", "0") == "1" and _remaining() > 600:
         # half / main / 2x: with the 16M default the 2x point is the 32M
         # corpus round 2/3 charted at 4x — same top of the curve, half
         # the extra trial time
@@ -559,60 +775,7 @@ def main() -> None:
             except Exception as e:  # a curve point must never cost the artifact
                 curve.append({"n_turns": nt, "error": str(e)[:200]})
 
-    queries, query_errors = _time_queries(SF_DIR)
-
-    print(
-        json.dumps(
-            {
-                "metric": "pipeline_e2e",
-                "value": round(hi["elapsed_sec"], 3),
-                "unit": "sec",
-                "queries": queries,
-                **({"query_errors": query_errors} if query_errors else {}),
-                "sf": sf,
-                "n_turns": n_turns,
-                "mentions": hi["mentions"],
-                "triples_emitted": hi["triples"],
-                "triples_per_sec": round(thr_hi, 1),
-                "mentions_per_sec": round(hi["mentions"] / hi["elapsed_sec"], 1),
-                "scaling": {
-                    "mode": f"local-cluster[N,{EXEC_CORES},8192] — separate executor JVMs",
-                    "executors_hi": N_EXEC_HI,
-                    "executors_lo": N_EXEC_LO,
-                    "cores_hi": N_EXEC_HI * EXEC_CORES,
-                    "cores_lo": N_EXEC_LO * EXEC_CORES,
-                    "sec_hi": round(hi["elapsed_sec"], 3),
-                    "sec_lo": round(lo["elapsed_sec"], 3),
-                    "throughput_hi": round(thr_hi, 1),
-                    "throughput_lo": round(thr_lo, 1),
-                    "efficiency": round(eff, 3),
-                    "efficiency_estimator": (
-                        "median of window-matched per-trial pair "
-                        "efficiencies (accepted windows)"
-                    ),
-                    # the old cross-window ratio of best-of-trials — kept
-                    # for comparability; statistically weaker (mixes
-                    # co-tenancy windows between numerator and denominator)
-                    "efficiency_min_ratio": round(eff_min_ratio, 3),
-                    # the same number with the host's co-tenancy ceiling
-                    # divided out (memory-bandwidth probe, same run): what
-                    # the plan would scale to on non-co-tenant hardware
-                    "efficiency_probe_normalized": round(
-                        min(1.0, eff / max(1e-9, probe["membw_scaling_ceiling"])), 3
-                    ),
-                    "membw_scaling_ceiling": probe["membw_scaling_ceiling"],
-                    "trials": TRIALS,
-                    "trials_sec_hi": trials[N_EXEC_HI],
-                    "trials_sec_lo": trials[N_EXEC_LO],
-                    "trial_pair_efficiencies": pair_effs,
-                    "trial_window_ceilings": windows,
-                    "accept_ceiling": ACCEPT_CEILING,
-                    "curve": curve,
-                },
-                "cpu_probe": probe,
-            }
-        )
-    )
+    emit(queries, query_errors, curve, partial=False)
 
 
 if __name__ == "__main__":
