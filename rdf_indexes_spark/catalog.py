@@ -99,8 +99,13 @@ def sql_pattern(spark: SparkSession, prefix: str, s=None, p=None, o=None) -> Dat
     from .plans.router import route
 
     perm = route(s, p, o).perm
+    # bound terms are dictionary-encoded integer ids by contract; enforce
+    # it before interpolating into the SQL string (a string-typed term
+    # would otherwise break the query or inject SQL into the session)
     conds = [
-        f"{c} = {v}" for c, v in (("s", s), ("p", p), ("o", o)) if v is not None
+        f"{c} = {int(v)}" for c, v in (("s", s), ("p", p), ("o", o)) if v is not None
     ]
+    if prefix and not prefix.replace("_", "").isalnum():
+        raise ValueError(f"prefix must be a bare view-name prefix, got {prefix!r}")
     where = f" WHERE {' AND '.join(conds)}" if conds else ""
     return spark.sql(f"SELECT s, p, o FROM {prefix}{perm}{where}")

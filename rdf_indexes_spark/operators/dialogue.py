@@ -406,6 +406,7 @@ def dedup_conversations(
     idx_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "text",
+    hashed_keys: bool = True,
 ) -> DataFrame:
     """Conversation-level exact dedup for SFT exports: two conversations
     are duplicates iff their rendered training strings (role sequence +
@@ -422,6 +423,12 @@ def dedup_conversations(
     — 12 bytes instead of the rendered string — so the wide exchange
     never carries conversation text; min/count fold in one hash
     aggregate and rejoin on the same key.
+
+    ``hashed_keys=False`` is the byte-exact escape hatch (mirrors the
+    decontaminate contract): group on the rendered string itself, so a
+    (2^-64-likelihood) hash collision cannot silently mark a unique
+    conversation keep=0 in the export. Costs shuffling the rendered
+    text; use for audits or when the export is the system of record.
     """
     rendered = render_chat(
         transcripts, conv_col=conv_col, idx_col=idx_col,
@@ -430,7 +437,7 @@ def dedup_conversations(
     keyed = rendered.select(
         "conv_id",
         "n_turns",
-        F.xxhash64("text").alias("_h"),
+        (F.xxhash64("text") if hashed_keys else F.col("text")).alias("_h"),
         F.col("n_chars").alias("_len"),
     )
     groups = keyed.groupBy("_h", "_len").agg(

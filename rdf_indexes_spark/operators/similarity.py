@@ -438,6 +438,33 @@ def lsh_topk(
     )
 
 
+def _train_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, sample: int
+) -> np.ndarray:
+    """DETERMINISTIC bounded training sample as a plain filtered scan.
+
+    The old plan (`orderBy(xxhash64(id)).limit(n)`) compiled to a
+    TakeOrdered over the WHOLE corpus: every partition sorts and ships
+    its top-n rows to the driver — partitions x n rows moved and a
+    full-corpus ordering evaluated for a 4k-row sample. Instead, pick a
+    modulus K so that `pmod(xxhash64(id), K) == 0` passes ~4x the target
+    rows (one column-pruned count to size K), collect that small set,
+    and take the `sample` smallest hashes driver-side. Selection depends
+    only on the hash values, so the sample is identical every run, at
+    every scale, under any partitioning — with nothing but two plain
+    scans and a driver-side sort of ~4*sample rows."""
+    n = corpus.select(id_col).count()
+    k_mod = max(1, n // max(1, 4 * sample))
+    h = F.xxhash64(F.col(id_col))
+    rows = (
+        corpus.select(h.alias("_h"), F.col(vec_col).alias("_v"))
+        .where(F.pmod(F.col("_h"), F.lit(k_mod)) == 0)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["_h"])
+    return np.array([r["_v"] for r in rows[:sample]], dtype=np.float64)
+
+
 def _kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int,
@@ -448,17 +475,11 @@ def _kmeans_centroids(
     seed: int = 13,
 ) -> np.ndarray:
     """Driver-side Lloyd's k-means over a DETERMINISTIC bounded sample
-    (xxhash64 order ⇒ same sample every run and at every scale): the
-    coarse quantizer is centroid-count x dim — tiny — while assignment
-    stays fully distributed. Standard IVF training practice: the sample,
-    not the corpus, trains the quantizer."""
-    rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample)
-        .collect()
-    )
-    X = np.array([r[1] for r in rows], dtype=np.float64)
+    (hash-selected, see _train_sample): the coarse quantizer is
+    centroid-count x dim — tiny — while assignment stays fully
+    distributed. Standard IVF training practice: the sample, not the
+    corpus, trains the quantizer."""
+    X = _train_sample(corpus, id_col, vec_col, sample)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(Xn))
@@ -638,14 +659,9 @@ def _pq_train(corpus: DataFrame, m: int, ks: int, id_col: str, vec_col: str,
     """Product-quantization codebooks: split the (normalized) vector into
     ``m`` subspaces and run Lloyd's k-means with ``ks`` centroids in each
     — trained driver-side on the same bounded deterministic sample as
-    the IVF coarse quantizer. Returns (m, ks, dim/m) float64."""
-    rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample)
-        .collect()
-    )
-    X = np.array([r[1] for r in rows], dtype=np.float64)
+    the IVF coarse quantizer (_train_sample: hash-threshold filter, no
+    TakeOrdered over the corpus). Returns (m, ks, dim/m) float64."""
+    X = _train_sample(corpus, id_col, vec_col, sample)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     dim = Xn.shape[1]
     if dim % m:

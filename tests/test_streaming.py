@@ -576,3 +576,19 @@ def test_dedup_conversations_golden(spark):
         "b": (2, 1, 1),
         "c": (2, 2, 0),
     }
+
+
+def test_dedup_conversations_byte_exact_escape_hatch(spark):
+    """hashed_keys=False groups on the rendered string itself (collision-
+    proof audit mode) and must agree with the hashed default."""
+    from rdf_indexes_spark.operators.dialogue import dedup_conversations
+
+    rows = []
+    for conv, texts in (("a", ["hi", "yo"]), ("b", ["hi", "no"]), ("c", ["hi", "yo"])):
+        for i, t in enumerate(texts):
+            rows.append((conv, i, "user" if i % 2 == 0 else "assistant", t))
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    hashed = {tuple(r) for r in dedup_conversations(tr).collect()}
+    exact = {tuple(r) for r in dedup_conversations(tr, hashed_keys=False).collect()}
+    assert hashed == exact
+    assert {r[0]: r[3] for r in exact} == {"a": 1, "b": 1, "c": 0}
