@@ -31,8 +31,11 @@ driver LOOP of single queries (it measures one in-memory pointer chase);
 a Spark job per probe would measure the scheduler, not the engine, so
 access/find run all n probes as ONE batched job and report the amortized
 per-query rate — the same execution shape the a7 batched querylog uses.
-Timings are min-of-`runs` (the reference keeps the min of 5 runs too,
-src/queries.cpp:10-17).
+Timings are min-of-`runs` (the reference keeps the min of 5 runs too),
+with the reference's ADAPTIVE repetition rule (src/queries.cpp:10-17:
+repeat until ~10k query iterations total) applied per run: small probe
+sets re-execute the batched job `reps_per_run` times and report the
+amortized time, so tiny workloads measure the engine, not jitter.
 """
 
 from __future__ import annotations
@@ -71,12 +74,25 @@ def _noop(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _timed(runs: int, fn) -> float:
+def _num_reps(runs: int, n: int, target: int = 10_000) -> int:
+    """The reference's adaptive repetition rule (src/queries.cpp:10-17):
+    when runs x n query executions would total fewer than ~10k
+    iterations, repeat the workload enough times per run that the
+    aggregate reaches the target — small workloads otherwise time jitter,
+    not the engine. Here a "query execution" is one probe inside the
+    batched job, so reps multiplies the batched job per timed run."""
+    return max(1, target // max(1, n * max(1, runs)))
+
+
+def _timed(runs: int, fn, reps: int = 1) -> float:
+    """min-of-runs wall time of fn; with reps>1 each run executes fn
+    reps times and reports the amortized single-execution time."""
     best = float("inf")
     for _ in range(max(1, runs)):
         t0 = time.monotonic()
-        fn()
-        best = min(best, time.monotonic() - t0)
+        for _ in range(reps):
+            fn()
+        best = min(best, (time.monotonic() - t0) / reps)
     return best
 
 
@@ -125,6 +141,7 @@ def profile_index(
                 sorted({tuple(t[: len(prefix)]) for t in probes}),
                 [(c, "long") for c in prefix],
             )
+            reps = _num_reps(runs, len(probes))
             acc_sec = _timed(
                 runs,
                 lambda pk=pk, prefix=prefix: _noop(
@@ -133,6 +150,7 @@ def profile_index(
                         [table[c].cast("long") == pk[c] for c in prefix],
                     ).select(*[table[c] for c in _LEVEL_COLS[level]])
                 ),
+                reps=reps,
             )
             # find: value membership inside its prefix range
             fk = _literal_df(
@@ -149,6 +167,7 @@ def profile_index(
                         "left_semi",
                     ).select(F.lit(1))
                 ),
+                reps=reps,
             )
             stats_rows.append(
                 {
@@ -161,6 +180,7 @@ def profile_index(
                     "find_musec_per_query": round(find_sec * 1e6 / max(1, len(probes)), 2),
                     "num_queries": len(probes),
                     "runs": runs,
+                    "reps_per_run": reps,
                     "execution": "batched-single-job (amortized per query)",
                 }
             )
