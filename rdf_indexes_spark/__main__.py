@@ -232,24 +232,28 @@ def cmd_sparql(args) -> int:
         )
         for role in ("s", "p", "o")
     }
-    q = parse_sparql(args.query)
-    t0 = time.monotonic()
-    out = run_sparql(q, tables, vocabs)
-    if q.form == "ASK":
-        print(json.dumps({"ask": bool(out.first()["ask"])}))
-        return 0
-    rows = out.limit(args.max_print).collect()
-    total = len(rows) if len(rows) < args.max_print else out.count()
-    print(
-        json.dumps(
-            {
-                "vars": out.columns,
-                "rows": total,
-                "data": [list(r) for r in rows],
-                "elapsed_sec": round(time.monotonic() - t0, 3),
-            }
+    # --query is repeatable: one json line per query, in order — a
+    # multi-query workload pays the session + index open once (the same
+    # amortization the reference's query-file driver gets)
+    for query in args.query:
+        q = parse_sparql(query)
+        t0 = time.monotonic()
+        out = run_sparql(q, tables, vocabs)
+        if q.form == "ASK":
+            print(json.dumps({"ask": bool(out.first()["ask"])}))
+            continue
+        rows = out.limit(args.max_print).collect()
+        total = len(rows) if len(rows) < args.max_print else out.count()
+        print(
+            json.dumps(
+                {
+                    "vars": out.columns,
+                    "rows": total,
+                    "data": [list(r) for r in rows],
+                    "elapsed_sec": round(time.monotonic() - t0, 3),
+                }
+            )
         )
-    )
     return 0
 
 
@@ -474,7 +478,14 @@ def main(argv=None) -> int:
         "aggregates, GROUP BY/HAVING, UNION/OPTIONAL/MINUS/VALUES, paging)",
     )
     sq.add_argument("--index", required=True, help="index dir from `build`")
-    sq.add_argument("--query", required=True, help='e.g. \'SELECT ?x WHERE { ?x worksAt co1 }\'')
+    sq.add_argument(
+        "--query",
+        required=True,
+        action="append",
+        help="repeatable: one json result line per query, in order "
+        "(amortizes session + index-open across a workload), "
+        'e.g. \'SELECT ?x WHERE { ?x worksAt co1 }\'',
+    )
     sq.add_argument("--max-print", type=int, default=100, help="max result rows to print")
     sq.set_defaults(fn=cmd_sparql)
 

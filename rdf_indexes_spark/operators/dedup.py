@@ -287,6 +287,7 @@ def near_dup_keep(
     pairs: DataFrame,
     id_col: str = "doc_id",
     weight_col: str | None = None,
+    materialize_pairs: bool = True,
 ) -> DataFrame:
     """Survivor selection — the final step of a near-dedup pipeline:
     cluster the near-duplicate PAIR graph with connected components and
@@ -315,7 +316,13 @@ def near_dup_keep(
     # (not the cluster) comes free off the cache. Same sizing rationale
     # as the pipeline's cc_parts: the CC loop's waves over a small graph
     # at full shuffle width are pure dispatch latency.
-    edges = pairs.select(F.col("a"), F.col("b")).localCheckpoint(eager=True)
+    # materialize_pairs=False: callers that ALREADY cached/checkpointed
+    # the pair frame themselves pass False to avoid a second
+    # materialization of the same data (the count below then runs
+    # against the caller's cache).
+    edges = pairs.select(F.col("a"), F.col("b"))
+    if materialize_pairs:
+        edges = edges.localCheckpoint(eager=True)
     sc = docs.sparkSession.sparkContext
     cc_parts = max(8, min(sc.defaultParallelism, edges.count() // 100_000 + 1))
     comps = connected_components(

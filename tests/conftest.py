@@ -11,7 +11,10 @@ from rdf_indexes_spark.synth import generate
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(cores=4, shuffle_partitions=8, app_name="tests", driver_memory="4g")
+    # cores=8: tiny test stages are wave-latency-bound — 8 threads run an
+    # 8-partition shuffle in one wave instead of two (measured ~15% off the
+    # in-session suite time on the 32-core host; data sizes are unchanged)
+    s = get_spark(cores=8, shuffle_partitions=8, app_name="tests", driver_memory="4g")
     yield s
     s.stop()
 

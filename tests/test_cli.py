@@ -119,13 +119,9 @@ def test_cli_build_transcripts(tmp_path):
         assert len(f.read().split()) == 7
     assert os.path.isdir(os.path.join(idx, "vocabs", "s_vocab"))
 
-    # statistics reads <index>/stats + walks the perms5 link
-    r = _run("statistics", "--index", idx)
-    assert r.returncode == 0, r.stderr[-2000:]
-    out = dict(
-        line.split(": ") for line in r.stdout.splitlines() if ": " in line and "perm " not in line
-    )
-    assert int(out["num_triples"]) == rep["num_triples"]
+    # (the statistics CLI itself is covered by test_cli_statistics; here
+    # only the post-ingest+compact invocation below exercises it — one
+    # fewer ~13s JVM launch)
 
     # sampled + stamped workload through the symlinked index
     # (reference driver flags -n/-w/perm, src/queries.cpp:50-93)
@@ -234,21 +230,21 @@ def test_cli_sparql(built_index):
     vocab text files, patterns route through the permutation layout,
     results decode back to surface forms."""
     _, idx = built_index
+    # repeatable --query: one subprocess, one json line per query in order
     r = _run(
-        "sparql", "--index", idx, "--query",
-        "SELECT ?s WHERE { ?s <http://ex/p1> <http://ex/o1> } ORDER BY ?s",
+        "sparql", "--index", idx,
+        "--query", "SELECT ?s WHERE { ?s <http://ex/p1> <http://ex/o1> } ORDER BY ?s",
+        "--query", "ASK { <http://ex/s3> <http://ex/p1> <http://ex/o2> }",
+        "--query", "ASK { <http://ex/s3> <http://ex/p2> <http://ex/o2> }",
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines() if x.startswith("{")]
+    assert len(lines) == 3
+    rep = lines[0]
     assert rep["vars"] == ["s"] and rep["rows"] == 1
     assert rep["data"] == [["http://ex/s1"]]  # NT vocab terms are bracket-stripped
-
-    r = _run("sparql", "--index", idx, "--query", "ASK { <http://ex/s3> <http://ex/p1> <http://ex/o2> }")
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert json.loads(r.stdout.strip().splitlines()[-1])["ask"] is True
-    r = _run("sparql", "--index", idx, "--query", "ASK { <http://ex/s3> <http://ex/p2> <http://ex/o2> }")
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert json.loads(r.stdout.strip().splitlines()[-1])["ask"] is False
+    assert lines[1]["ask"] is True
+    assert lines[2]["ask"] is False
 
 
 def test_cli_build_hash_mmh3_encodes(built_index):
@@ -289,12 +285,15 @@ def test_cli_stream_ingest(tmp_path):
     srep = json.loads(r.stdout.strip().splitlines()[-1])
     assert srep["batches_applied"] == 1
 
-    r = _run("statistics", "--index", idx)
-    assert r.returncode == 0, r.stderr[-2000:]
-    out = dict(
-        line.split(": ") for line in r.stdout.splitlines() if ": " in line and "perm " not in line
-    )
-    grown = int(out["num_triples"])
+    # growth checks read the stats parquet directly (what the statistics
+    # CLI itself reads — that CLI's print path is covered by
+    # test_cli_statistics; saves two ~13s JVM launches here)
+    def _num_triples() -> int:
+        import pyarrow.parquet as pq
+
+        return pq.read_table(os.path.join(idx, "stats")).to_pylist()[0]["num_triples"]
+
+    grown = _num_triples()
     assert grown > rep["num_triples"]
 
     # re-drain the same feed on the same checkpoint: no new batches, no growth
@@ -303,8 +302,4 @@ def test_cli_stream_ingest(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     srep2 = json.loads(r.stdout.strip().splitlines()[-1])
     assert srep2["batches_applied"] == 1
-    r = _run("statistics", "--index", idx)
-    out2 = dict(
-        line.split(": ") for line in r.stdout.splitlines() if ": " in line and "perm " not in line
-    )
-    assert int(out2["num_triples"]) == grown
+    assert _num_triples() == grown
