@@ -60,7 +60,12 @@ SHUFFLE_PARTITIONS = CPUS                        # FIXED across levels: sized
 # trials: each is one window-matched (hi, lo) pair; the headline
 # efficiency is the median of the pair ratios (outlier-robust in both
 # directions), throughputs report the min-of-trials per level.
-TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+# 3 trials: a clean-host default run measures ~14.5 min against the
+# 1500s budget with 2 trials, leaving room for a third pair (~400s) —
+# and the accepted-window median over 3 pairs tolerates one crushed
+# co-tenancy window, which 2 pairs cannot; the shed logic still drops
+# back to 2 (or 1) pairs automatically when the host is slow.
 # Hard wall-clock self-budget: the round-3 driver bench timed out (rc=124)
 # with an EMPTY artifact because the default run (16M turns x 4 trials x
 # ~58 queries + an 8M/16M/32M curve) outgrew the driver's budget. The
@@ -406,18 +411,23 @@ def _gated_pair(corpus_path: str, warm_path: str, reprobe_budget: list[int]) -> 
     while True:
         pre = _quick_membw_ceiling()
         # a reprobe/redo is worth its cost only while the wall-clock
-        # budget has room for it — behind the deadline, the pair stands
-        # whatever the window (its probes ship in the artifact)
-        can_retry = reprobe_budget[0] > 0 and _remaining() > 300
-        if _in_band(pre) or not can_retry:
+        # budget has room for it — each redo throws away a 2-4 min level
+        # run, so redos stop at 40% budget burn (a fully co-loaded host
+        # otherwise eats the whole budget in redos and sheds the query
+        # table); behind that line the pair stands whatever the window
+        # (its probes ship in the artifact so the reader sees the
+        # conditions)
+        def _can_retry():
+            return reprobe_budget[0] > 0 and _remaining() > 0.6 * BUDGET_S
+        if _in_band(pre) or not _can_retry():
             hi = _run_level(N_EXEC_HI, corpus_path, warm_path)
             mid = _quick_membw_ceiling()
-            if not _in_band(mid) and reprobe_budget[0] > 0 and _remaining() > 300:
+            if not _in_band(mid) and _can_retry():
                 reprobe_budget[0] -= 3  # discard the hi run, redo the pair
                 continue
             lo = _run_level(N_EXEC_LO, corpus_path, warm_path)
             post = _quick_membw_ceiling()
-            if not _in_band(post) and reprobe_budget[0] > 0 and _remaining() > 300:
+            if not _in_band(post) and _can_retry():
                 reprobe_budget[0] -= 3  # discard both runs, redo the pair
                 continue
             return {
