@@ -650,9 +650,10 @@ def main() -> None:
         """Print the artifact JSON line with everything measured so far.
         Called after EVERY completed stage (pairs -> queries -> curve):
         the driver takes the LAST parseable line, so a timeout or kill
-        mid-stage still leaves the best-so-far artifact behind."""
-        print(
-            json.dumps(
+        mid-stage still leaves the best-so-far artifact behind. The same
+        payload is mirrored to BENCH/last_run.json — a durable copy that
+        survives even a failed stdout capture."""
+        payload = json.dumps(
                 {
                     "metric": "pipeline_e2e",
                     "value": round(hi["elapsed_sec"], 3),
@@ -710,9 +711,15 @@ def main() -> None:
                     },
                     "cpu_probe": probe,
                 },
-            ),
-            flush=True,
         )
+        print(payload, flush=True)
+        try:
+            bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+            os.makedirs(bdir, exist_ok=True)
+            with open(os.path.join(bdir, "last_run.json"), "w") as f:
+                f.write(payload + "\n")
+        except OSError:
+            pass  # the stdout line is the artifact of record
 
     emit({}, {}, [], partial=True)  # pairs done — artifact is now parseable
 
