@@ -70,11 +70,12 @@ TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 # with an EMPTY artifact because the default run (16M turns x 4 trials x
 # ~58 queries + an 8M/16M/32M curve) outgrew the driver's budget. The
 # bench now (a) defaults to a configuration that fits comfortably
-# (8M turns, 2 trials, headline queries, no curve), (b) tracks a
-# deadline and sheds optional work (2nd trial, 2nd query pass, curve)
-# when behind, and (c) prints a parseable full-schema JSON line after
-# EVERY completed stage, so even a hard kill leaves the best artifact
-# so far as the last line of output.
+# (8M turns, 3 trials ≈ 15.5 min clean-host, headline queries, no
+# curve), (b) tracks a deadline and sheds optional work (later trials,
+# 2nd query pass, curve) when behind, and (c) prints a parseable
+# full-schema JSON line after EVERY completed stage, so even a hard
+# kill leaves the best artifact so far as the last line of output; the
+# final line's "shed" field records anything the deadline dropped.
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
 _T_START = time.monotonic()
 
@@ -519,6 +520,10 @@ def _time_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
             cores=CPUS, shuffle_partitions=max(CPUS, 8), app_name="bench_queries"
         )
 
+    if _remaining() < 90:
+        # over budget before the stage starts: a fresh session + warm-ups
+        # cost ~30-60s and can no longer improve the artifact
+        return {}, {"_stage": "skipped: wall-clock budget exhausted"}
     spark = fresh_session()
     qs = entry_mod.queries()
     out: dict[str, float] = {}
@@ -526,9 +531,14 @@ def _time_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     # session warm-up OUTSIDE the timed loop: JIT, codegen, Arrow/python
     # worker spin-up used to be billed to whichever query ran first
     # (b1_term_freq showed 6.1s for a 600k-row groupBy). A groupBy + a
-    # pandas-UDF query touch both engines' cold paths.
+    # pandas-UDF query touch both engines' cold paths. Guarded: a
+    # failing warm-up query must degrade to cold-start timings, not kill
+    # the whole query stage (the per-query loop records failures).
     for warm_name in ("b1_term_freq", "dedup_simhash"):
-        qs[warm_name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[warm_name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            errors[f"_warmup_{warm_name}"] = str(e)[:200]
     # two full passes, min per query: co-tenant minutes inflate a single
     # pass 5-10x; the min is the engine, the spread is the neighbor.
     # A failing query is recorded, never fatal: one bad plan (or a dead
@@ -669,6 +679,16 @@ def main() -> None:
                     "mentions_per_sec": round(hi["mentions"] / hi["elapsed_sec"], 1),
                     "budget_s": BUDGET_S,
                     "elapsed_total_s": round(time.monotonic() - _T_START, 1),
+                    # what the deadline dropped, if anything — the final
+                    # line is complete iff trials_run == trials_planned
+                    # and queries_timed == queries_planned (mid-run
+                    # partial lines also carry "partial": true)
+                    "shed": {
+                        "trials_planned": TRIALS,
+                        "trials_run": trials_run,
+                        "queries_planned": len(BENCH_QUERIES),
+                        "queries_timed": len(queries),
+                    },
                     "scaling": {
                         "mode": f"local-cluster[N,{EXEC_CORES},8192] — separate executor JVMs",
                         "executors_hi": N_EXEC_HI,

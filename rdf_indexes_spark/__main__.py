@@ -234,27 +234,34 @@ def cmd_sparql(args) -> int:
     }
     # --query is repeatable: one json line per query, in order — a
     # multi-query workload pays the session + index open once (the same
-    # amortization the reference's query-file driver gets)
+    # amortization the reference's query-file driver gets). Failures are
+    # isolated per query: a bad query emits an {"error": ...} line and
+    # the rest of the batch still runs; exit is non-zero iff any failed.
+    failed = 0
     for query in args.query:
-        q = parse_sparql(query)
-        t0 = time.monotonic()
-        out = run_sparql(q, tables, vocabs)
-        if q.form == "ASK":
-            print(json.dumps({"ask": bool(out.first()["ask"])}))
-            continue
-        rows = out.limit(args.max_print).collect()
-        total = len(rows) if len(rows) < args.max_print else out.count()
-        print(
-            json.dumps(
-                {
-                    "vars": out.columns,
-                    "rows": total,
-                    "data": [list(r) for r in rows],
-                    "elapsed_sec": round(time.monotonic() - t0, 3),
-                }
+        try:
+            q = parse_sparql(query)
+            t0 = time.monotonic()
+            out = run_sparql(q, tables, vocabs)
+            if q.form == "ASK":
+                print(json.dumps({"ask": bool(out.first()["ask"])}))
+                continue
+            rows = out.limit(args.max_print).collect()
+            total = len(rows) if len(rows) < args.max_print else out.count()
+            print(
+                json.dumps(
+                    {
+                        "vars": out.columns,
+                        "rows": total,
+                        "data": [list(r) for r in rows],
+                        "elapsed_sec": round(time.monotonic() - t0, 3),
+                    }
+                )
             )
-        )
-    return 0
+        except Exception as ex:  # noqa: BLE001 — keep the batch running
+            failed += 1
+            print(json.dumps({"error": f"{type(ex).__name__}: {ex}"[:500], "query": query}))
+    return 1 if failed else 0
 
 
 def cmd_profile(args) -> int:

@@ -101,9 +101,14 @@ def sql_pattern(spark: SparkSession, prefix: str, s=None, p=None, o=None) -> Dat
     perm = route(s, p, o).perm
     # bound terms are dictionary-encoded integer ids by contract; enforce
     # it before interpolating into the SQL string (a string-typed term
-    # would otherwise break the query or inject SQL into the session)
+    # would otherwise break the query or inject SQL into the session).
+    # operator.index, not int(): int(5.7) would silently truncate to the
+    # WRONG id and return id-5's triples; index() rejects non-integral
+    # types outright while accepting int/numpy-int ids.
+    from operator import index as _as_int
+
     conds = [
-        f"{c} = {int(v)}" for c, v in (("s", s), ("p", p), ("o", o)) if v is not None
+        f"{c} = {_as_int(v)}" for c, v in (("s", s), ("p", p), ("o", o)) if v is not None
     ]
     if prefix and not prefix.replace("_", "").isalnum():
         raise ValueError(f"prefix must be a bare view-name prefix, got {prefix!r}")

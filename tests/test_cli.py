@@ -230,21 +230,25 @@ def test_cli_sparql(built_index):
     vocab text files, patterns route through the permutation layout,
     results decode back to surface forms."""
     _, idx = built_index
-    # repeatable --query: one subprocess, one json line per query in order
+    # repeatable --query: one subprocess, one json line per query in
+    # order; a bad query mid-batch emits an {"error": ...} line, the
+    # rest of the batch still runs, and the exit code flags the failure
     r = _run(
         "sparql", "--index", idx,
         "--query", "SELECT ?s WHERE { ?s <http://ex/p1> <http://ex/o1> } ORDER BY ?s",
         "--query", "ASK { <http://ex/s3> <http://ex/p1> <http://ex/o2> }",
+        "--query", "THIS IS NOT SPARQL",
         "--query", "ASK { <http://ex/s3> <http://ex/p2> <http://ex/o2> }",
     )
-    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.returncode == 1, r.stderr[-2000:]  # one failed query in the batch
     lines = [json.loads(x) for x in r.stdout.strip().splitlines() if x.startswith("{")]
-    assert len(lines) == 3
+    assert len(lines) == 4
     rep = lines[0]
     assert rep["vars"] == ["s"] and rep["rows"] == 1
     assert rep["data"] == [["http://ex/s1"]]  # NT vocab terms are bracket-stripped
     assert lines[1]["ask"] is True
-    assert lines[2]["ask"] is False
+    assert "error" in lines[2] and lines[2]["query"] == "THIS IS NOT SPARQL"
+    assert lines[3]["ask"] is False  # the batch continued past the failure
 
 
 def test_cli_build_hash_mmh3_encodes(built_index):
