@@ -346,7 +346,9 @@ def _worker(n_exec: int, corpus_path: str, warm_path: str, out_json: str) -> Non
 
 
 def _run_level(n_exec: int, corpus_path: str, warm_path: str) -> dict:
-    out = f"/tmp/bench_worker_{n_exec}.json"
+    # pid-suffixed: two bench processes on one host (e.g. a driver run
+    # beside a manual rerun) must not clobber each other's worker results
+    out = f"/tmp/bench_worker_{os.getpid()}_{n_exec}.json"
     if os.path.exists(out):
         os.remove(out)
     subprocess.run(
@@ -510,7 +512,7 @@ def _burn_mem_quick(i):
     return _burn_mem(i, duration=0.6)
 
 
-def _time_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+def _time_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, str], dict]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
     from rdf_indexes_spark.session import get_spark
@@ -523,7 +525,11 @@ def _time_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     if _remaining() < 90:
         # over budget before the stage starts: a fresh session + warm-ups
         # cost ~30-60s and can no longer improve the artifact
-        return {}, {"_stage": "skipped: wall-clock budget exhausted"}
+        return (
+            {},
+            {"_stage": "skipped: wall-clock budget exhausted"},
+            {"passes_planned": 2, "passes_run": 0, "deadline_cut": True},
+        )
     spark = fresh_session()
     qs = entry_mod.queries()
     out: dict[str, float] = {}
@@ -545,11 +551,17 @@ def _time_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     # JVM it leaves behind) must not cost the whole bench artifact.
     # Deadline-aware: a partial first-pass table (or a single pass) beats
     # blowing the budget — each completed query's time is already final.
+    # meta records what the DEADLINE dropped (distinct from query_errors,
+    # which records queries that FAILED): passes_run < passes_planned or
+    # deadline_cut means timings are single-pass / truncated.
+    meta = {"passes_planned": 2, "passes_run": 0, "deadline_cut": False}
     for pass_i in range(2):
         if pass_i > 0 and _remaining() < 120:
+            meta["deadline_cut"] = True
             break
         for name in BENCH_QUERIES:
             if _remaining() < 45:
+                meta["deadline_cut"] = True
                 break
             try:
                 t0 = time.monotonic()
@@ -568,7 +580,10 @@ def _time_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
                         pass
                     spark = fresh_session()
     spark.stop()
-    return out, errors
+    meta["passes_run"] = (
+        2 if not meta["deadline_cut"] else (1 if out else 0)
+    )
+    return out, errors, meta
 
 
 def main() -> None:
@@ -679,13 +694,18 @@ def main() -> None:
                     "mentions_per_sec": round(hi["mentions"] / hi["elapsed_sec"], 1),
                     "budget_s": BUDGET_S,
                     "elapsed_total_s": round(time.monotonic() - _T_START, 1),
-                    # what the deadline dropped, if anything — the final
-                    # line is complete iff trials_run == trials_planned
-                    # and queries_timed == queries_planned (mid-run
-                    # partial lines also carry "partial": true)
+                    # what the DEADLINE dropped, if anything (failed
+                    # queries live in query_errors, not here) — the
+                    # final line is complete iff trials_run ==
+                    # trials_planned and query_passes_run ==
+                    # query_passes_planned with deadline_cut false
+                    # (mid-run partial lines also carry "partial": true)
                     "shed": {
                         "trials_planned": TRIALS,
                         "trials_run": trials_run,
+                        "query_passes_planned": query_meta.get("passes_planned", 2),
+                        "query_passes_run": query_meta.get("passes_run", 0),
+                        "queries_deadline_cut": query_meta.get("deadline_cut", False),
                         "queries_planned": len(BENCH_QUERIES),
                         "queries_timed": len(queries),
                     },
@@ -741,9 +761,10 @@ def main() -> None:
         except OSError:
             pass  # the stdout line is the artifact of record
 
+    query_meta = {"passes_planned": 2, "passes_run": 0, "deadline_cut": False}
     emit({}, {}, [], partial=True)  # pairs done — artifact is now parseable
 
-    queries, query_errors = _time_queries(SF_DIR)
+    queries, query_errors, query_meta = _time_queries(SF_DIR)
     emit(queries, query_errors, [], partial=True)
 
     # efficiency-vs-corpus-size curve (half / main / 2x the main size,

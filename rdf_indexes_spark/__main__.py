@@ -224,14 +224,20 @@ def cmd_sparql(args) -> int:
     from .operators import permutations as perm
     from .plans.sparql import parse_sparql, run_sparql
 
-    spark = _spark(args)
-    tables = perm.read_permutations_unified(spark, os.path.join(args.index, "perms5"))
-    vocabs = {
-        role: perm.read_vocab_text(
-            spark, os.path.join(args.index, "vocabs", f"{role}_vocab")
+    def _open(spark):
+        tables = perm.read_permutations_unified(
+            spark, os.path.join(args.index, "perms5")
         )
-        for role in ("s", "p", "o")
-    }
+        vocabs = {
+            role: perm.read_vocab_text(
+                spark, os.path.join(args.index, "vocabs", f"{role}_vocab")
+            )
+            for role in ("s", "p", "o")
+        }
+        return tables, vocabs
+
+    spark = _spark(args)
+    tables, vocabs = _open(spark)
     # --query is repeatable: one json line per query, in order — a
     # multi-query workload pays the session + index open once (the same
     # amortization the reference's query-file driver gets). Failures are
@@ -260,7 +266,29 @@ def cmd_sparql(args) -> int:
             )
         except Exception as ex:  # noqa: BLE001 — keep the batch running
             failed += 1
-            print(json.dumps({"error": f"{type(ex).__name__}: {ex}"[:500], "query": query}))
+            print(
+                json.dumps(
+                    {
+                        "error": f"{type(ex).__name__}: {ex}"[:500],
+                        # cap the echo: a file-sourced multi-MB query must
+                        # not produce an unbounded output line
+                        "query": query[:2000],
+                    }
+                )
+            )
+            # a fatal failure (OOM, dead JVM) would otherwise take every
+            # remaining query with it — probe liveness and restart the
+            # session + reopen the index frames if needed (same pattern
+            # as bench._time_queries)
+            try:
+                spark.range(1).count()
+            except Exception:
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = _spark(args)
+                tables, vocabs = _open(spark)
     return 1 if failed else 0
 
 

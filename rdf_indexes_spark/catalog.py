@@ -22,6 +22,7 @@ filters per its own predicates.
 from __future__ import annotations
 
 import os
+from operator import index as _as_int
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -105,8 +106,6 @@ def sql_pattern(spark: SparkSession, prefix: str, s=None, p=None, o=None) -> Dat
     # operator.index, not int(): int(5.7) would silently truncate to the
     # WRONG id and return id-5's triples; index() rejects non-integral
     # types outright while accepting int/numpy-int ids.
-    from operator import index as _as_int
-
     conds = [
         f"{c} = {_as_int(v)}" for c, v in (("s", s), ("p", p), ("o", o)) if v is not None
     ]
