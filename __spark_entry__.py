@@ -1748,6 +1748,114 @@ def _q_kg_communities(spark, sf_dir):
     return label_propagation(edges)
 
 
+def _twin_clique_nodes(spark, sf_dir):
+    """Deterministic disjoint-clique node frame over ranked customer
+    keys: ranks cycle through a 14-node period split into cliques of
+    sizes 2/3/4/5, so clique membership — and every closed form the
+    graph twins below rely on — is pure modular arithmetic both engines
+    replay identically. The single-partition rank window is
+    oracle-parity-only plumbing (the production graph operators take
+    arbitrary edge frames; cf. _portable_token_ids), bounded by the
+    customer table (15k rows at sf0.1). Returns (id, g)."""
+    from pyspark.sql import Window
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    r = (F.row_number().over(Window.orderBy("id")) - 1).cast("long")
+    nodes = cust.select("id", r.alias("r"))
+    o = F.col("r") % 14
+    sub = F.when(o < 2, 0).when(o < 5, 1).when(o < 9, 2).otherwise(3)
+    return nodes.select(
+        "id", ((F.col("r") / 14).cast("long") * 4 + sub).alias("g")
+    )
+
+
+def _twin_clique_edges(g):
+    """All within-clique pairs (src < dst) of the _twin_clique_nodes
+    frame — the edge list the real iterative operators run on."""
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+
+
+# the clique layout + per-clique size/min, shared by the graph-twin
+# oracles (DuckDB side of _twin_clique_nodes)
+_TWIN_CLIQUE_SQL = (
+    "n AS (SELECT CAST(c_custkey AS BIGINT) AS id, "
+    "CAST(row_number() OVER (ORDER BY CAST(c_custkey AS BIGINT)) - 1 AS BIGINT) AS r "
+    "FROM customer), "
+    "cl AS (SELECT id, (r // 14) * 4 + (CASE WHEN r % 14 < 2 THEN 0 "
+    "WHEN r % 14 < 5 THEN 1 WHEN r % 14 < 9 THEN 2 ELSE 3 END) AS g FROM n), "
+    "sz AS (SELECT g, COUNT(*) AS cnt, MIN(id) AS mn FROM cl GROUP BY g)"
+)
+
+
+def _q_kg_kcore_oracle(spark, sf_dir):
+    """ORACLE-CHECKED k-core (the real synchronous-peeling operator,
+    graph.py:k_core, on the deterministic disjoint-clique graph): a
+    size-s clique is (s-1)-regular, so peeling at k=3 removes the
+    size-2/3 cliques whole in round one and keeps the size-4/5 cliques
+    untouched — the closed form (keep iff clique size >= 4) is one SQL
+    group count. Pins the peel loop's convergence, anti-join pruning,
+    and node output contract; adversarial cascading-peel graphs live in
+    tests/test_graph.py. kg_kcore stays the rows-only production key."""
+    from rdf_indexes_spark.operators.graph import k_core
+
+    return k_core(_twin_clique_edges(_twin_clique_nodes(spark, sf_dir)), k=3)
+
+
+def _q_kg_communities_oracle(spark, sf_dir):
+    """ORACLE-CHECKED label propagation (the real synchronous LPA with
+    deterministic min-tie-break, graph.py:label_propagation, on the
+    clique graph): within a clique every first-round vote ties at count
+    1, the min tie-break elects the clique's smallest id everywhere at
+    once, and round two confirms the fixpoint — closed form: community
+    = MIN(id) per clique (cliques of size >= 2; singletons carry no
+    edges). Pins the vote/tie/convergence semantics end-to-end;
+    kg_communities stays the rows-only production key."""
+    from rdf_indexes_spark.operators.graph import label_propagation
+
+    lp = label_propagation(_twin_clique_edges(_twin_clique_nodes(spark, sf_dir)))
+    return lp.select(F.col("n").alias("node"), "community")
+
+
+def _q_kg_pagerank_oracle(spark, sf_dir):
+    """ORACLE-CHECKED PageRank (the real power-method operator,
+    graph.py:pagerank, on a deterministic directed ring over ranked
+    customer keys): a 1-in/1-out-regular graph's rank vector is uniform
+    at EVERY iteration — teleport and link mass cancel exactly — so the
+    closed form is round(1e9/n) per node, independent of damping and
+    iteration count up to ulp drift the 1e9 quantization absorbs (1e9/n
+    never lands near a .5 boundary for the driver's customer counts).
+    Pins mass conservation, the out-degree normalization join, and the
+    empty dangling branch; sharp numeric parity (numpy power iteration,
+    dangling redistribution) lives in tests/test_graph.py. kg_pagerank
+    stays the rows-only production key."""
+    from pyspark.sql import Window
+
+    from rdf_indexes_spark.operators.graph import pagerank
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    r = (F.row_number().over(Window.orderBy("id")) - 1).cast("long")
+    nodes = cust.select("id", r.alias("r"))
+    n = nodes.count()
+    e = (
+        nodes.select(F.col("id").alias("src"), ((F.col("r") + 1) % n).alias("rn"))
+        .join(nodes.select(F.col("r").alias("rn"), F.col("id").alias("dst")), "rn")
+        .select("src", "dst")
+    )
+    pr = pagerank(e, iterations=10)
+    return pr.select(
+        "node", F.round(F.col("rank") * 1e9).cast("long").alias("pr_x1e9")
+    )
+
+
 def _q_kg_negative_samples(spark, sf_dir):
     """Filtered object-corruption negatives (2 per triple) over a
     lineitem-folded triple set — deterministic affine-hash draws."""
@@ -1883,6 +1991,61 @@ def _q_semantic_dedup(spark, sf_dir):
         threshold=0.4,
         n_clusters=8,
     )
+
+
+def _q_semantic_dedup_oracle(spark, sf_dir):
+    """ORACLE-CHECKED SemDeDup end-to-end at n_clusters=1: the real
+    operator (coarse quantizer, block-split pair matmuls, distributed-CC
+    survivor keep) degenerates to the global exact-cosine near-dup keep,
+    which DuckDB replays as all-pairs threshold + recursive-CTE
+    connected components + min-id survivors. The kept-id output is pure
+    integers; the 0.4 threshold sits far from every pair's cosine in
+    this corpus, so BLAS-vs-SQL summation order cannot flip a pair (the
+    r02-green dedup_embedding_cosine twin's robustness argument).
+    Block-split invariance and multi-cluster precision/recall are
+    pinned in tests/test_new_ops.py; semantic_dedup (n_clusters=8)
+    stays the rows-only production key."""
+    from rdf_indexes_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup(emb, threshold=0.4, n_clusters=1)
+
+
+def _q_ann_pq_oracle(spark, sf_dir):
+    """ORACLE-CHECKED PQ top-k (the real encode + ADC-scan + re-rank
+    machinery of similarity.py:pq_topk, with the k-means trainer
+    replaced by an injected codebook — the minhash-twin pattern):
+    vectors are floor-quantized to integer-valued doubles and the
+    codebook is the sub-vectors of the 8 lowest-id vectors, so every
+    subspace encode distance and every ADC score is an exact integer
+    DuckDB recomputes bit-for-bit in any summation order; candidate
+    selection (per-query top k*overscan, ADC desc / id asc) and the
+    exact-cosine re-rank order then match value-for-value. The corpus
+    rides one partition so the partition-local candidate cap equals the
+    oracle's global cap. Trained-path recall is pinned in
+    tests/test_new_ops.py; ann_pq_topk stays the rows-only key."""
+    import numpy as np
+
+    from rdf_indexes_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000).cast("double"),
+        ).alias("embedding"),
+    )
+    anchors = qv.orderBy("vec_id").limit(8).collect()
+    flat = np.array([r["embedding"] for r in anchors], dtype=np.float64)
+    m = 8
+    dsub = flat.shape[1] // m
+    books = np.stack([flat[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+    qids = [r["vec_id"] for r in anchors[:5]]
+    queries_df = qv.filter(F.col("vec_id").isin(qids))
+    return pq_topk(
+        qv.repartition(1), queries_df, k=5, overscan=4, books=books, normalize=False
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def _q_a7_querylog(spark, sf_dir):
@@ -2600,13 +2763,15 @@ def _q_hybrid_rrf(spark, sf_dir):
 
 
 # The driver verification schedule (see comment at the bottom of
-# queries()). Tiers, in order:
+# queries()). Round-5 tiers, in order:
 #   1-5    permanent regression sentinels (green every round from here on)
-#   6-8    oracle twins retiring the gate's last no_oracle rows
-#   9-38   the 30 SPARQL g-keys (never driver-verified before round 4)
-#   39-50  graph / temporal / sampling representatives (never verified)
-#   51-86  remaining never-verified oracle keys (round-5 rotation queue)
-#   87+    previously-green pool (f-keys first), then no-oracle keys.
+#   6-41   the 36-key rotation queue (never driver-verified before;
+#          builder-swept green at sf0.01 in rounds 4 and 5)
+#   42-46  round-5 oracle twins retiring the retirable no-oracle rows
+#          (PQ, SemDeDup, pagerank/kcore/communities closed forms)
+#   47-50  longest-untested r02 pool keys (fill the ~50-key window)
+#   51+    r04-green pool (hash twins, g-keys, graph/temporal/sampling),
+#          then earlier-green pools, then the waived no-oracle tier.
 _DRIVER_ORDER = [
     # -- sentinels (pinned; keep green every round) --
     "b2_dense_ids",
@@ -2614,7 +2779,55 @@ _DRIVER_ORDER = [
     "e1_broadcast_join",
     "f2_pattern_sp",
     "kg_fuse_facts",
-    # -- oracle twins for the hash-family rows --
+    # -- round-5 rotation queue: first driver verification --
+    "kg_weighted_distances",
+    "kg_table_to_triples",
+    "dedup_keep_best",
+    "trailing_counts_events",
+    "event_transitions",
+    "time_resample_events",
+    "grouped_quantiles_chars",
+    "kg_fact_history",
+    "kg_current_facts",
+    "conversation_stats",
+    "tool_stats",
+    "kg_fact_as_of",
+    "interval_join_sessions",
+    "exact_quantiles_value",
+    "render_chat",
+    "dedup_conversations",
+    "loss_spans",
+    "fim_transform",
+    "dedup_line",
+    "dedup_span",
+    "a2_extract_oracle",
+    "dedup_simhash_near_oracle",
+    "sample_hash",
+    "mixture_report",
+    "split_corpus",
+    "decontaminate_spans",
+    "kg_clustering",
+    "kg_negative_samples",
+    "ann_knn_graph",
+    "sample_weighted",
+    "text_normalize",
+    "sample_upsampled",
+    "e5_rank_decode",
+    "profile_columns_orders",
+    "embedding_norm_stats",
+    "hybrid_search_rrf",
+    # -- round-5 oracle twins: the last retirable no-oracle rows --
+    "ann_pq_topk_oracle",
+    "semantic_dedup_oracle",
+    "kg_pagerank_oracle",
+    "kg_kcore_oracle",
+    "kg_communities_oracle",
+    # -- longest-untested r02 pool keys (fill the ~50-key window) --
+    "f1_member",
+    "f1_member_position",
+    "f3_pattern_s",
+    "f4_pattern_po",
+    # -- r04-green: hash-family oracle twins --
     "dedup_minhash_oracle",
     "dedup_simhash_oracle",
     "kg_triples_oracle",
@@ -2662,48 +2875,7 @@ _DRIVER_ORDER = [
     "sample_stratified",
     "sample_mixture",
     "decontaminate",
-    # -- round-5 rotation queue: never driver-verified, oracle-backed --
-    "kg_weighted_distances",
-    "kg_table_to_triples",
-    "dedup_keep_best",
-    "trailing_counts_events",
-    "event_transitions",
-    "time_resample_events",
-    "grouped_quantiles_chars",
-    "kg_fact_history",
-    "kg_current_facts",
-    "conversation_stats",
-    "tool_stats",
-    "kg_fact_as_of",
-    "interval_join_sessions",
-    "exact_quantiles_value",
-    "render_chat",
-    "dedup_conversations",
-    "loss_spans",
-    "fim_transform",
-    "dedup_line",
-    "dedup_span",
-    "a2_extract_oracle",
-    "dedup_simhash_near_oracle",
-    "sample_hash",
-    "mixture_report",
-    "split_corpus",
-    "decontaminate_spans",
-    "kg_clustering",
-    "kg_negative_samples",
-    "ann_knn_graph",
-    "sample_weighted",
-    "text_normalize",
-    "sample_upsampled",
-    "e5_rank_decode",
-    "profile_columns_orders",
-    "embedding_norm_stats",
-    "hybrid_search_rrf",
     # -- previously driver-green (r01/r02), rotated out of r03 --
-    "f1_member_position",
-    "f1_member",
-    "f3_pattern_s",
-    "f4_pattern_po",
     "f5_pattern_p",
     "f6_pattern_o",
     "f7_pattern_so",
@@ -2871,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "ann_pq_topk_oracle": _q_ann_pq_oracle,
         "text_token_bpe": _q_token_bpe,
         "kg_extract_mentions": _q_kg_mentions,
         "a2_extract_oracle": _q_a2_extract_oracle,
@@ -2886,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_text_roundtrip": _q_a4_text_roundtrip,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_oracle": _q_semantic_dedup_oracle,
         "sample_hash": _q_hash_sample,
         "sample_mixture": _q_mixture_sample,
         "mixture_report": _q_mixture_report,
@@ -2893,11 +3067,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "decontaminate_spans": _q_decontaminate_spans,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_pagerank_oracle": _q_kg_pagerank_oracle,
         "kg_triangles": _q_kg_triangles,
         "kg_clustering": _q_kg_clustering,
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_kcore": _q_kg_kcore,
+        "kg_kcore_oracle": _q_kg_kcore_oracle,
         "kg_communities": _q_kg_communities,
+        "kg_communities_oracle": _q_kg_communities_oracle,
         "kg_negative_samples": _q_kg_negative_samples,
         "cc_components": _q_cc_components,
         "ann_knn_graph": _q_knn_graph,
@@ -3086,6 +3263,75 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_oracle": _simhash_oracle_sql(),
         "dedup_simhash_near_oracle": _simhash_oracle_sql(near=True),
         "kg_triples_oracle": _kg_triples_oracle_sql(),
+        # SemDeDup at n_clusters=1 == global cosine near-dup keep:
+        # all-pairs threshold + recursive CC + min-id survivors (the
+        # dedup_near_keep closure shape over the embedding pair graph)
+        "semantic_dedup_oracle": (
+            "WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            "p AS (SELECT a.vec_id AS a, b.vec_id AS b FROM v a JOIN v b ON a.vec_id < b.vec_id "
+            "      WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4), "
+            "sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+            "reach(src, dst) AS (SELECT a, b FROM sym "
+            "  UNION SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a), "
+            "comp AS (SELECT src AS vec_id, least(min(dst), src) AS comp FROM reach GROUP BY src) "
+            "SELECT v.vec_id FROM v LEFT JOIN comp c USING (vec_id) "
+            "WHERE c.comp IS NULL OR c.comp = v.vec_id"
+        ),
+        # PQ with the anchor codebook over floor-quantized vectors:
+        # encode (argmin integer L2 per subspace, ties to the lowest
+        # code), ADC (integer LUT-sum), top k*overscan per query, exact
+        # cosine re-rank — replaying pq_topk(books=anchors,
+        # normalize=False) value-for-value
+        "ann_pq_topk_oracle": (
+            "WITH v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000)) AS e FROM embeddings), "
+            "anch AS (SELECT e, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code "
+            "         FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)), "
+            "dims AS (SELECT unnest(range(0, 64)) AS i), "
+            "vl AS (SELECT vec_id, i, e[i + 1] AS x FROM v CROSS JOIN dims), "
+            "al AS (SELECT code, i, e[i + 1] AS x FROM anch CROSS JOIN dims), "
+            "enc AS (SELECT vl.vec_id, vl.i // 8 AS j, al.code, "
+            "               SUM((vl.x - al.x) * (vl.x - al.x)) AS dist "
+            "        FROM vl JOIN al USING (i) GROUP BY 1, 2, 3), "
+            "codes AS (SELECT vec_id, j, code FROM ("
+            "          SELECT vec_id, j, code, row_number() OVER ("
+            "            PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn "
+            "          FROM enc) WHERE rn = 1), "
+            "qs AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT 5), "
+            "lut AS (SELECT vl.vec_id AS query_id, vl.i // 8 AS j, al.code, SUM(vl.x * al.x) AS dp "
+            "        FROM vl JOIN al USING (i) "
+            "        WHERE vl.vec_id IN (SELECT vec_id FROM qs) GROUP BY 1, 2, 3), "
+            "adc AS (SELECT lut.query_id, codes.vec_id AS neighbor_id, SUM(lut.dp) AS s "
+            "        FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.code "
+            "        WHERE codes.vec_id <> lut.query_id GROUP BY 1, 2), "
+            "cand AS (SELECT query_id, neighbor_id FROM ("
+            "         SELECT query_id, neighbor_id, row_number() OVER ("
+            "           PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn "
+            "         FROM adc) WHERE rn <= 20), "
+            "sc AS (SELECT cand.query_id, cand.neighbor_id, "
+            "              list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos "
+            "       FROM cand JOIN v a ON a.vec_id = cand.query_id "
+            "                 JOIN v b ON b.vec_id = cand.neighbor_id) "
+            "SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank FROM ("
+            "  SELECT query_id, neighbor_id, row_number() OVER ("
+            "    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk "
+            "  FROM sc) WHERE rk <= 5"
+        ),
+        # graph twins: closed forms over the deterministic clique /
+        # ring layouts (_twin_clique_nodes / the pagerank ring)
+        "kg_kcore_oracle": (
+            f"WITH {_TWIN_CLIQUE_SQL} "
+            "SELECT cl.id AS node FROM cl JOIN sz USING (g) WHERE sz.cnt >= 4"
+        ),
+        "kg_communities_oracle": (
+            f"WITH {_TWIN_CLIQUE_SQL} "
+            "SELECT cl.id AS node, sz.mn AS community "
+            "FROM cl JOIN sz USING (g) WHERE sz.cnt >= 2"
+        ),
+        "kg_pagerank_oracle": (
+            "SELECT CAST(c_custkey AS BIGINT) AS node, "
+            "CAST(round(1000000000.0 / (SELECT COUNT(*) FROM customer)) AS BIGINT) AS pr_x1e9 "
+            "FROM customer"
+        ),
         "dedup_near_keep": (
             f"WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
             "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM toks a JOIN toks b ON a.doc_id < b.doc_id "

@@ -114,6 +114,12 @@ HEADLINE_QUERIES = [
     "g12_sparql_group_count",
     "kg_fuse_facts",
     "kg_rhodf_entailment",
+    # -- round-5 rotation: never-benched family representatives (graph /
+    # temporal / sampling). The 26 keys above stay pinned as the
+    # comparable core across rounds; these extend, never replace.
+    "kg_triangles",
+    "asof_join_events",
+    "sample_stratified",
 ]
 
 FULL_QUERIES = [
@@ -559,9 +565,11 @@ def _time_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, str], dict]:
         if pass_i > 0 and _remaining() < 120:
             meta["deadline_cut"] = True
             break
+        pass_complete = True
         for name in BENCH_QUERIES:
             if _remaining() < 45:
                 meta["deadline_cut"] = True
+                pass_complete = False
                 break
             try:
                 t0 = time.monotonic()
@@ -579,10 +587,13 @@ def _time_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, str], dict]:
                     except Exception:
                         pass
                     spark = fresh_session()
+        if pass_complete:
+            # counted explicitly at the end of each FULL pass — inferring
+            # from deadline_cut mislabels a cut that lands mid-pass-2
+            # (some queries already carry two-pass mins) or early in
+            # pass 1 (most queries untimed)
+            meta["passes_run"] += 1
     spark.stop()
-    meta["passes_run"] = (
-        2 if not meta["deadline_cut"] else (1 if out else 0)
-    )
     return out, errors, meta
 
 

@@ -452,15 +452,25 @@ def _train_sample(
     and take the `sample` smallest hashes driver-side. Selection depends
     only on the hash values, so the sample is identical every run, at
     every scale, under any partitioning — with nothing but two plain
-    scans and a driver-side sort of ~4*sample rows."""
+    scans and a driver-side sort of ~4*sample rows.
+
+    DRIVER-MEMORY BOUND: the floor-divided modulus admits ~4*sample rows
+    in expectation, at most ~8*sample (for corpora under 8*sample rows
+    k_mod=1 and the whole — by definition sub-8*sample-row — vector
+    column is collected). ~8*sample vectors is the budget callers size
+    `sample` against. If a skewed hash distribution passes FEWER than
+    `sample` rows, the modulus is halved and the scan retried until the
+    sample is met (k_mod=1 collects everything, so the loop
+    terminates)."""
     n = corpus.select(id_col).count()
     k_mod = max(1, n // max(1, 4 * sample))
     h = F.xxhash64(F.col(id_col))
-    rows = (
-        corpus.select(h.alias("_h"), F.col(vec_col).alias("_v"))
-        .where(F.pmod(F.col("_h"), F.lit(k_mod)) == 0)
-        .collect()
-    )
+    picked = corpus.select(h.alias("_h"), F.col(vec_col).alias("_v"))
+    while True:
+        rows = picked.where(F.pmod(F.col("_h"), F.lit(k_mod)) == 0).collect()
+        if len(rows) >= min(sample, n) or k_mod == 1:
+            break
+        k_mod //= 2  # pathological hash spread: widen deterministically
     rows.sort(key=lambda r: r["_h"])
     return np.array([r["_v"] for r in rows[:sample]], dtype=np.float64)
 
@@ -685,12 +695,13 @@ def _pq_train(corpus: DataFrame, m: int, ks: int, id_col: str, vec_col: str,
 
 
 def pq_encode(corpus: DataFrame, books: np.ndarray, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding", normalize: bool = True) -> DataFrame:
     """(id, codes): each normalized vector compressed to ``m`` one-byte
     subspace codes — 64 floats (256 B) become e.g. 8 bytes, the
     compression that makes a 100 TB embedding corpus scannable. One
     numpy argmin per subspace per Arrow batch; codebooks ride in the
-    closure."""
+    closure. ``normalize=False`` encodes the raw vectors — the
+    oracle-parity escape hatch (integer-valued inputs stay exact)."""
     import pandas as pd
 
     B = books
@@ -700,7 +711,7 @@ def pq_encode(corpus: DataFrame, books: np.ndarray, id_col: str = "vec_id",
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True) if normalize else V
             codes = np.empty((len(ids), m), dtype=np.int16)
             for j in range(m):
                 S = Vn[:, j * dsub : (j + 1) * dsub]
@@ -722,6 +733,8 @@ def pq_topk(
     overscan: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: np.ndarray | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jégou et al. 2011): PQ
     codebooks train on a bounded deterministic sample; the corpus is
@@ -734,16 +747,25 @@ def pq_topk(
     exact cosine re-rank (one join back to the embedding column for the
     tiny candidate set, |Q|·k·overscan·partitions rows) restores true
     scores and the output contract of brute_force_topk: (query_id,
-    neighbor_id, rank, cosine), same tie rule."""
+    neighbor_id, rank, cosine), same tie rule.
+
+    ``books`` injects a pre-trained codebook (m, ks, dim/m), skipping
+    the k-means trainer — the standard faiss-style pretrained-quantizer
+    workflow, and the oracle-parity seam: with an integer-valued
+    codebook, integer-valued vectors, and ``normalize=False``, every
+    encode distance and ADC score is an exact integer, so a SQL engine
+    replays candidate selection value-for-value (the k-means trainer
+    itself is not SQL-expressible)."""
     import pandas as pd
 
-    books = _pq_train(corpus, m, ks, id_col, vec_col)
-    codes = pq_encode(corpus, books, id_col, vec_col)
+    if books is None:
+        books = _pq_train(corpus, m, ks, id_col, vec_col)
+    codes = pq_encode(corpus, books, id_col, vec_col, normalize=normalize)
 
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True) if normalize else Q
     mm, kk, dsub = books.shape
     # ADC tables: (nq, m, ks) — dot restricted to each subspace
     LUT = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), mm, dsub), books)

@@ -75,16 +75,16 @@ def _noop(df: DataFrame) -> None:
 
 
 def _num_reps(runs: int, n: int, target: int = 10_000, max_reps: int = 8) -> int:
-    """The reference's adaptive repetition rule (src/queries.cpp:10-17):
-    when runs x n query executions would total fewer than ~10k
-    iterations, repeat the workload enough times per run that the
-    aggregate reaches the target — small workloads otherwise time jitter,
-    not the engine. Here a "query execution" is one probe inside the
-    batched job, so reps multiplies the batched job per timed run —
-    CAPPED at max_reps: unlike the reference's ~µs in-memory probes, one
-    repetition here is a whole Spark job (~0.5s of scheduler dispatch),
-    and past a handful of jobs the min-of-runs is jitter-free while the
-    literal 10k/n rule would turn a 4-probe run into 2500 jobs."""
+    """Adaptation of the reference's repetition rule (src/queries.cpp:10-17).
+    The reference computes ceil(10000/n) repetitions PER RUN; here the
+    ~10k-iteration target is deliberately AMORTIZED across the whole
+    min-of-runs loop (reps = target / (n * runs)), so with runs=3 a small
+    workload gets ~3x fewer repetitions than the literal per-run rule —
+    an intentional deviation, because one repetition here is a whole
+    Spark job (~0.5s of scheduler dispatch), not a ~µs in-memory probe.
+    CAPPED at max_reps: past a handful of jobs the min-of-runs is already
+    jitter-free, while the literal 10k/n rule would turn a 4-probe run
+    into 2500 jobs."""
     return min(max_reps, max(1, target // max(1, n * max(1, runs))))
 
 

@@ -8,12 +8,18 @@ probes), so passing at one size does not exercise the other branch —
 this sweep re-runs the full comparison at any sf directory (default
 sf0.1, where the large-side branches engage).
 
-Usage: oracle_sweep.py [SF_DIR] [NAME ...]   (no names = all oracles)
-Exit 0 iff every compared entry matches rows+columns+values.
+Usage: oracle_sweep.py [--out RESULTS.json] [SF_DIR] [NAME ...]
+(no names = all oracles). Exit 0 iff every compared entry matches
+rows+columns+values. With --out (or SPARK_GRAFT_SWEEP_OUT), a
+machine-readable per-key result log {name: {rows_spark, rows_oracle,
+ok, sec, err}} plus a summary header is written so sweep claims are
+auditable without re-running Spark (checked in as
+BENCH/oracle_sweep_r*.json).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -27,8 +33,13 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from rdf_indexes_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2:] or sorted(entry_mod.oracle_sql())
+    argv = sys.argv[1:]
+    out_path = os.environ.get("SPARK_GRAFT_SWEEP_OUT", "")
+    if argv and argv[0] == "--out":
+        out_path = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    names = argv[1:] or sorted(entry_mod.oracle_sql())
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     spark = get_spark(cores=cpus, shuffle_partitions=2 * cpus, driver_memory="8g")
     con = duckdb.connect()
@@ -37,6 +48,7 @@ def main() -> int:
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     fails = []
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.monotonic()
         try:
@@ -56,17 +68,43 @@ def main() -> int:
                     else:
                         b[c] = b[c].astype(a[c].dtype)
                 ok = a.equals(b)
+            sec = round(time.monotonic() - t0, 1)
             print(
                 f"{name}: rows {len(got)}/{len(want)} "
-                f"{'OK' if ok else 'MISMATCH'} ({time.monotonic() - t0:.1f}s)",
+                f"{'OK' if ok else 'MISMATCH'} ({sec}s)",
                 flush=True,
             )
+            results[name] = {
+                "rows_spark": len(got),
+                "rows_oracle": len(want),
+                "ok": bool(ok),
+                "sec": sec,
+                "err": None,
+            }
             if not ok:
                 fails.append(name)
         except Exception as ex:  # noqa: BLE001 — sweep must report, not die
             print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
+            results[name] = {
+                "rows_spark": None,
+                "rows_oracle": None,
+                "ok": False,
+                "sec": round(time.monotonic() - t0, 1),
+                "err": f"{type(ex).__name__}: {str(ex)[:200]}",
+            }
             fails.append(name)
     print("FAILS:", fails, flush=True)
+    if out_path:
+        artifact = {
+            "sf_dir": sf_dir,
+            "n_compared": len(results),
+            "n_ok": sum(1 for r in results.values() if r["ok"]),
+            "fails": fails,
+            "results": results,
+        }
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path}", flush=True)
     spark.stop()
     return 1 if fails else 0
 

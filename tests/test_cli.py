@@ -93,25 +93,44 @@ def test_cli_queries_and_build_permutation(built_index):
     assert any(f.endswith(".parquet") for f in os.listdir(out_pos))
 
 
-def test_cli_build_transcripts(tmp_path):
-    """build --format transcripts with a RELATIVE --out: full KG pipeline
-    via CLI, index layout complete AND consumable — the perms5 symlink must
-    resolve from the link's own directory (a target of os.path.join(out,..)
-    broke every relative --out), statistics must find <index>/stats, and
-    queries must run through the symlinked layout."""
+@pytest.fixture(scope="module")
+def built_tx_index(tmp_path_factory):
+    """Transcripts index built ONCE via the CLI with a RELATIVE --out
+    (pinning the cwd-resolution regression) and shared by every CLI
+    assertion below — tests that MUTATE the index work on copies
+    (shutil.copytree with symlinks preserved), saving one full
+    JVM+pipeline launch per test (~20s each on this host)."""
     import sys as _sys
 
     _sys.path.insert(0, REPO)
-
-    src = str(tmp_path / "transcripts.parquet")
+    d = tmp_path_factory.mktemp("cli_tx")
+    src = str(d / "transcripts.parquet")
     _write_transcripts_parquet(src, 300, seed=3)
-
     # RELATIVE --out, resolved against the subprocess cwd
-    r = _run("build", "--input", src, "--format", "transcripts", "--out", "idx", cwd=str(tmp_path))
+    r = _run("build", "--input", src, "--format", "transcripts", "--out", "idx", cwd=str(d))
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep["num_triples"] > 0
-    idx = str(tmp_path / "idx")
+    return d, str(d / "idx"), rep
+
+
+def _copy_index(idx: str, dest: str) -> str:
+    import shutil
+
+    shutil.copytree(idx, dest, symlinks=True)
+    return dest
+
+
+def test_cli_build_transcripts(built_tx_index, tmp_path):
+    """build --format transcripts via CLI: index layout complete AND
+    consumable — the perms5 symlink must resolve from the link's own
+    directory (a target of os.path.join(out,..) broke every relative
+    --out), statistics must find <index>/stats, and queries must run
+    through the symlinked layout."""
+    d, built_idx, rep = built_tx_index
+    # ingest+compact below mutate the index — run on a copy, so the
+    # module-shared fixture stays pristine for the other CLI tests
+    idx = _copy_index(built_idx, str(tmp_path / "idx"))
     link = os.path.join(idx, "perms5")
     assert os.path.isdir(link), "perms5 symlink must resolve"  # follows links
     assert os.path.isdir(os.path.join(idx, "stats"))
@@ -268,16 +287,13 @@ def test_cli_build_hash_mmh3_encodes(built_index):
     assert rep["num_triples"] == 4  # same dedup as the plain build
 
 
-def test_cli_stream_ingest(tmp_path):
-    """stream-ingest drains a feed dir into an existing transcripts index:
+def test_cli_stream_ingest(built_tx_index, tmp_path):
+    """stream-ingest drains a feed dir into an existing transcripts index
+    (a copy of the module-shared build — saves a ~20s CLI pipeline run):
     generations appear, statistics tracks growth, the idempotency manifest
     is written, and a second drain of the SAME feed applies nothing new."""
-    src = str(tmp_path / "transcripts.parquet")
-    _write_transcripts_parquet(src, 250, seed=11)
-    idx = str(tmp_path / "idx")
-    r = _run("build", "--input", src, "--format", "transcripts", "--out", idx)
-    assert r.returncode == 0, r.stderr[-2000:]
-    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    _, built_idx, rep = built_tx_index
+    idx = _copy_index(built_idx, str(tmp_path / "idx"))
 
     feed = tmp_path / "feed"
     feed.mkdir()

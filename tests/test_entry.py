@@ -70,10 +70,12 @@ def test_entry_smoke(spark):
 def test_driver_order_contract():
     """The queries() dict order IS the driver's verification schedule
     (the per-round sweep covers the first ~50 keys in dict order).
-    Pin the contract: 5 permanent sentinels lead, the first 50 are all
-    oracle-backed and include the three hash-family oracle twins and
-    all 30 SPARQL g-keys, and the explicit order covers every key
-    exactly once."""
+    Pin the round-5 contract: 5 permanent sentinels lead, the 36-key
+    never-driver-verified rotation queue follows immediately, the five
+    round-5 oracle twins (PQ / SemDeDup / pagerank / kcore /
+    communities) sit inside the 50-key window, the first 50 are all
+    oracle-backed, and the explicit order covers every key exactly
+    once."""
     qs = list(entry_mod.queries())
     osql = entry_mod.oracle_sql()
     assert qs[:5] == [
@@ -85,9 +87,17 @@ def test_driver_order_contract():
     ]
     head = qs[:50]
     assert all(k in osql for k in head), [k for k in head if k not in osql]
-    for twin in ("dedup_minhash_oracle", "dedup_simhash_oracle", "kg_triples_oracle"):
+    # queue boundaries: positions 6 and 41 of the rotation queue
+    assert qs[5] == "kg_weighted_distances"
+    assert qs[40] == "hybrid_search_rrf"
+    for twin in (
+        "ann_pq_topk_oracle",
+        "semantic_dedup_oracle",
+        "kg_pagerank_oracle",
+        "kg_kcore_oracle",
+        "kg_communities_oracle",
+    ):
         assert twin in head
-    assert sum(1 for k in head if k.startswith("g") and k[1].isdigit()) == 30
     order = entry_mod._DRIVER_ORDER
     assert len(order) == len(set(order)) == len(qs)
     assert qs == [k for k in order if k in set(qs)]

@@ -467,6 +467,52 @@ def test_pq_topk_recall_and_determinism(spark, emb, clustered_emb):
     )
 
 
+def test_pq_topk_injected_codebook_exact(spark, emb):
+    """The oracle-parity seam: an injected codebook (faiss-style
+    pretrained quantizer) skips the trainer, and normalize=False keeps
+    integer-valued vectors integer through encode + ADC — with overscan
+    covering the whole corpus the result must EQUAL brute force (the
+    ADC pre-filter drops nothing, the exact re-rank decides), and the
+    injected path must be partition-count invariant."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000).cast("double"),
+        ).alias("embedding"),
+    )
+    anchors = qv.orderBy("vec_id").limit(8).collect()
+    flat = np.array([r["embedding"] for r in anchors], dtype=np.float64)
+    dsub = flat.shape[1] // 8
+    books = np.stack([flat[:, j * dsub : (j + 1) * dsub] for j in range(8)])
+    q = qv.filter(qv.vec_id < 5)
+    n = qv.count()
+    exact = sim.brute_force_topk(qv, q, k=5).toPandas()
+    key = ["query_id", "rank"]
+    full = sim.pq_topk(
+        qv, q, k=5, overscan=-(-n // 5), books=books, normalize=False
+    ).toPandas()
+    assert full[key + ["neighbor_id"]].sort_values(key).reset_index(drop=True).equals(
+        exact[key + ["neighbor_id"]].sort_values(key).reset_index(drop=True)
+    )
+    one = sim.pq_topk(
+        qv.repartition(1), q, k=5, overscan=4, books=books, normalize=False
+    ).toPandas()
+    eight = sim.pq_topk(
+        qv.repartition(8), q, k=5, overscan=-(-n // 5), books=books, normalize=False
+    ).toPandas()
+    assert len(one) == 25 and list(one.columns) == [
+        "query_id", "neighbor_id", "rank", "cosine",
+    ]
+    assert eight[key + ["neighbor_id"]].sort_values(key).reset_index(drop=True).equals(
+        exact[key + ["neighbor_id"]].sort_values(key).reset_index(drop=True)
+    )
+
+
 def test_pq_encode_shape(spark, emb):
     """Codes are m small ints per vector — the 32x compression that makes
     the 100 TB scan read m bytes instead of the embedding column."""
