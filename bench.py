@@ -179,6 +179,7 @@ FULL_QUERIES = [
     "kg_link_prediction",
     "retention_cohorts_events",
     "funnel_events",
+    "sample_stratified",
     "hybrid_search_rrf",
     # kg_random_walks stays OUT too: 13 chained tiny joins measure driver
     # dispatch latency at sf0.1, not the engine (correctness gates at both

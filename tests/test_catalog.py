@@ -57,22 +57,12 @@ def test_register_index_and_sql_pattern(spark, transcripts, workdir):
     assert "PartitionFilters" in plan and "perm" in plan
 
 
-def test_register_index_cli_layout(spark, workdir, transcripts):
+def test_register_index_cli_layout(spark, cli_tx_index):
     """The CLI-built layout (perms5 + stats + vocabs at the index root)
-    registers stats and vocab views too."""
-    import subprocess
-    import sys
-
-    src = os.path.join(workdir, "cat_cli_src.parquet")
-    transcripts.limit(400).write.mode("overwrite").parquet(src)
-    out = os.path.join(workdir, "cat_cli_idx")
-    env = dict(os.environ, PYTHONPATH="/root/repo")
-    r = subprocess.run(
-        [sys.executable, "-m", "rdf_indexes_spark", "--cores", "4", "build",
-         "--input", src, "--format", "transcripts", "--out", out],
-        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=600,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    registers stats and vocab views too. Uses the session-shared CLI
+    build (conftest.cli_tx_index) read-only — registration never
+    mutates the index."""
+    _, out, _ = cli_tx_index
     names = register_index(spark, out, prefix="cli_")
     assert "cli_stats" in names
     assert {"cli_vocab_s", "cli_vocab_p", "cli_vocab_o"} <= set(names)
